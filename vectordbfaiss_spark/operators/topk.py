@@ -1,0 +1,162 @@
+"""Batched top-k similarity search — the engine's flagship operator.
+
+Reference semantics: ``FAISS.search(queryVector, k)``
+/root/reference/server.js:45-61 — exact cosine score against every indexed
+vector (:53-56), sort desc (:58-59), take k (:60); then hydrate document
+text by id with a null-preserving lookup join (server.js:231-248).
+
+Spark-first design (SURVEY §2.8 W1, §3.1):
+- the per-request loop becomes ONE DataFrame over (query x index) pairs;
+- queries are the small side -> ``broadcast`` -> the score join is a
+  map-side nested-loop with NO shuffle of the index table;
+- per-query top-k is a ``row_number`` window partitioned by query id. The
+  only shuffle in the plan is the window's hash-partition on query_id,
+  whose input we pre-shrink by keeping only each *partition's* local top-k
+  candidates first (see below) — so at 100 TB the shuffle carries
+  O(num_partitions * k) rows, not O(N).
+- determinism: JS sort is stable (SURVEY §2.5) -> we order by
+  ``(score DESC, id ASC)`` so ties are reproducible on an unstable sort.
+
+Scale notes:
+- normalize-at-build (functions.vector.l2_normalize) turns cosine into a
+  plain dot product; pass ``assume_normalized=True``.
+- for ANN at 100 TB use plans.ivf: KMeans centroids -> cluster_id partition
+  column -> nprobe routing join prunes partitions; this operator stays the
+  exact-scoring kernel inside each probed cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from vectordbfaiss_spark.functions.vector import cosine_similarity, dot
+
+
+def score_pairs(
+    queries: DataFrame,
+    index: DataFrame,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    index_id: str = "vec_id",
+    index_vec: str = "embedding",
+    assume_normalized: bool = False,
+) -> DataFrame:
+    """Score every (query, index) pair: broadcast nested-loop join + cosine.
+
+    Output: (query_id, vec_id, score DOUBLE). O(Q*N*d) exact work split
+    across all index partitions; no shuffle (queries broadcast).
+    """
+    q = queries.select(F.col(query_id), F.col(query_vec))
+    sim = (
+        dot(query_vec, index_vec)
+        if assume_normalized
+        else cosine_similarity(query_vec, index_vec)
+    )
+    return (
+        index.select(F.col(index_id), F.col(index_vec))
+        .join(F.broadcast(q))
+        .select(query_id, index_id, sim.alias("score"))
+    )
+
+
+def _local_topk_prune(scored: DataFrame, k: int, query_id: str, index_id: str,
+                      score: str) -> DataFrame:
+    """Per-physical-partition top-k WITHOUT a shuffle: a mapInPandas pass
+    keeps at most k candidates per query per partition (bounded heaps),
+    so the downstream window shuffle carries O(partitions * Q * k) rows
+    instead of O(Q * N). Worth it when N/partition >> k; Arrow-batched,
+    constant memory.
+
+    (A ``Window.partitionBy(spark_partition_id(), ...)`` formulation would
+    NOT avoid the shuffle — Catalyst still plans an Exchange on the window
+    keys — hence the mapInPandas kernel.)
+    """
+    import pandas as pd  # local import: executors only
+
+    schema = scored.select(query_id, index_id, score).schema
+
+    def prune(batches):
+        best: dict = {}  # query_id -> DataFrame of current top-k
+        for pdf in batches:
+            for qid, grp in pdf.groupby(query_id, sort=False):
+                cur = best.get(qid)
+                cand = pd.concat([cur, grp]) if cur is not None else grp
+                cand = cand.sort_values(
+                    [score, index_id], ascending=[False, True], kind="mergesort"
+                ).head(k)
+                best[qid] = cand
+        if best:
+            yield pd.concat(best.values())
+
+    return scored.select(query_id, index_id, score).mapInPandas(prune, schema)
+
+
+def topk(
+    scored: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    index_id: str = "vec_id",
+    score: str = "score",
+    local_prune: bool = False,
+) -> DataFrame:
+    """Per-query top-k with deterministic (score DESC, id ASC) tie-break.
+
+    The window's hash-partition on ``query_id`` is the plan's only shuffle.
+    With ``local_prune`` the shuffle input first drops to k rows per query
+    per partition (see :func:`_local_topk_prune`) — the scale path when the
+    index side is huge; leave False when Q*N is small enough that one
+    shuffle beats an extra Arrow pass.
+    """
+    if local_prune:
+        scored = _local_topk_prune(scored, k, query_id, index_id, score)
+    order = [F.desc(score), F.asc(index_id)]
+    w = Window.partitionBy(query_id).orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def topk_search(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int,
+    documents: DataFrame | None = None,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    index_id: str = "vec_id",
+    index_vec: str = "embedding",
+    doc_id: str = "doc_id",
+    assume_normalized: bool = False,
+) -> DataFrame:
+    """End-to-end flagship: score -> top-k -> optional text hydration.
+
+    Mirrors POST /search (server.js:217-265) minus the LLM answer stage:
+    late materialization keeps the scan narrow (id+vector only) and joins
+    the wide ``documents`` table only for the Q*k winners — the Spark analog
+    of the reference's RAM-index/SQLite-hydrate split (README.md:16-17).
+    The hydration join is left-outer (null content preserved,
+    server.js:245-248) and broadcasts the tiny winner side.
+    """
+    scored = score_pairs(
+        queries, index, query_id, query_vec, index_id, index_vec, assume_normalized
+    )
+    winners = topk(scored, k, query_id, index_id)
+    if documents is None:
+        return winners
+    # Null-preserving hydration (server.js:231-248), two broadcast steps —
+    # an outer join can only build (broadcast) its NON-preserved side, so a
+    # one-shot "broadcast(winners) left-join documents" is unplannable as a
+    # broadcast join. Instead, exactly like the reference's
+    # `WHERE id IN (...)` + in-memory lookup:
+    #  1. semi-join documents against the Q*k winner ids (build side =
+    #     winners, broadcastable) -> tiny `hits`, no shuffle of documents;
+    #  2. left-outer join winners -> broadcast(hits): build side = hits
+    #     (non-preserved), broadcastable; missing ids keep NULL text.
+    winner_ids = winners.select(F.col(index_id)).distinct()
+    hits = documents.join(
+        F.broadcast(winner_ids), documents[doc_id] == winner_ids[index_id], "left_semi"
+    )
+    return winners.join(
+        F.broadcast(hits), winners[index_id] == hits[doc_id], "left"
+    ).drop(doc_id)
