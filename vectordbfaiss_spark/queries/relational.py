@@ -1,0 +1,512 @@
+"""Relational operator breadth (SURVEY §2.2-2.8 phase-2 declarations).
+
+The reference's only relational surface is projections, an IN-list lookup,
+COUNT(*), and a lookup join (server.js:79,131,231-248); the scaled engine
+exposes the full join/aggregate/window/set-op family over the TPC-H-ish
+fixtures. Every query here is pure built-in DataFrame API — Catalyst owns
+pushdown, pruning, and join strategy; dimension joins are explicitly
+broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from vectordbfaiss_spark.registry import register
+from vectordbfaiss_spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4)                                        AS sum_qty,
+       round(sum(l_extendedprice), 4)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
+       round(avg(l_quantity), 6)                                        AS avg_qty,
+       round(avg(l_extendedprice), 6)                                   AS avg_price,
+       round(avg(l_discount), 6)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", _Q1_ORACLE)
+def q_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: hash aggregate with map-side partial
+    aggregation (the reference's only aggregate is COUNT(*), server.js:67).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*)                  AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("distinct_counts", _DISTINCT_ORACLE)
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase hash agg in Spark)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       count(*)                  AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("rollup_lineitem", _ROLLUP_ORACLE)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total; NULL-filled keys)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+_HAVING_ORACLE = """
+SELECT o_custkey, count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS total_spend
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 12
+"""
+
+
+@register("orders_per_customer_having", _HAVING_ORACLE)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_spend"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+_CASE_ORACLE = """
+SELECT CASE WHEN o_totalprice < 1000 THEN 'small'
+            WHEN o_totalprice < 5000 THEN 'medium'
+            ELSE 'large' END AS bucket,
+       o_orderstatus,
+       count(*) AS n,
+       round(avg(o_totalprice), 6) AS avg_price
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@register("case_when_buckets", _CASE_ORACLE)
+def q_case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + aggregation (constant-folded in codegen)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 1000, "small")
+        .when(F.col("o_totalprice") < 5000, "medium")
+        .otherwise("large")
+    )
+    return (
+        orders.groupBy(bucket.alias("bucket"), F.col("o_orderstatus"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 6).alias("avg_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+_Q3_ORACLE = """
+SELECT l.l_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", _Q3_ORACLE)
+def q_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped 3-way join + agg + deterministic top-10.
+
+    customer is the small filtered side -> broadcast; lineitem never
+    shuffles for the join (only for the final agg on l_orderkey).
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+_STAR_ORACLE = """
+SELECT r.r_name, n.n_name,
+       count(*) AS n_customers,
+       round(sum(c.c_acctbal), 4) AS total_balance
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+"""
+
+
+@register("star_join_rollup", _STAR_ORACLE)
+def q_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema dimension join: both dims broadcast (zero-shuffle join
+    tree; the only exchange is the final aggregation)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_balance"),
+        )
+    )
+
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 4000)
+"""
+
+
+@register("semi_join_big_spenders", _SEMI_ORACLE)
+def q_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) — reference analog: the IN-list hydration
+    lookup server.js:231-242 (J2)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 4000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+"""
+
+
+@register("anti_join_no_orders", _ANTI_ORACLE)
+def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) — the cross-batch dedup building block
+    (SURVEY §2.4 A5). Filtered right side keeps the anti-set non-empty at
+    every SF (an all-rows-match anti join would prove nothing).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+_OUTER_ORACLE = """
+SELECT s.s_suppkey, s.s_name, n.n_name
+FROM supplier s LEFT JOIN nation n
+  ON s.s_nationkey = n.n_nationkey AND n.n_regionkey = 0
+"""
+
+
+@register("left_outer_with_condition", _OUTER_ORACLE)
+def q_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join with a compound condition (null-preserving J1)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return s.join(
+        F.broadcast(n),
+        (s.s_nationkey == n.n_nationkey) & (n.n_regionkey == 0),
+        "left",
+    ).select("s_suppkey", "s_name", "n_name")
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / set ops
+# ---------------------------------------------------------------------------
+
+_TOPN_ORACLE = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+@register("topn_orders", _TOPN_ORACLE)
+def q_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N: Catalyst plans TakeOrderedAndProject — per-partition
+    heap + driver merge, never a full sort (K1, server.js:58-60)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice"))
+    )
+
+
+_SETOP_ORACLE = """
+SELECT c_custkey, 'union' AS op FROM (
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_totalprice > 4500
+)
+UNION ALL
+SELECT c_custkey, 'intersect' AS op FROM (
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 4500
+)
+UNION ALL
+SELECT c_custkey, 'except' AS op FROM (
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 4500
+)
+"""
+
+
+@register("set_operations", _SETOP_ORACLE)
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT in one result (SURVEY §2.6)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    b = o.filter(F.col("o_totalprice") > 4500).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    tag = lambda df, op: df.withColumn("op", F.lit(op))  # noqa: E731
+    return (
+        tag(a.union(b).distinct(), "union")
+        .unionAll(tag(a.intersect(b), "intersect"))
+        .unionAll(tag(a.exceptAll(b).distinct(), "except"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# String / JSON scalar functions
+# ---------------------------------------------------------------------------
+
+_STRING_ORACLE = """
+SELECT p_partkey,
+       upper(p_name)                                   AS name_upper,
+       substr(p_name, 1, 4)                            AS name_prefix,
+       length(p_name)                                  AS name_len,
+       CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT) AS brand_num,
+       (p_type LIKE '%ECO%')                           AS is_eco,
+       regexp_replace(p_name, '\\s+', '_', 'g')        AS name_snake
+FROM part
+WHERE p_name LIKE '%e%'
+"""
+
+
+@register("string_functions_part", _STRING_ORACLE)
+def q_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar family (F1/F3-F10 analogs): LIKE, regexp extract /
+    replace, case, substring, length — all codegen'd JVM expressions."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").like("%e%")).select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).cast("long").alias("brand_num"),
+        F.col("p_type").like("%ECO%").alias("is_eco"),
+        F.regexp_replace("p_name", r"\s+", "_").alias("name_snake"),
+    )
+
+
+_JSON_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("json_extract_events", _JSON_ORACLE)
+def q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction (S10: from_json/get_json_object analog of the
+    reference's express.json() request parsing, server.js:18)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions & time windows (SURVEY §2.8, §2.10 batch form)
+# ---------------------------------------------------------------------------
+
+_WINDOW_RANK_ORACLE = """
+SELECT user_id, event_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+       rn
+FROM (
+    SELECT user_id, event_id, event_type, ts,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+)
+WHERE rn <= 3
+"""
+
+
+@register("window_first_events_per_user", _WINDOW_RANK_ORACLE)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number window: first 3 events per user (W1's ranking shape on
+    the time axis)."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+            "rn",
+        )
+    )
+
+
+_WINDOW_LAG_ORACLE = """
+SELECT user_id, event_id,
+       round(value, 6) AS value,
+       round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS rolling3
+FROM events
+"""
+
+
+@register("window_lag_rolling", _WINDOW_LAG_ORACLE)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag + rolling-frame sum windows (rowsBetween)."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+        F.round(F.sum("value").over(w.rowsBetween(-2, 0)), 6).alias("rolling3"),
+    )
+
+
+_TUMBLING_ORACLE = """
+SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("tumbling_window_daily", _TUMBLING_ORACLE)
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation — batch form of the Structured
+    Streaming windowed agg (SURVEY §2.10); F.window == time_bucket."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click'    THEN 1 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'error'    THEN 1 END) AS BIGINT) AS error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'view'     THEN 1 END) AS BIGINT) AS view
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("pivot_event_counts", _PIVOT_ORACLE)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (explicit value list -> single-pass conditional aggregation;
+    missing combinations stay NULL on both engines)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+    )

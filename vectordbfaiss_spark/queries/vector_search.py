@@ -1,0 +1,156 @@
+"""Vector-search queries — the reference's core capability re-expressed as
+batch DataFrame plans (SURVEY §2.3 J3, §2.4 A2-A4, §2.5 K1, §2.8 W1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from vectordbfaiss_spark.operators.topk import score_pairs, topk
+from vectordbfaiss_spark.registry import register
+from vectordbfaiss_spark.session import load_table
+
+_TOPK_ORACLE = """
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < 10
+), s AS (
+    SELECT q.query_id, e.vec_id,
+           round(
+             list_dot_product(q.qv, e.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(q.qv, q.qv))
+                * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+             6) AS score
+    FROM q CROSS JOIN embeddings e
+), r AS (
+    SELECT query_id, vec_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+    FROM s
+)
+SELECT r.query_id, r.vec_id, r.score, r.rnk, d.text
+FROM r LEFT JOIN documents d ON r.vec_id = d.doc_id
+WHERE r.rnk <= 5
+"""
+
+
+@register("topk_search", _TOPK_ORACLE)
+def q_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: exact cosine top-k + text hydration (W1+J1+J3+A2-A4+K1).
+
+    Reference: the /search read path server.js:217-265; scoring kernel
+    server.js:45-61. First 10 embeddings double as the query batch, k=5.
+    Scores rounded to 6dp BEFORE ranking for cross-engine determinism.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    scored = score_pairs(queries, emb).withColumn("score", F.round("score", 6))
+    winners = topk(scored, k=5).withColumnRenamed("rank", "rnk")
+    # two-step broadcast hydration (see operators.topk.topk_search): semi-join
+    # pulls the Q*k matching doc rows, then a broadcast left-outer preserves
+    # winners with missing docs (server.js:231-248 semantics).
+    winner_ids = winners.select("vec_id").distinct()
+    hits = docs.select("doc_id", "text").join(
+        F.broadcast(winner_ids), F.col("doc_id") == winner_ids.vec_id, "left_semi"
+    )
+    return winners.join(
+        F.broadcast(hits), winners.vec_id == hits.doc_id, "left"
+    ).select("query_id", "vec_id", "score", "rnk", "text")
+
+
+_NN_CLASS_ORACLE = """
+WITH q AS (
+    SELECT vec_id AS query_id, label AS true_label, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id % 10 = 0
+), s AS (
+    SELECT q.query_id, q.true_label, e.vec_id, e.label,
+           round(
+             list_dot_product(q.qv, e.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(q.qv, q.qv))
+                * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+             6) AS score
+    FROM q CROSS JOIN embeddings e
+    WHERE q.query_id <> e.vec_id
+), r AS (
+    SELECT query_id, true_label, vec_id AS nn_id, label AS nn_label, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+    FROM s
+)
+SELECT query_id, true_label, nn_id, nn_label, score
+FROM r WHERE rnk = 1
+"""
+
+
+@register("nn_classify", _NN_CLASS_ORACLE)
+def q_nn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-NN label assignment excluding self — the similarity-search pattern a
+    training pipeline uses for label propagation. Same scoring kernel as
+    topk_search (server.js:45-61) with a self-exclusion predicate.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("query_vec"),
+    )
+    scored = (
+        score_pairs(queries.select("query_id", "query_vec"), emb)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("score", F.round("score", 6))
+    )
+    nn = topk(scored, k=1).drop("rank")
+    nn_lab = nn.join(
+        F.broadcast(emb.select(F.col("vec_id"), F.col("label").alias("nn_label"))),
+        "vec_id",
+    )
+    return (
+        nn_lab.join(F.broadcast(queries.select("query_id", "true_label")), "query_id")
+        .select(
+            "query_id",
+            "true_label",
+            F.col("vec_id").alias("nn_id"),
+            "nn_label",
+            "score",
+        )
+    )
+
+
+_PAIR_COSINE_ORACLE = """
+WITH a AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 100
+)
+SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+       round(
+         list_dot_product(x.v, y.v)
+         / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
+       6) AS cos_sim
+FROM a x JOIN a y ON x.vec_id < y.vec_id
+WHERE round(
+         list_dot_product(x.v, y.v)
+         / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
+       6) >= 0.2
+"""
+
+
+@register("cosine_pairs_threshold", _PAIR_COSINE_ORACLE)
+def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine similarity above a threshold (the embedding-cosine
+    near-duplicate primitive; SURVEY north-star dedup family). Upper-triangle
+    self-join; at scale this becomes the LSH/IVF-blocked variant — this exact
+    form is the correctness oracle for those.
+    """
+    from vectordbfaiss_spark.functions.vector import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity("va", "vb"), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.2)
+    )

@@ -10,139 +10,63 @@ Conventions that make the DuckDB hash-compare deterministic:
 - timestamps in outputs are formatted to strings (UTC) — avoids tz/epoch
   representation drift between Spark and DuckDB.
 
-Each entry documents the SURVEY.md §2 operator ids it covers.
+Query definitions live in ``vectordbfaiss_spark.queries.*`` grouped by
+category; importing this module populates the registry.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
-
-from vectordbfaiss_spark.operators.topk import topk_search
-from vectordbfaiss_spark.session import load_table
+from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+# Queries that are deliberately declared WITHOUT an oracle (non-SQL-
+# expressible: ML-backed, streaming-stateful, opaque-binary). The driver
+# records a weaker rows-only check for these.
+ROWS_ONLY: set[str] = set()
 
 
-def register(name: str, oracle: str | None = None):
-    """Decorator: add a query (and optionally its DuckDB oracle SQL)."""
+def register(name: str, oracle: str | None = None, rows_only: bool = False):
+    """Decorator: add a query (and its DuckDB oracle SQL, or an explicit
+    rows-only opt-out)."""
+    if oracle is None and not rows_only:
+        raise ValueError(f"{name}: provide oracle SQL or set rows_only=True")
 
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        else:
+            ROWS_ONLY.add(name)
         return fn
 
     return deco
 
 
-# ---------------------------------------------------------------------------
-# Vector search (reference core: server.js:45-61, 217-265)
-# ---------------------------------------------------------------------------
-
-_TOPK_ORACLE = """
-WITH q AS (
-    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-    FROM embeddings WHERE vec_id < 10
-), s AS (
-    SELECT q.query_id, e.vec_id,
-           round(
-             list_dot_product(q.qv, e.embedding::DOUBLE[])
-             / (sqrt(list_dot_product(q.qv, q.qv))
-                * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
-             6) AS score
-    FROM q CROSS JOIN embeddings e
-), r AS (
-    SELECT query_id, vec_id, score,
-           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
-    FROM s
-)
-SELECT r.query_id, r.vec_id, r.score, r.rnk, d.text
-FROM r LEFT JOIN documents d ON r.vec_id = d.doc_id
-WHERE r.rnk <= 5
-"""
-
-
-@register("topk_search", _TOPK_ORACLE)
-def q_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: exact cosine top-k + text hydration (W1+J1+J3+A2-A4+K1).
-
-    Reference: the /search read path server.js:217-265; scoring kernel
-    server.js:45-61. First 10 embeddings double as the query batch, k=5.
-    Scores rounded to 6dp BEFORE ranking for cross-engine determinism.
-    """
-    emb = load_table(spark, sf_dir, "embeddings")
-    docs = load_table(spark, sf_dir, "documents")
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    from vectordbfaiss_spark.operators.topk import score_pairs, topk
-
-    scored = score_pairs(queries, emb).withColumn("score", F.round("score", 6))
-    winners = topk(scored, k=5).withColumnRenamed("rank", "rnk")
-    # two-step broadcast hydration (see operators.topk.topk_search): semi-join
-    # pulls the Q*k matching doc rows, then a broadcast left-outer preserves
-    # winners with missing docs (server.js:231-248 semantics).
-    winner_ids = winners.select("vec_id").distinct()
-    hits = docs.select("doc_id", "text").join(
-        F.broadcast(winner_ids), F.col("doc_id") == winner_ids.vec_id, "left_semi"
-    )
-    return winners.join(
-        F.broadcast(hits), winners.vec_id == hits.doc_id, "left"
-    ).select("query_id", "vec_id", "score", "rnk", "text")
-
-
-# ---------------------------------------------------------------------------
-# Relational aggregation (SURVEY §2.4 — scaled engine surface)
-# ---------------------------------------------------------------------------
-
-_Q1_ORACLE = """
-SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 4)                                        AS sum_qty,
-       round(sum(l_extendedprice), 4)                                   AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
-       round(avg(l_quantity), 6)                                        AS avg_qty,
-       round(avg(l_extendedprice), 6)                                   AS avg_price,
-       round(avg(l_discount), 6)                                        AS avg_disc,
-       count(*)                                                         AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-GROUP BY l_returnflag, l_linestatus
-"""
-
-
-@register("q1_pricing_summary", _Q1_ORACLE)
-def q_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-shaped pricing summary: hash aggregate with map-side
-    partial aggregation (free in Spark; the reference's only aggregate is
-    COUNT(*), server.js:67).
-    """
-    li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count("*").alias("count_order"),
-        )
-    )
-
-
 def queries() -> dict[str, QueryFn]:
+    _load()
     return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
+    _load()
     return dict(ORACLES)
+
+
+_loaded = False
+
+
+def _load() -> None:
+    global _loaded
+    if _loaded:
+        return
+    _loaded = True
+    # import for side effect: each module registers its queries
+    from vectordbfaiss_spark.queries import (  # noqa: F401
+        relational,
+        vector_search,
+    )

@@ -44,6 +44,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # events.parquet stores TIMESTAMP(NANOS); Spark's reader has no nanos
+        # type — read as long and convert in load_table (DuckDB-compatible
+        # truncation to microseconds).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Dio.netty.tryReflectionSetAccessible=true")
     )
@@ -69,5 +73,15 @@ TABLE_NAMES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one driver fixture table (TESTDATA.md load pattern)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read one driver fixture table (TESTDATA.md load pattern).
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet, surfaced as nanos-long via
+    ``spark.sql.legacy.parquet.nanosAsLong``; convert to a microsecond
+    timestamp (truncating, exactly what DuckDB does reading the same file).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
