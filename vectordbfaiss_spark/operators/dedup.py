@@ -1,0 +1,246 @@
+"""Deduplication operator family — the LLM-training-pipeline workhorses.
+
+The reference's dedup is exact-match only: ``content TEXT UNIQUE`` +
+``INSERT OR IGNORE`` (/root/reference/server.js:29,198). At 100 TB the
+interesting dedup is *near*-duplicate detection; this module provides the
+standard ladder, each as a declarative DataFrame pipeline:
+
+- :func:`exact_dedup_stats` / :func:`dedup_exact`  — hash group-by.
+- :func:`ngram_jaccard_pairs` — exact all-pairs Jaccard over word-shingle
+  sets, pre-filtered by an inner join on shingles (only pairs sharing at
+  least one shingle are scored; disjoint pairs have J=0 by definition).
+- :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — MinHash + LSH
+  banding: md5-keyed min-hashes (deterministic, engine-portable), band keys,
+  candidate pairs from band buckets, Jaccard verification.
+- :func:`simhash` / :func:`simhash_pairs` — 32-bit SimHash from md5 token
+  bits, near-dup = small Hamming distance.
+
+Why md5 for every hash: Spark and DuckDB (the correctness oracle) both
+expose md5 with identical output, so the whole pipeline is bit-reproducible
+across engines — no engine-private hash (xxhash64, DuckDB ``hash``) leaks
+into results.
+
+Scale notes: every pipeline is shingle-explode -> hash-aggregate -> join on
+a key (shingle / band key / simhash block). The joins are equi-joins on
+high-cardinality keys — exactly the shape AQE + hash shuffle handle; the
+O(n^2) risk lives only inside a bucket, which is the point of LSH banding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def word_shingles(text_col, n: int = 3):
+    """Distinct n-word shingles of a whitespace-tokenized text column.
+
+    Column expression: ARRAY<STRING>, each element n words joined by a
+    single space. Texts shorter than n words yield their full text as the
+    only shingle (slice is clamped), matching the intuitive semantics.
+    """
+    text_col = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.split(F.rtrim(text_col), r"\s+")
+    n_sh = F.greatest(F.lit(1), F.size(words) - F.lit(n - 1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_sh - 1),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        )
+    )
+
+
+def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) rows, distinct — the normalized form every dedup
+    pipeline starts from."""
+    return (
+        df.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_dedup_stats(df: DataFrame, key_cols: list[str], group_cols: list[str]) -> DataFrame:
+    """Per-group exact-duplicate stats: rows, distinct keys, duplicate rows.
+
+    ``dropDuplicates(key_cols)`` is the remove-form (A5, server.js:29,198);
+    this is the report-form that makes the same computation oracle-checkable.
+    """
+    return df.groupBy(*group_cols).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct(*key_cols).alias("n_distinct"),
+        (F.count("*") - F.countDistinct(*key_cols)).alias("n_dupes"),
+    )
+
+
+def dedup_exact(df: DataFrame, key_cols: list[str], existing: DataFrame | None = None) -> DataFrame:
+    """Remove-form exact dedup: in-batch ``dropDuplicates`` + cross-batch
+    left-anti join against an existing table (the INSERT OR IGNORE analog,
+    server.js:198; Spark-side pattern from SURVEY §2.1 S5)."""
+    out = df.dropDuplicates(key_cols)
+    if existing is not None:
+        out = out.join(existing.select(*key_cols).distinct(), key_cols, "left_anti")
+    return out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact Jaccard similarity over n-gram shingle sets for every pair
+    sharing >= 1 shingle; keep pairs with J >= threshold.
+
+    Plan: explode -> self-equi-join on shingle (the candidate generator) ->
+    count intersections -> join per-doc shingle counts (broadcastable agg) ->
+    J = inter / (|A| + |B| - inter). Output (id_a < id_b, jaccard 6dp).
+    """
+    sh = exploded_shingles(df, id_col, text_col, n)
+    counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(ca), "id_a")
+        .join(F.broadcast(cb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature per document: for seed s, min(md5('s:' || shingle)).
+
+    One explode + ONE hash aggregate computes all ``num_hashes`` minima
+    (columns mh0..mh{H-1}) — a single shuffle regardless of signature width.
+    md5-over-string minima are totally ordered and engine-portable.
+    """
+    sh = exploded_shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh{s}")
+        for s in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup detection, Jaccard-verified.
+
+    Candidates: docs agreeing on ALL rows of >= 1 band (band key =
+    concat of that band's min-hashes). Verification: exact Jaccard on the
+    candidate pairs only. With b bands of r rows the match probability is
+    1-(1-J^r)^b — the classic S-curve; b=8, r=2 targets J >= ~0.4.
+
+    At 100 TB the band-bucket self-join is the only pair generator — the
+    full O(n^2) never materializes; skewed buckets (boilerplate shingles)
+    are split by AQE skew-join handling.
+    """
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    n_bands = num_hashes // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(bands).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    la = banded.select(F.col(id_col).alias("id_a"), "band", "key")
+    lb = banded.select(F.col(id_col).alias("id_b"), "band", "key")
+    candidates = (
+        la.join(lb, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
+    return candidates.join(verified, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def _md5_bit(col, p: int):
+    """Bit p (0..31) of the first 8 hex digits of md5(col) — portable to the
+    DuckDB oracle as ``(strpos('0123456789abcdef', substr(md5(x), 1+p//4, 1))
+    - 1) >> (p % 4) & 1``."""
+    digit = F.conv(F.substring(F.md5(col), 1 + p // 4, 1), 16, 10).cast("int")
+    return F.shiftright(digit, p % 4).bitwiseAND(F.lit(1))
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """32-bit SimHash over distinct whitespace tokens (weight 1).
+
+    For each bit p: sum over tokens of (2*bit_p(md5(token)) - 1); the
+    signature sets bit p iff the sum is positive. One explode + one
+    aggregate (32 sums) + one projection.
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode(F.split(F.rtrim(F.col(text_col)), r"\s+")).alias("tok"))
+        .distinct()
+    )
+    sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(_md5_bit(F.col("tok"), p) * 2 - 1).alias(f"s{p}")
+            for p in range(bits)
+        ]
+    )
+    sig = None
+    for p in range(bits):
+        term = F.when(F.col(f"s{p}") > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sums.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Pair generation here is the exact all-pairs form (correct at test SF);
+    the 100 TB path blocks on signature prefix bytes first (join on
+    ``simhash >> 24`` etc.) — same verify expression, bounded buckets.
+    """
+    s = simhash(df, id_col, text_col)
+    a = s.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"))
+    b = s.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

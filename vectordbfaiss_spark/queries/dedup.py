@@ -1,0 +1,180 @@
+"""Dedup query declarations over the ``documents`` fixture, each with a
+DuckDB oracle that replicates the (md5-keyed, engine-portable) pipeline
+exactly. Operator implementations: operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from vectordbfaiss_spark.operators import dedup as D
+from vectordbfaiss_spark.registry import register
+from vectordbfaiss_spark.session import load_table
+
+# Shared oracle fragments -----------------------------------------------------
+
+def _shingle_cte(n: int) -> str:
+    """CTE producing (doc_id, shingle) distinct rows — mirrors
+    operators.dedup.exploded_shingles (same clamping for short texts)."""
+    return f"""
+w AS (SELECT doc_id, string_split_regex(rtrim(text), '\\s+') AS words FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      generate_series(0, greatest(1, len(words) - {n - 1}) - 1),
+      i -> array_to_string(list_slice(words, i + 1, i + {n}), ' ')))) AS shingle
+  FROM w
+)"""
+
+
+def _jaccard_ctes(n: int) -> str:
+    return f"""WITH {_shingle_cte(n)},
+cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b, round(n_inter / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN cnt ca ON ca.doc_id = id_a
+  JOIN cnt cb ON cb.doc_id = id_b
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (reference semantics: content UNIQUE, server.js:29,198)
+# ---------------------------------------------------------------------------
+
+_EXACT_ORACLE = """
+SELECT source,
+       count(*) AS n_rows,
+       count(DISTINCT text) AS n_distinct,
+       CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_dupes
+FROM documents
+GROUP BY source
+"""
+
+
+@register("dedup_exact_stats", _EXACT_ORACLE)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate report per source (A5 report-form)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup_stats(docs, ["text"], ["source"])
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (exact all-pairs with shingle-join candidate gen)
+# ---------------------------------------------------------------------------
+
+_NGRAM_ORACLE = (
+    _jaccard_ctes(3)
+    + """
+SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8
+"""
+)
+
+
+@register("dedup_ngram_jaccard", _NGRAM_ORACLE)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-duplicate pairs (J >= 0.8). The fixture
+    plants near-dup document pairs; this is the exact baseline the
+    LSH variants are validated against."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+_NUM_HASHES = 16
+_ROWS_PER_BAND = 2
+
+
+def _minhash_oracle() -> str:
+    mh = ",\n       ".join(
+        f"min(md5('{s}:' || shingle)) AS mh{s}" for s in range(_NUM_HASHES)
+    )
+    n_bands = _NUM_HASHES // _ROWS_PER_BAND
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, mh{b * _ROWS_PER_BAND} || '|' || "
+        f"mh{b * _ROWS_PER_BAND + 1} AS key FROM sig"
+        for b in range(n_bands)
+    )
+    return (
+        _jaccard_ctes(3)
+        + f""",
+sig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b, j.jaccard
+FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+WHERE j.jaccard >= 0.4
+"""
+    )
+
+
+@register("dedup_minhash_lsh", _minhash_oracle())
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH banding (8 bands x 2 rows) near-dup pairs,
+    Jaccard-verified at 0.4 — the 100 TB-scale dedup path (candidates from
+    band buckets only, never all-pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n=3,
+        num_hashes=_NUM_HASHES,
+        rows_per_band=_ROWS_PER_BAND,
+        threshold=0.4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def _simhash_oracle(bits: int = 32, max_hamming: int = 1) -> str:
+    sums = ",\n       ".join(
+        f"sum(((strpos('0123456789abcdef', substr(md5(tok), {1 + p // 4}, 1)) - 1)"
+        f" >> {p % 4} & 1) * 2 - 1) AS s{p}"
+        for p in range(bits)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN s{p} > 0 THEN {1 << p} ELSE 0 END)" for p in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split_regex(rtrim(text), '\\s+')) AS tok
+  FROM documents
+),
+sums AS (
+  SELECT doc_id,
+       {sums}
+  FROM toks GROUP BY doc_id
+),
+sig AS (SELECT doc_id, CAST({sig_terms} AS BIGINT) AS simhash FROM sums)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+@register("dedup_simhash", _simhash_oracle())
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash near-dup pairs (Hamming <= 1; the tiny shared
+    vocabulary of the synthetic corpus makes looser thresholds meaningless). md5-bit construction is
+    engine-portable; see operators.dedup.simhash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, "doc_id", "text", max_hamming=1).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )

@@ -371,7 +371,7 @@ def q_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.upper("p_name").alias("name_upper"),
         F.substring("p_name", 1, 4).alias("name_prefix"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.regexp_extract("p_brand", r"([0-9]+)", 1).cast("long").alias("brand_num"),
         F.col("p_type").like("%ECO%").alias("is_eco"),
         F.regexp_replace("p_name", r"\s+", "_").alias("name_snake"),
@@ -432,7 +432,7 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "event_type",
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
-            "rn",
+            F.col("rn").cast("long").alias("rn"),
         )
     )
 

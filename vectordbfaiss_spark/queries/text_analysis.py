@@ -1,0 +1,174 @@
+"""Text-analysis query declarations over ``documents`` (operator impls:
+operators/textstats.py; chunker: functions/text.py)."""
+
+from __future__ import annotations
+
+from vectordbfaiss_spark.functions.text import chunk_text
+from vectordbfaiss_spark.operators import textstats as TS
+from vectordbfaiss_spark.registry import register
+from vectordbfaiss_spark.session import load_table
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_TOKEN_STATS_ORACLE = """
+WITH w AS (SELECT doc_id, string_split_regex(rtrim(text), '\\s+') AS words FROM documents)
+SELECT doc_id,
+       CAST(len(words) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct,
+       round(len(list_distinct(words)) / len(words), 6) AS ttr,
+       round(list_sum(list_transform(words, w -> length(w))) / len(words), 6) AS avg_token_len
+FROM w
+"""
+
+
+@register("text_token_stats", _TOKEN_STATS_ORACLE)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + lexical diversity per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = TS.token_stats(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "ttr",
+        "avg_token_len",
+    )
+
+
+_STOPLIST_SQL = "['" + "','".join(TS.EN_STOPWORDS) + "']"
+
+_QUALITY_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split_regex(rtrim(text), '\\s+') AS words FROM documents),
+m AS (
+  SELECT doc_id,
+         len(words) AS n_tokens,
+         len(list_filter(words, t -> list_contains({_STOPLIST_SQL}, t))) AS n_stop,
+         len(list_distinct(words)) / len(words) AS ttr
+  FROM w
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(n_stop / n_tokens, 6) AS stopword_ratio,
+       round(0.4 * least(n_tokens / 64.0, 1.0)
+           + 0.3 * least(n_stop / n_tokens * 3, 1.0)
+           + 0.3 * least(ttr * 2, 1.0), 6) AS quality
+FROM m
+"""
+
+
+@register("text_quality_score", _QUALITY_ORACLE)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality score (length / stopword / diversity mix)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = TS.quality_score(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "stopword_ratio",
+        "quality",
+    )
+
+
+def _lang_oracle() -> str:
+    ratio_cols = ",\n         ".join(
+        "len(list_filter(words, t -> list_contains(['"
+        + "','".join(prof)
+        + f"'], t))) / len(words) AS r_{lang}"
+        for lang, prof in sorted(TS.LANG_PROFILES.items())
+    )
+    langs = sorted(TS.LANG_PROFILES)
+    # fold ties toward the earliest language code, same as the Spark impl
+    guess = f"'{langs[0]}'"
+    score = f"r_{langs[0]}"
+    for lang in langs[1:]:
+        guess = f"CASE WHEN r_{lang} > {score} THEN '{lang}' ELSE {guess} END"
+        score = f"CASE WHEN r_{lang} > {score} THEN r_{lang} ELSE {score} END"
+    return f"""
+WITH w AS (SELECT doc_id, string_split_regex(rtrim(text), '\\s+') AS words FROM documents),
+r AS (
+  SELECT doc_id,
+         {ratio_cols}
+  FROM w
+)
+SELECT doc_id, {guess} AS lang_guess, round({score}, 6) AS lang_score FROM r
+"""
+
+
+@register("text_language_id", _lang_oracle())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (deterministic heuristic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TS.language_id(docs, "doc_id", "text")
+
+
+_FINGERPRINT_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(rtrim(lower(text)), '\\s+') AS words
+  FROM documents
+)
+SELECT doc_id,
+       md5(array_to_string(words, ' ')) AS fp_exact,
+       list_min(list_transform(words, w -> md5(w))) AS fp_minhash
+FROM w
+"""
+
+
+@register("text_fingerprint", _FINGERPRINT_ORACLE)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash fingerprints (exact id + 1-hash MinHash sketch)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TS.fingerprint(docs, "doc_id", "text")
+
+
+_TERMFREQ_ORACLE = """
+SELECT tok, count(*) AS n
+FROM (SELECT unnest(string_split_regex(rtrim(text), '\\s+')) AS tok FROM documents)
+GROUP BY tok
+ORDER BY n DESC, tok
+LIMIT 20
+"""
+
+
+@register("text_term_freq_top20", _TERMFREQ_ORACLE)
+def q_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 term frequencies (deterministic U3 replacement)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TS.term_frequencies(docs, "text", top_n=20)
+
+
+_CHUNK_N = 40
+_CHUNK_M = 5
+
+_CHUNK_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split_regex(rtrim(text), '\\s+') AS words FROM documents),
+n AS (
+  SELECT doc_id, words,
+         greatest(1, CAST(ceil((len(words) - {_CHUNK_N}) / {float(_CHUNK_N - _CHUNK_M)}) AS BIGINT) + 1) AS n_chunks
+  FROM w
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       array_to_string(list_slice(words, i * {_CHUNK_N - _CHUNK_M} + 1,
+                                  i * {_CHUNK_N - _CHUNK_M} + {_CHUNK_N}), ' ') AS chunk,
+       CAST(len(list_slice(words, i * {_CHUNK_N - _CHUNK_M} + 1,
+                           i * {_CHUNK_N - _CHUNK_M} + {_CHUNK_N})) AS BIGINT) AS n_words
+FROM n, unnest(generate_series(0, n_chunks - 1)) AS t(i)
+"""
+
+
+@register("text_chunk_documents", _CHUNK_ORACLE)
+def q_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference sliding-window chunker (embed.js:183-195) at N=40, M=5
+    (scaled to fixture text lengths; production default stays 1000/50).
+    One output row per chunk with its index and word count.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id", F.posexplode(chunk_text("text", _CHUNK_N, _CHUNK_M)).alias("chunk_idx", "chunk")
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk",
+        F.size(F.split(F.col("chunk"), r"\s+")).cast("long").alias("n_words"),
+    )

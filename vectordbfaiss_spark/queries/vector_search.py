@@ -56,7 +56,7 @@ def q_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return winners.join(
         F.broadcast(hits), winners.vec_id == hits.doc_id, "left"
-    ).select("query_id", "vec_id", "score", "rnk", "text")
+    ).select("query_id", "vec_id", "score", F.col("rnk").cast("long").alias("rnk"), "text")
 
 
 _NN_CLASS_ORACLE = """

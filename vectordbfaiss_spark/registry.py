@@ -67,6 +67,8 @@ def _load() -> None:
     _loaded = True
     # import for side effect: each module registers its queries
     from vectordbfaiss_spark.queries import (  # noqa: F401
+        dedup,
         relational,
+        text_analysis,
         vector_search,
     )
