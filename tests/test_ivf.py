@@ -1,0 +1,64 @@
+"""IVF index build + search: layout, partition pruning, recall vs exact."""
+
+from __future__ import annotations
+
+import pathlib
+
+from pyspark.sql import functions as F
+
+from vectordbfaiss_spark.functions.vector import l2_normalize
+from vectordbfaiss_spark.operators.topk import score_pairs, topk
+from vectordbfaiss_spark.plans.ivf import assign_clusters, build_ivf_index, ivf_search
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _queries(emb, n=20):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_ivf_layout_and_pruned_search(spark, tmp_path: pathlib.Path):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = str(tmp_path / "ivf")
+    centroids = build_ivf_index(emb, out, n_clusters=8, seed=42)
+    assert len(centroids) == 8
+
+    # layout: one directory per cluster -> partition pruning unit
+    dirs = {p.name for p in pathlib.Path(out).iterdir() if p.name.startswith("cluster_id=")}
+    assert len(dirs) >= 2
+
+    index = spark.read.parquet(out)
+    res = ivf_search(index, _queries(emb), centroids, k=5, nprobe=2)
+    assert res.count() == 20 * 5
+    # filtering on cluster_id must reach the scan as a partition filter
+    probe_plan = index.filter(F.col("cluster_id") == 0)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in probe_plan
+
+
+def test_ivf_recall_against_exact(spark):
+    """nprobe=4 of 8 clusters must recover most exact top-10 neighbors;
+    nprobe=n_clusters must recover ALL (IVF with full probe == exact)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assigned, centroids = assign_clusters(emb, n_clusters=8, seed=42)
+    queries = _queries(emb, 10)
+
+    norm = emb.withColumn("embedding", l2_normalize("embedding").cast("array<float>"))
+    qn = queries.withColumn("query_vec", l2_normalize("query_vec").cast("array<float>"))
+    exact = topk(
+        score_pairs(qn, norm, assume_normalized=True).withColumn(
+            "score", F.round("score", 6)
+        ),
+        k=10,
+    )
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+
+    approx = ivf_search(assigned, queries, centroids, k=10, nprobe=4)
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"recall@10 with nprobe=4/8 too low: {recall}"
+
+    full = ivf_search(assigned, queries, centroids, k=10, nprobe=8)
+    full_set = {(r["query_id"], r["vec_id"]) for r in full.collect()}
+    assert full_set == exact_set, "full-probe IVF must equal exact search"

@@ -1,0 +1,80 @@
+"""Multimodal plumbing + streaming ingest tests."""
+
+from __future__ import annotations
+
+import pathlib
+import time
+
+from pyspark.sql import functions as F
+
+from vectordbfaiss_spark.operators import multimodal as MM
+from vectordbfaiss_spark.streaming.ingest_stream import (
+    stream_ingest_text,
+    stream_windowed_event_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_multimodal_decode_features_frames(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    media = MM.attach_binary_payload(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+
+    meta = MM.decode_image_metadata(media)
+    rows = meta.collect()
+    assert len(rows) == 50
+    assert all(64 <= r["width"] <= 255 and 1 <= r["channels"] <= 4 for r in rows)
+    # determinism: same payload -> same fake dims
+    again = {r["doc_id"]: (r["width"], r["height"]) for r in meta.collect()}
+    assert all(again[r["doc_id"]] == (r["width"], r["height"]) for r in rows)
+
+    feats = MM.extract_features(media, dim=16).collect()
+    assert all(len(r["features"]) == 16 for r in feats)
+    assert all(abs(sum(x * x for x in r["features"]) - 1.0) < 1e-4 for r in feats)
+
+    frames = MM.sample_frames(media, n_frames=4)
+    counts = frames.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 4 for r in counts)
+
+    # metadata-only read must prune the binary column at the parquet scan
+    pruned = media.select("doc_id", "media_type")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan.split("ReadSchema")[-1][:200]
+
+
+def test_stream_ingest_text(spark, tmp_path: pathlib.Path):
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "one.txt").write_text(" ".join(f"a{i}" for i in range(12)))
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = stream_ingest_text(spark, str(src), store, ckpt, n=10, m=2, dim=8)
+    q.awaitTermination(120)
+    stored = spark.read.parquet(store)
+    assert stored.count() == 2  # 12 words, n=10 stride 8 -> 2 chunks
+    assert {"doc_id", "content", "embedding"} <= set(stored.columns)
+
+    # second run with one new file: only new chunks appended (exactly-once)
+    (src / "two.txt").write_text("b0 b1 b2")
+    q2 = stream_ingest_text(spark, str(src), store, ckpt, n=10, m=2, dim=8)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(store).count() == 3
+
+
+def test_stream_windowed_counts_matches_batch(spark):
+    """The streaming aggregation expression over a batch frame must equal
+    the plain batch aggregation (same F.window) — one code path, two modes."""
+    from vectordbfaiss_spark.session import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    streaming_expr = stream_windowed_event_counts(ev, window="1 day")
+    batch = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    a = sorted(map(tuple, streaming_expr.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b

@@ -1,0 +1,232 @@
+"""Source/sink edges and composed pipelines as oracle-checked queries:
+CSV round-trip (S8/S9), JSON serialize/parse (S10), binary float32
+encode/decode (S6/S7), extractive RAG answer assembly (U2 local default),
+IVF ANN search (rows-only: KMeans is not SQL-expressible), multimodal
+decode metadata (the deterministic fake decode IS SQL-expressible — md5
+arithmetic)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from vectordbfaiss_spark.registry import register
+from vectordbfaiss_spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# S8/S9: CSV sink + source round-trip (embed.js:106-127 / embed.js:2)
+# ---------------------------------------------------------------------------
+
+_CSV_ORACLE = """
+SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 4) AS total_price
+FROM part GROUP BY p_brand
+"""
+
+
+@register("csv_roundtrip_part", _CSV_ORACLE)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write ``part`` to headered CSV, read it back with an explicit schema,
+    aggregate. Matching the direct-SQL oracle proves the round-trip is
+    lossless (the reference's csv-writer/csv-parser pair, embed.js:2,106-127).
+    """
+    p = load_table(spark, sf_dir, "part")
+    tmp = os.path.join(
+        tempfile.gettempdir(), f"vdbf_csv_{abs(hash(sf_dir)) % 10**8}"
+    )
+    p.write.mode("overwrite").option("header", "true").csv(tmp)
+    schema = T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("header", "true").csv(tmp)
+    return back.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("p_retailprice"), 4).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S10: JSON serialize -> parse round-trip (express.json analog)
+# ---------------------------------------------------------------------------
+
+_JSON_RT_ORACLE = """
+SELECT event_type, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_ids
+FROM events GROUP BY event_type
+"""
+
+
+@register("json_roundtrip_events", _JSON_RT_ORACLE)
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_json(struct) -> from_json -> aggregate; equality with the direct
+    aggregation proves serialize/parse is lossless (S10)."""
+    e = load_table(spark, sf_dir, "events")
+    js = e.select(
+        F.to_json(F.struct("event_id", "event_type")).alias("body")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    parsed = js.select(F.from_json("body", schema).alias("r")).select("r.*")
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("event_id").alias("sum_ids")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S6/S7: float32 little-endian binary encode/decode (server.js:194, :86)
+# ---------------------------------------------------------------------------
+
+_BINARY_RT_ORACLE = "SELECT count(*) AS n_exact FROM embeddings"
+
+
+@register("binary_roundtrip_vectors", _BINARY_RT_ORACLE)
+def q_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every vector to the reference's on-disk format — little-endian
+    float32 bytes (Buffer.from(Float32Array), server.js:194) — decode back
+    (server.js:86), and count exact matches; the oracle is the table count,
+    so ANY lossy vector fails the hash-compare.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    @F.pandas_udf(T.BinaryType())
+    def enc(v: pd.Series) -> pd.Series:
+        return v.map(lambda a: np.asarray(a, dtype="<f4").tobytes())
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def dec(b: pd.Series) -> pd.Series:
+        return b.map(lambda x: np.frombuffer(x, dtype="<f4"))
+
+    rt = emb.select("vec_id", "embedding", dec(enc(F.col("embedding"))).alias("back"))
+    return rt.filter(F.col("embedding") == F.col("back")).agg(
+        F.count("*").alias("n_exact")
+    )
+
+
+# ---------------------------------------------------------------------------
+# U2 (local default) + F5/F9: extractive RAG answer assembly
+# ---------------------------------------------------------------------------
+
+_RAG_ORACLE = """
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < 5
+), s AS (
+    SELECT q.query_id, e.vec_id,
+           round(
+             list_dot_product(q.qv, e.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(q.qv, q.qv))
+                * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+             6) AS score
+    FROM q CROSS JOIN embeddings e
+), r AS (
+    SELECT query_id, vec_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+    FROM s
+), hydrated AS (
+    SELECT r.query_id, r.rnk, d.text
+    FROM r JOIN documents d ON r.vec_id = d.doc_id
+    WHERE r.rnk <= 3 AND d.text IS NOT NULL
+)
+SELECT query_id,
+       string_agg(format('{}. {}', rnk, text), chr(10) ORDER BY rnk) AS context,
+       min(CASE WHEN rnk = 1 THEN text END) AS answer
+FROM hydrated GROUP BY query_id
+"""
+
+
+@register("rag_answer_extractive", _RAG_ORACLE)
+def q_rag_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full /search read path with the deterministic local answerer:
+    top-3 context assembled as the numbered prompt block ("1. <c>\\n2. <c>"
+    — server.js:251-254) and the extractive answer = top-1 context (the
+    hermetic U2 default replacing the gpt-4o call, embed.js:160-180).
+    """
+    from vectordbfaiss_spark.operators.topk import score_pairs, topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    scored = score_pairs(queries, emb).withColumn("score", F.round("score", 6))
+    winners = topk(scored, k=3).withColumnRenamed("rank", "rnk")
+    hydrated = winners.join(
+        F.broadcast(docs.select(F.col("doc_id").alias("vec_id"), "text")), "vec_id"
+    ).filter(F.col("text").isNotNull())
+    numbered = F.transform(
+        F.array_sort(F.collect_list(F.struct("rnk", "text"))),
+        lambda s: F.format_string("%d. %s", s["rnk"], s["text"]),
+    )
+    return hydrated.groupBy("query_id").agg(
+        F.array_join(numbered, "\n").alias("context"),
+        F.min(F.when(F.col("rnk") == 1, F.col("text"))).alias("answer"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN search (rows-only: KMeans centroids are not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+@register("ivf_topk_search", rows_only=True)
+def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k (plans.ivf): KMeans routing + cluster-pruned exact
+    scoring. Rows-only check (ANN correctness is recall-vs-exact, asserted
+    in tests/test_ivf.py; SURVEY §7 risk (e))."""
+    from vectordbfaiss_spark.plans.ivf import assign_clusters, ivf_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = assign_clusters(emb, n_clusters=8, seed=42)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_search(assigned, queries, centroids, k=5, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal decode metadata — fake decode is md5 arithmetic, so the oracle
+# can replicate it in SQL (plumbing: operators/multimodal.py mapInPandas)
+# ---------------------------------------------------------------------------
+
+_HEXPAIR = "(strpos('0123456789abcdef', substr(h, {a}, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, {b}, 1)) - 1)"
+
+_MM_ORACLE = f"""
+WITH m AS (
+  -- DuckDB md5 takes VARCHAR only; its strings are UTF-8, so md5(text)
+  -- equals the Python md5 of the UTF-8 payload bytes.
+  SELECT doc_id, md5(text) AS h FROM documents
+)
+SELECT doc_id,
+       CAST(64 + ({_HEXPAIR.format(a=1, b=2)}) % 192 AS INTEGER) AS width,
+       CAST(64 + ({_HEXPAIR.format(a=3, b=4)}) % 192 AS INTEGER) AS height,
+       CAST(1 + ({_HEXPAIR.format(a=5, b=6)}) % 4 AS INTEGER) AS channels,
+       'fake' AS format
+FROM m
+"""
+
+
+@register("multimodal_decode_meta", _MM_ORACLE)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> typed image metadata via the mapInPandas decode
+    stage (deterministic fake decode; real Spark-side plumbing). The oracle
+    reproduces the fake's md5 arithmetic in SQL, so the whole
+    binary-column -> Arrow batch -> typed struct path is hash-checked."""
+    from vectordbfaiss_spark.operators.multimodal import (
+        attach_binary_payload,
+        decode_image_metadata,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_image_metadata(attach_binary_payload(docs))

@@ -69,6 +69,7 @@ def _load() -> None:
     from vectordbfaiss_spark.queries import (  # noqa: F401
         dedup,
         relational,
+        sources_io,
         text_analysis,
         vector_search,
     )

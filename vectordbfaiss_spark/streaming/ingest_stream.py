@@ -1,0 +1,97 @@
+"""Structured Streaming surface — the incremental analog of ``POST /add``.
+
+The reference's only incrementality is per-request insert + in-memory index
+add (/root/reference/server.js:102-124,203-205). The streaming form is the
+same chunk -> embed -> dedup transform over an unbounded file source
+(SURVEY §2.10): new text files landing in a directory become searchable
+chunks, exactly-once per content hash.
+
+Design:
+- file source (``readStream.text``) — each micro-batch is the new files;
+- the batch chunk/embed transform is REUSED verbatim (same functions as
+  sources.ingest — one code path for batch and streaming);
+- dedup: ``dropDuplicates`` on content hash — streaming-stateful, covers
+  in-stream duplicates; cross-run dedup comes from the store anti-join
+  inside foreachBatch (idempotent restarts);
+- sink: ``foreachBatch`` -> the SAME ``write_dedup_append`` as batch
+  ingest. Parquet-append via foreachBatch keeps the store layout identical
+  for batch readers.
+- windowed aggregation with watermark (late-data bound) for event streams;
+  its batch equivalent (``F.window``) is what the DuckDB oracle checks in
+  the registry (tumbling_window_daily).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from vectordbfaiss_spark.functions.text import filename_stem
+from vectordbfaiss_spark.sources.ingest import (
+    chunk_documents,
+    embed_chunks,
+    write_dedup_append,
+)
+
+
+def stream_ingest_text(
+    spark: SparkSession,
+    src_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    n: int = 1000,
+    m: int = 50,
+    dim: int = 64,
+):
+    """Start (availableNow) a streaming ingest of text files into the
+    parquet chunk store. Returns the StreamingQuery; callers awaitTermination.
+
+    availableNow processes the backlog then stops — the batch-compatible
+    trigger for tests and scheduled incremental runs; swap for
+    ``processingTime`` in an always-on deployment.
+    """
+    files = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .load(src_dir)
+        .select(
+            F.input_file_name().alias("file"),
+            filename_stem(F.input_file_name()).alias("stem"),
+            F.col("value").alias("content"),
+        )
+    )
+    chunks = chunk_documents(files, n=n, m=m).dropDuplicates(["content"])
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_dedup_append(embed_chunks(batch_df, dim), store_path, batch_df.sparkSession)
+
+    return (
+        chunks.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_windowed_event_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window counts over a streaming events frame —
+    the streaming twin of the oracle-checked ``tumbling_window_daily``
+    registry query (identical aggregation expression; watermark bounds
+    state for late data).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
