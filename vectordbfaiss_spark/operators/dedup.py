@@ -30,6 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from vectordbfaiss_spark.session import fan_out
+
 
 def word_shingles(text_col, n: int = 3):
     """Distinct n-word shingles of a whitespace-tokenized text column.
@@ -50,11 +52,14 @@ def word_shingles(text_col, n: int = 3):
 
 
 def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) rows, distinct — the normalized form every dedup
-    pipeline starts from."""
-    return (
-        df.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle"))
-        .distinct()
+    """(id, shingle) rows, distinct per doc — the normalized form every
+    dedup pipeline starts from. ``word_shingles`` already deduplicates
+    within a document (array_distinct), so NO extra ``distinct()`` shuffle
+    is needed here. The input is fanned out across cores first — the
+    explode multiplies rows ~100x and must not run single-task (see
+    session.fan_out)."""
+    return fan_out(df).select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
     )
 
 
@@ -87,6 +92,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.4,
+    restrict_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over n-gram shingle sets for every pair
     sharing >= 1 shingle; keep pairs with J >= threshold.
@@ -94,13 +100,27 @@ def ngram_jaccard_pairs(
     Plan: explode -> self-equi-join on shingle (the candidate generator) ->
     count intersections -> join per-doc shingle counts (broadcastable agg) ->
     J = inter / (|A| + |B| - inter). Output (id_a < id_b, jaccard 6dp).
+
+    The intersection join uses ``xxhash64(shingle)`` as the join key: an
+    8-byte shuffle key instead of a variable-length string (collisions at
+    2^-64 are beyond the result's 6dp precision; the oracle gate would
+    surface one). ``restrict_ids`` (optional) semi-joins the shingle set
+    down to a candidate id list first — used by the LSH verify step so the
+    exact-Jaccard join runs only over banding candidates, not the corpus.
     """
     sh = exploded_shingles(df, id_col, text_col, n)
+    if restrict_ids is not None:
+        sh = sh.join(
+            F.broadcast(restrict_ids.select(F.col(restrict_ids.columns[0]).alias(id_col))),
+            id_col,
+            "left_semi",
+        )
     counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    hashed = sh.select(F.col(id_col), F.xxhash64("shingle").alias("sh_key"))
+    a = hashed.select(F.col(id_col).alias("id_a"), "sh_key")
+    b = hashed.select(F.col(id_col).alias("id_b"), "sh_key")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "sh_key")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
@@ -126,18 +146,32 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 16
 ) -> DataFrame:
-    """MinHash signature per document: for seed s, min(md5('s:' || shingle)).
+    """MinHash signature per document.
 
-    One explode + ONE hash aggregate computes all ``num_hashes`` minima
-    (columns mh0..mh{H-1}) — a single shuffle regardless of signature width.
-    md5-over-string minima are totally ordered and engine-portable.
+    Hash family: md5 of ('g:' || shingle) for g = 0..ceil(H/4)-1, each
+    digest split into four 8-hex-char chunks -> H independent-enough 32-bit
+    min-hashes from H/4 md5 evaluations (md5 is the only hash both Spark
+    and the DuckDB oracle implement identically; computing one digest per
+    GROUP instead of per hash makes the signature aggregate ~4x cheaper).
+    The digests are projected BEFORE the aggregate so each is computed once
+    per shingle row. One explode + ONE hash aggregate computes all
+    ``num_hashes`` minima (columns mh0..mh{H-1}) — a single shuffle
+    regardless of signature width; hex-string minima are totally ordered.
     """
     sh = exploded_shingles(df, id_col, text_col, n)
+    n_groups = (num_hashes + 3) // 4
+    digests = sh.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(f"{g}:"), F.col("shingle"))).alias(f"d{g}")
+            for g in range(n_groups)
+        ],
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh{s}")
+        F.min(F.substring(F.col(f"d{s // 4}"), (s % 4) * 8 + 1, 8)).alias(f"mh{s}")
         for s in range(num_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return digests.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -185,7 +219,20 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    verified = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
+    # The candidate set feeds BOTH the doc-restriction and the final join;
+    # left lazy, the whole minhash+banding subtree would execute twice.
+    # Candidates are tiny by design (that is the point of banding), so
+    # materialize them once and break lineage.
+    candidates = candidates.localCheckpoint(eager=True)
+    # Verify with exact Jaccard computed ONLY over candidate documents —
+    # the expensive shingle self-join runs on the (tiny) candidate doc set,
+    # not the corpus. Final pair set is identical to full verification.
+    cand_docs = candidates.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
+    ).distinct()
+    verified = ngram_jaccard_pairs(
+        df, id_col, text_col, n, threshold, restrict_ids=cand_docs
+    )
     return candidates.join(verified, ["id_a", "id_b"]).select(
         "id_a", "id_b", "jaccard"
     )
@@ -207,7 +254,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     aggregate (32 sums) + one projection.
     """
     toks = (
-        df.select(F.col(id_col), F.explode(F.split(F.rtrim(F.col(text_col)), r"\s+")).alias("tok"))
+        fan_out(df)
+        .select(F.col(id_col), F.explode(F.split(F.rtrim(F.col(text_col)), r"\s+")).alias("tok"))
         .distinct()
     )
     sums = toks.groupBy(id_col).agg(

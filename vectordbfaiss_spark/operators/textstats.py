@@ -99,25 +99,27 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         arr = F.array(*[F.lit(x) for x in prof])
         return lambda w: F.array_contains(arr, w)
 
-    ratios = {
-        lang: F.size(F.filter(words, _in_profile(prof))) / n_tokens
-        for lang, prof in sorted(LANG_PROFILES.items())
-    }
-    best = None
-    for lang in sorted(LANG_PROFILES):  # ascending code = tie-break order
-        r = ratios[lang]
-        if best is None:
-            best = (F.lit(lang), r)
-        else:
-            cond = r > best[1]
-            best = (
-                F.when(cond, F.lit(lang)).otherwise(best[0]),
-                F.when(cond, r).otherwise(best[1]),
+    # argmax via struct sort: (-ratio, lang) ascending puts the highest
+    # ratio first with ties broken by language code ascending — identical
+    # to a strict-greater CASE chain, but each ratio subtree appears ONCE
+    # (the chain form duplicates subtrees quadratically and costs seconds
+    # of codegen compilation).
+    entries = F.array(
+        *[
+            F.struct(
+                (-(F.size(F.filter(words, _in_profile(prof))) / n_tokens)).alias(
+                    "neg"
+                ),
+                F.lit(lang).alias("lang"),
             )
+            for lang, prof in sorted(LANG_PROFILES.items())
+        ]
+    )
+    best = F.element_at(F.array_sort(entries), 1)
     return df.select(
         F.col(id_col),
-        best[0].alias("lang_guess"),
-        F.round(best[1], 6).alias("lang_score"),
+        best["lang"].alias("lang_guess"),
+        F.round(-best["neg"], 6).alias("lang_score"),
     )
 
 

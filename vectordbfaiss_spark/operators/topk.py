@@ -117,6 +117,75 @@ def topk(
     )
 
 
+def score_topk_vectorized(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    index_id: str = "vec_id",
+    index_vec: str = "embedding",
+    round_to: int = 6,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Vectorized scoring + fused local top-k: the bench/scale kernel.
+
+    The expression kernel (:func:`score_pairs`) materializes Q*N scored rows
+    and shuffles them into the ranking window. This kernel instead:
+
+    1. collects the QUERY side to the driver (queries are the broadcast-small
+       side by contract — Q rows, not the corpus) and L2-normalizes once;
+    2. runs ONE ``mapInPandas`` pass over index partitions: each Arrow batch
+       is scored as a single BLAS matmul (cosine == normalized dot) and
+       immediately reduced to the batch-local top-k per query with the exact
+       global tie-break (score DESC, id ASC on the ROUNDED score);
+    3. the surviving O(partitions * Q * k) rows go through the same window
+       rank as the expression path.
+
+    So the full Q*N score matrix never exists as rows, the shuffle input is
+    ~1000x smaller, and the arithmetic runs in BLAS instead of codegen'd
+    per-element lambdas. Results are identical to score_pairs+topk after
+    6dp rounding (asserted in tests).
+    """
+    import numpy as np
+
+    qrows = queries.select(query_id, query_vec).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0.0] = 1.0
+    Qn = (Q / qn).T  # (d, Q)
+
+    out_schema = f"{query_id} long, {index_id} long, score double"
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[index_id].to_numpy(dtype=np.int64)
+            V = np.array(list(pdf[index_vec]), dtype=np.float64)
+            vn = np.linalg.norm(V, axis=1, keepdims=True)
+            vn[vn == 0.0] = 1.0
+            S = np.round((V / vn) @ Qn, round_to)  # (B, Q)
+            cols = {query_id: [], index_id: [], "score": []}
+            for qi in range(S.shape[1]):
+                keep = ids != qids[qi] if exclude_self else slice(None)
+                bids, bsc = ids[keep], S[keep, qi]
+                take = min(k, len(bids))
+                order = np.lexsort((bids, -bsc))[:take]
+                cols[query_id].append(np.full(take, qids[qi]))
+                cols[index_id].append(bids[order])
+                cols["score"].append(bsc[order])
+            yield pd.DataFrame(
+                {c: np.concatenate(v) for c, v in cols.items()}
+            )
+
+    survivors = index.select(index_id, index_vec).mapInPandas(kernel, out_schema)
+    return topk(survivors, k, query_id, index_id)
+
+
 def topk_search(
     queries: DataFrame,
     index: DataFrame,
@@ -128,6 +197,7 @@ def topk_search(
     index_vec: str = "embedding",
     doc_id: str = "doc_id",
     assume_normalized: bool = False,
+    vectorized: bool = False,
 ) -> DataFrame:
     """End-to-end flagship: score -> top-k -> optional text hydration.
 
@@ -135,13 +205,20 @@ def topk_search(
     late materialization keeps the scan narrow (id+vector only) and joins
     the wide ``documents`` table only for the Q*k winners — the Spark analog
     of the reference's RAM-index/SQLite-hydrate split (README.md:16-17).
+    Set ``vectorized=True`` to score through :func:`score_topk_vectorized`
+    (same results after rounding; BLAS arithmetic + pruned shuffle).
     The hydration join is left-outer (null content preserved,
     server.js:245-248) and broadcasts the tiny winner side.
     """
-    scored = score_pairs(
-        queries, index, query_id, query_vec, index_id, index_vec, assume_normalized
-    )
-    winners = topk(scored, k, query_id, index_id)
+    if vectorized:
+        winners = score_topk_vectorized(
+            queries, index, k, query_id, query_vec, index_id, index_vec
+        )
+    else:
+        scored = score_pairs(
+            queries, index, query_id, query_vec, index_id, index_vec, assume_normalized
+        )
+        winners = topk(scored, k, query_id, index_id)
     if documents is None:
         return winners
     # Null-preserving hydration (server.js:231-248), two broadcast steps —

@@ -4,9 +4,10 @@ build" (BASELINE.json; SURVEY §4.3).
 The reference's index is an in-memory array scanned exactly per query
 (/root/reference/server.js:37-62) — O(N*d) per query, bounded by one
 process heap. At 100 TB the pruning must come from STORAGE LAYOUT, not a
-runtime structure: we k-means the corpus (Spark ML KMeans, seed-fixed),
-attach each vector's ``cluster_id``, and write the index table
-``partitionBy("cluster_id")``. A query then:
+runtime structure: we k-means a bounded sample of the corpus (seeded
+Lloyd's on the driver — see ``_fit_centroids``), attach each vector's
+``cluster_id``, and write the index table ``partitionBy("cluster_id")``.
+A query then:
 
 1. scores only against the (tiny, broadcast) centroid table to pick its
    ``nprobe`` nearest clusters;
@@ -31,42 +32,81 @@ from vectordbfaiss_spark.functions.vector import dot, l2_normalize
 from vectordbfaiss_spark.operators.topk import topk
 
 
-def _fit_centroids(
-    index: DataFrame, vec_col: str, n_clusters: int, seed: int
-):
-    """KMeans over the (normalized) vectors; returns list[list[float]]."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+_TRAIN_SAMPLE_CAP = 200_000  # vectors collected for centroid training
 
-    train = index.select(array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(train)
-    return [c.tolist() for c in model.clusterCenters()]
+
+def _fit_centroids(
+    index: DataFrame, vec_col: str, n_clusters: int, seed: int, iters: int = 10
+):
+    """Seeded Lloyd's k-means over a bounded driver-side SAMPLE of the
+    (normalized) vectors; returns list[list[float]].
+
+    Training on a sample is the standard IVF recipe (FAISS trains coarse
+    quantizers on <=~1M sampled vectors regardless of corpus size): the
+    centroid model is a tiny artifact, only cluster ASSIGNMENT must be
+    distributed. A driver-side numpy fit is deterministic (fixed seed +
+    iteration count), has none of the multi-job scheduling overhead a
+    distributed KMeans pays per iteration, and at 100 TB the sample
+    collect is a single bounded-size action.
+    """
+    import numpy as np
+
+    n_rows = index.count()
+    frac = min(1.0, _TRAIN_SAMPLE_CAP / max(n_rows, 1))
+    sample = index.select(vec_col) if frac >= 1.0 else index.select(vec_col).sample(
+        fraction=frac, seed=seed
+    )
+    X = np.array([list(r[0]) for r in sample.collect()], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    k = min(n_clusters, len(X))
+    centers = X[rng.choice(len(X), size=k, replace=False)]
+    x_sq = (X * X).sum(1, keepdims=True)
+    for _ in range(iters):
+        # nearest center by euclidean (== cosine order on unit vectors);
+        # |x-c|^2 = |x|^2 - 2x.c + |c|^2 via one matmul, O(n*k) memory
+        d = x_sq - 2.0 * (X @ centers.T) + (centers * centers).sum(1)
+        lab = d.argmin(1)
+        for c in range(k):
+            pts = X[lab == c]
+            if len(pts):
+                centers[c] = pts.mean(0)
+    return [c.tolist() for c in centers]
 
 
 def _nearest_centroids(df: DataFrame, vec_col: str, centroids, n: int) -> DataFrame:
     """Attach ``cluster_ids``: the ids of the n nearest centroids (by dot on
-    normalized vectors), as an array column. Centroids travel as a literal
-    array expression — they are the broadcast-small routing table.
+    normalized vectors), as an array column.
+
+    Centroid routing is a numpy mapInPandas kernel: one matmul per Arrow
+    batch against the (tiny, closure-captured) centroid matrix. An
+    expression formulation would inline n_clusters*dim literals into the
+    plan and pay several seconds of codegen compilation per query — the
+    kernel is both faster to plan and BLAS-fast to run. Ties are broken by
+    centroid id ascending (stable argsort), deterministically.
     """
-    cent = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in c]).alias("cvec"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, dtype=np.float64).T  # (d, k)
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("cluster_ids", T.ArrayType(T.IntegerType()))]
     )
-    scored = F.transform(
-        cent,
-        lambda s: F.struct(
-            (-dot(F.col(vec_col), s["cvec"])).alias("neg"), s["cid"].alias("cid")
-        ),
-    )
-    ordered = F.array_sort(scored)  # struct sort: by neg asc = dot desc
-    return df.withColumn(
-        "cluster_ids", F.transform(F.slice(ordered, 1, n), lambda s: s["cid"])
-    )
+    cols = df.columns
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            S = V @ C
+            top = np.argsort(-S, axis=1, kind="stable")[:, :n]
+            out = pdf[cols].copy()
+            out["cluster_ids"] = [row.astype("int32") for row in top]
+            yield out
+
+    return df.mapInPandas(kernel, schema)
 
 
 def assign_clusters(

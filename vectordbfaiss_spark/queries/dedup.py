@@ -93,8 +93,11 @@ _ROWS_PER_BAND = 2
 
 
 def _minhash_oracle() -> str:
+    # mirror operators.dedup.minhash_signatures: 4 x 32-bit hex chunks per
+    # md5('g:' || shingle) digest
     mh = ",\n       ".join(
-        f"min(md5('{s}:' || shingle)) AS mh{s}" for s in range(_NUM_HASHES)
+        f"min(substr(md5('{s // 4}:' || shingle), {(s % 4) * 8 + 1}, 8)) AS mh{s}"
+        for s in range(_NUM_HASHES)
     )
     n_bands = _NUM_HASHES // _ROWS_PER_BAND
     band_selects = "\n  UNION ALL ".join(

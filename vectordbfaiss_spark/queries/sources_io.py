@@ -154,15 +154,16 @@ def q_rag_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
     — server.js:251-254) and the extractive answer = top-1 context (the
     hermetic U2 default replacing the gpt-4o call, embed.js:160-180).
     """
-    from vectordbfaiss_spark.operators.topk import score_pairs, topk
+    from vectordbfaiss_spark.operators.topk import score_topk_vectorized
 
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    scored = score_pairs(queries, emb).withColumn("score", F.round("score", 6))
-    winners = topk(scored, k=3).withColumnRenamed("rank", "rnk")
+    winners = score_topk_vectorized(queries, emb, k=3).withColumnRenamed(
+        "rank", "rnk"
+    )
     hydrated = winners.join(
         F.broadcast(docs.select(F.col("doc_id").alias("vec_id"), "text")), "vec_id"
     ).filter(F.col("text").isNotNull())

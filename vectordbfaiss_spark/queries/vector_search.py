@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from vectordbfaiss_spark.operators.topk import score_pairs, topk
+from vectordbfaiss_spark.operators.topk import score_pairs, score_topk_vectorized, topk
 from vectordbfaiss_spark.registry import register
 from vectordbfaiss_spark.session import load_table
 
@@ -45,8 +45,9 @@ def q_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    scored = score_pairs(queries, emb).withColumn("score", F.round("score", 6))
-    winners = topk(scored, k=5).withColumnRenamed("rank", "rnk")
+    winners = score_topk_vectorized(queries, emb, k=5).withColumnRenamed(
+        "rank", "rnk"
+    )
     # two-step broadcast hydration (see operators.topk.topk_search): semi-join
     # pulls the Q*k matching doc rows, then a broadcast left-outer preserves
     # winners with missing docs (server.js:231-248 semantics).
@@ -94,12 +95,9 @@ def q_nn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("true_label"),
         F.col("embedding").alias("query_vec"),
     )
-    scored = (
-        score_pairs(queries.select("query_id", "query_vec"), emb)
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .withColumn("score", F.round("score", 6))
-    )
-    nn = topk(scored, k=1).drop("rank")
+    nn = score_topk_vectorized(
+        queries.select("query_id", "query_vec"), emb, k=1, exclude_self=True
+    ).drop("rank")
     nn_lab = nn.join(
         F.broadcast(emb.select(F.col("vec_id"), F.col("label").alias("nn_label"))),
         "vec_id",

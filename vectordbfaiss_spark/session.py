@@ -85,3 +85,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
 
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
+
+
+def fan_out(df):
+    """Spread an under-partitioned frame across the session's cores before a
+    fan-out-heavy stage (shingle/token explode, per-batch Python kernels).
+
+    The driver fixtures are single-file single-row-group parquet, which
+    Spark CANNOT split — without this, every downstream explode would run
+    as one task. The condition never fires on properly-split inputs (real
+    lakehouse tables at scale), and explicit-N repartition is exempt from
+    AQE coalescing, so the parallelism sticks. Cost: one shuffle of the
+    small pre-explosion rows — orders of magnitude less data than what the
+    explode produces.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
