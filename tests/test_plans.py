@@ -1,0 +1,76 @@
+"""Physical-plan audits: the scale properties the engine is designed around
+must be visible in `.explain` output — pushdown, pruning, broadcast
+strategy, top-k without global sort, whole-stage codegen.
+
+These tests pin the PLAN SHAPE, not timings: a regression that silently
+turns a broadcast join into a sort-merge join or drops a pushed filter
+would pass every correctness test and still be 100x slower at 100 TB.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from vectordbfaiss_spark import registry
+from vectordbfaiss_spark.session import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    q = registry.queries()["in_list_lookup"](spark, SF_DIR)
+    plan = _plan(q)
+    assert re.search(r"PushedFilters: \[.*In\(doc_id", plan), plan[:2000]
+
+
+def test_q1_pushes_shipdate_and_prunes_columns(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    q = li.filter(F.col("l_shipdate") <= "1997-01-01").select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters" in plan and "LessThanOrEqual(l_shipdate" in plan
+    read = plan.split("ReadSchema:")[-1]
+    assert "l_extendedprice" not in read  # unreferenced columns never leave parquet
+
+
+def test_star_join_is_all_broadcast_no_sort_merge(spark):
+    q = registry.queries()["star_join_rollup"](spark, SF_DIR)
+    plan = _plan(q)
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_topn_uses_take_ordered_not_global_sort(spark):
+    q = registry.queries()["topn_orders"](spark, SF_DIR)
+    plan = _plan(q)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_flagship_topk_has_no_sort_merge_join(spark):
+    q = registry.queries()["topk_search"](spark, SF_DIR)
+    plan = _plan(q)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # hydration joins broadcast
+
+
+def test_aggregation_runs_in_whole_stage_codegen(spark):
+    q = registry.queries()["q1_pricing_summary"](spark, SF_DIR)
+    # partial (map-side) aggregation before the exchange
+    assert _plan(q).count("HashAggregate") >= 2
+    q.collect()  # AQE finalizes the plan only on execution
+    final = _plan(q)
+    # "*(n)" prefixes mark WholeStageCodegen stages in the tree string
+    assert re.search(r"\*\(\d+\) HashAggregate", final) and "isFinalPlan=true" in final
+
+
+def test_semi_and_anti_joins_planned_as_hash_joins(spark):
+    semi = registry.queries()["semi_join_big_spenders"](spark, SF_DIR)
+    anti = registry.queries()["anti_join_no_orders"](spark, SF_DIR)
+    assert "LeftSemi" in _plan(semi)
+    assert "LeftAnti" in _plan(anti)
+    assert "SortMergeJoin" not in _plan(semi)

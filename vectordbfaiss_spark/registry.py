@@ -68,6 +68,7 @@ def _load() -> None:
     # import for side effect: each module registers its queries
     from vectordbfaiss_spark.queries import (  # noqa: F401
         dedup,
+        reference_parity,
         relational,
         sources_io,
         text_analysis,
