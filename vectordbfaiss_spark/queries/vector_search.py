@@ -152,3 +152,43 @@ def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= 0.2)
     )
+
+
+def _lsh_oracle(n_planes: int = 4, dim: int = 64, seed: int = 7) -> str:
+    """Inline the seeded projection matrix as SQL literals so DuckDB
+    recomputes the identical sign-bit buckets (operators/lsh.py)."""
+    from vectordbfaiss_spark.operators.lsh import hyperplanes
+
+    P = hyperplanes(n_planes, dim, seed)
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(float(x)) for x in P[i])}]"
+        f"::DOUBLE[]) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, label, CAST({terms} AS INTEGER) AS bucket FROM e)
+SELECT bucket, count(*) AS n_vectors,
+       count(DISTINCT label) AS n_labels,
+       CAST(min(vec_id) AS BIGINT) AS min_vec_id
+FROM b GROUP BY bucket
+"""
+
+
+@register("lsh_bucket_histogram", _lsh_oracle())
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing over the embeddings table: 4 seeded
+    hyperplanes -> 16 buckets; output the bucket histogram with label
+    diversity. This is the candidate-blocking layer for embedding-space
+    near-dup at scale (candidates = bucket equality, never all-pairs); the
+    oracle recomputes the signatures from the same literal projections.
+    """
+    from vectordbfaiss_spark.operators.lsh import signature_buckets
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = signature_buckets(emb, "embedding", n_planes=4, dim=64, seed=7)
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_vectors"),
+        F.countDistinct("label").alias("n_labels"),
+        F.min("vec_id").alias("min_vec_id"),
+    )
