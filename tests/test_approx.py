@@ -1,0 +1,16 @@
+"""Approximate-distinct error bound vs exact."""
+from pyspark.sql import functions as F
+
+from vectordbfaiss_spark.session import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_approx_count_distinct_within_bound(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    both = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    )
+    for r in both.collect():
+        assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.1

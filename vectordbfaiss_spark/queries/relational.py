@@ -510,3 +510,110 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
         .count()
     )
+
+
+_Q5_ORACLE = """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
+
+
+@register("q5_local_supplier_volume", _Q5_ORACLE)
+def q_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-table join: the deep join-tree breadth case.
+    Every dimension (customer via orders is fact-fact; supplier/nation/
+    region broadcast) — the only shuffles are the fact-fact join and the
+    final aggregation."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice), 4) AS sum_price,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("cube_lineitem", _CUBE_ORACLE)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all 2^k grouping combinations in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+_RANGE_WINDOW_ORACLE = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_last_hour,
+       round(sum(value) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ), 6) AS sum_last_hour
+FROM events
+"""
+
+
+@register("range_window_last_hour", _RANGE_WINDOW_ORACLE)
+def q_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (not row-count): per event, activity within
+    the trailing hour — rangeBetween over epoch seconds. (Spark range
+    frames need a numeric ordering column; DuckDB takes the interval
+    directly — same frame, both engines.)"""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 6).alias("sum_last_hour"),
+    )
+
+
+@register("approx_distinct_sketch", rows_only=True)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct counts (rows-only: sketch values
+    are engine-specific by nature; the error bound vs exact is asserted in
+    tests/test_approx.py). The 100 TB cardinality-estimation workhorse —
+    mergeable partial sketches, no expand+exact-distinct shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count("*").alias("n_rows"),
+    )

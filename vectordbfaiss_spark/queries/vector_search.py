@@ -192,3 +192,53 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("label").alias("n_labels"),
         F.min("vec_id").alias("min_vec_id"),
     )
+
+
+_QUANT_ORACLE = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), s AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+  FROM v
+), q AS (
+  SELECT vec_id, e, scale,
+         list_transform(e, x -> floor(x / scale + 0.5) * scale) AS dq
+  FROM s WHERE scale > 0
+)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       round(list_max(list_transform(generate_series(1, len(e)),
+                                     i -> abs(e[i] - dq[i]))), 6) AS max_abs_err
+FROM q
+"""
+
+
+@register("embedding_int8_quantization", _QUANT_ORACLE)
+def q_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization round-trip: per-vector scale =
+    max|v|/127, q_i = floor(v_i/scale + 0.5) (half-up on both engines —
+    numpy/DuckDB native rounding modes differ), reconstruction error
+    reported per vector. The 4x storage cut (float32 -> int8) is the
+    standard embedding-at-scale layout; the oracle recomputes the whole
+    quantize/dequantize pipeline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    scale = F.array_max(F.transform(e, lambda x: F.abs(x))) / 127.0
+    with_scale = emb.select("vec_id", e.alias("e"), scale.alias("scale")).filter(
+        F.col("scale") > 0
+    )
+    dq = F.transform(
+        F.col("e"), lambda x: F.floor(x / F.col("scale") + 0.5) * F.col("scale")
+    )
+    err = F.array_max(F.zip_with(F.col("e"), dq, lambda a, b: F.abs(a - b)))
+    # round into a DIFFERENT name first: aliasing round(scale) back to
+    # "scale" in the same select lets CollapseProject rewire the err
+    # expression onto the ROUNDED scale (observed in the physical plan),
+    # silently changing the quantization grid vs the oracle.
+    out = with_scale.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale_rounded"),
+        F.round(err, 6).alias("max_abs_err"),
+    )
+    return out.withColumnRenamed("scale_rounded", "scale")
