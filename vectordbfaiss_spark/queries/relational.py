@@ -617,3 +617,95 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.count("*").alias("n_rows"),
     )
+
+
+_ASOF_ORACLE = """
+SELECT c.event_id, c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+       round(p.value, 6) AS purchase_value,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts_str
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+@register("asof_join_click_purchase", _ASOF_ORACLE)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event annotated with the user's most recent
+    purchase at or before it (operators/asof.py union+window merge; the
+    oracle uses DuckDB's native ASOF JOIN — same semantics, two different
+    physical strategies)."""
+    from vectordbfaiss_spark.operators.asof import asof_join_backward
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round("value", 6).alias("pvalue")
+    )
+    joined = asof_join_backward(
+        clicks,
+        purchases,
+        by=["user_id"],
+        time_col="ts",
+        right_values={"pvalue": "purchase_value", "ts": "purchase_ts"},
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        "purchase_value",
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "purchase_ts_str"
+        ),
+    )
+
+
+_PERCENTILE_ORACLE = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("percentiles_order_value", _PERCENTILE_ORACLE)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``: rank p*(n-1), linear interpolation)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+_CORRELATED_ORACLE = """
+SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 4) AS o_totalprice
+FROM orders o
+WHERE o.o_totalprice > 2 * (
+    SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+)
+"""
+
+
+@register("correlated_subquery_orders", _CORRELATED_ORACLE)
+def q_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL surface (spark.sql) —
+    Catalyst decorrelates it into an aggregate+join; the DataFrame
+    equivalent (window avg) would plan the same shape."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 4) AS o_totalprice
+        FROM orders_v o
+        WHERE o.o_totalprice > 2 * (
+            SELECT avg(o2.o_totalprice) FROM orders_v o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )

@@ -231,3 +231,36 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_image_metadata(attach_binary_payload(docs))
+
+
+_FRAMES_ORACLE = """
+WITH m AS (
+  SELECT doc_id, length(text) AS blen,
+         greatest(1, length(text) // 4) AS step
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       CAST(greatest(0, least(step, blen - i * step)) AS BIGINT) AS frame_len
+FROM m, unnest(generate_series(0, 3)) AS t(i)
+"""
+
+
+@register("multimodal_frame_sample", _FRAMES_ORACLE)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (operators/multimodal.py
+    mapInPandas): 4 evenly-spaced byte-range "frames" per document; the
+    oracle recomputes each frame's length from pure arithmetic on the
+    payload size, validating the batch iteration + slicing plumbing.
+    (Payload is the UTF-8 text, ASCII in this corpus, so byte length ==
+    char length on both engines.)"""
+    from vectordbfaiss_spark.operators.multimodal import (
+        attach_binary_payload,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_binary_payload(docs), n_frames=4)
+    return frames.select(
+        "doc_id", "frame_idx", F.length("frame").cast("long").alias("frame_len")
+    )

@@ -242,3 +242,38 @@ def q_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(err, 6).alias("max_abs_err"),
     )
     return out.withColumnRenamed("scale_rounded", "scale")
+
+
+_CENTROID_ORACLE = """
+WITH ex AS (
+  SELECT label, i, e[i] AS v
+  FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+       unnest(generate_series(1, 64)) AS t(i)
+), cent AS (
+  SELECT label, i, avg(v) AS c FROM ex GROUP BY label, i
+)
+SELECT label,
+       count(*) AS dims,
+       round(sum(c * i), 6) AS checksum,
+       round(sqrt(sum(c * c)), 6) AS centroid_norm
+FROM cent GROUP BY label
+"""
+
+
+@register("label_centroids", _CENTROID_ORACLE)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (class prototypes — the building block
+    of IVF training, nearest-class-mean classification, and drift checks):
+    posexplode -> (label, dim) avg -> checksum projection. Pure built-ins;
+    the per-dimension averages are hash-validated via position-weighted
+    checksums."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("p", "v")
+    ).select("label", (F.col("p") + 1).alias("i"), "v")
+    cent = ex.groupBy("label", "i").agg(F.avg("v").alias("c"))
+    return cent.groupBy("label").agg(
+        F.count("*").alias("dims"),
+        F.round(F.sum(F.col("c") * F.col("i")), 6).alias("checksum"),
+        F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm"),
+    )
