@@ -1,0 +1,77 @@
+"""Property-based checks (SURVEY §5.4): chunker vs a direct transcription of
+the reference loop, vector identities, top-k monotonicity."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from vectordbfaiss_spark.functions.text import chunk_text
+from vectordbfaiss_spark.functions.vector import cosine_similarity, l2_norm
+from vectordbfaiss_spark.operators.topk import score_pairs, topk
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_spark = None
+
+
+def _get_spark(spark):
+    global _spark
+    _spark = spark
+    return spark
+
+
+def _chunks_reference(text: str, n: int, m: int) -> list[str]:
+    words = re.split(r"\s+", text.rstrip())
+    out, i = [], 0
+    while i < len(words):
+        out.append(" ".join(words[i : i + n]))
+        if i + n >= len(words):
+            break
+        i += n - m
+    return out
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n_words=st.integers(min_value=1, max_value=120),
+    n=st.integers(min_value=2, max_value=30),
+    m=st.integers(min_value=0, max_value=29),
+)
+def test_chunker_equals_reference_loop(spark, n_words, n, m):
+    if m >= n:
+        return
+    text = " ".join(f"w{i}" for i in range(n_words))
+    df = _get_spark(spark).createDataFrame([(text,)], ["t"])
+    got = df.select(chunk_text("t", n, m).alias("c")).collect()[0]["c"]
+    assert got == _chunks_reference(text, n, m)
+
+
+def test_cosine_self_similarity_is_one(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(50)
+    res = emb.select(
+        F.round(cosine_similarity("embedding", "embedding"), 9).alias("c")
+    ).collect()
+    assert all(abs(r["c"] - 1.0) < 1e-9 for r in res)
+
+
+def test_norm_positive_homogeneous(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(20)
+    doubled = F.transform(F.col("embedding"), lambda x: x * 2.0)
+    res = emb.select(
+        (l2_norm(doubled) / l2_norm("embedding")).alias("ratio")
+    ).collect()
+    assert all(abs(r["ratio"] - 2.0) < 1e-9 for r in res)
+
+
+def test_topk_is_prefix_of_topk_plus_one(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    scored = score_pairs(q, emb).withColumn("score", F.round("score", 6))
+    k5 = {(r["query_id"], r["vec_id"]) for r in topk(scored, 5).collect()}
+    k6 = {(r["query_id"], r["vec_id"]) for r in topk(scored, 6).collect()}
+    assert k5 <= k6 and len(k6 - k5) == 5

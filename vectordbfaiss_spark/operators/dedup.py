@@ -238,11 +238,11 @@ def minhash_lsh_pairs(
     )
 
 
-def _md5_bit(col, p: int):
-    """Bit p (0..31) of the first 8 hex digits of md5(col) — portable to the
-    DuckDB oracle as ``(strpos('0123456789abcdef', substr(md5(x), 1+p//4, 1))
-    - 1) >> (p % 4) & 1``."""
-    digit = F.conv(F.substring(F.md5(col), 1 + p // 4, 1), 16, 10).cast("int")
+def _hex_bit(hex_col, p: int):
+    """Bit p (0..31) of the first 8 hex digits of an md5-hex column —
+    portable to the DuckDB oracle as ``(strpos('0123456789abcdef',
+    substr(h, 1+p//4, 1)) - 1) >> (p % 4) & 1``."""
+    digit = F.conv(F.substring(hex_col, 1 + p // 4, 1), 16, 10).cast("int")
     return F.shiftright(digit, p % 4).bitwiseAND(F.lit(1))
 
 
@@ -258,9 +258,12 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
         .select(F.col(id_col), F.explode(F.split(F.rtrim(F.col(text_col)), r"\s+")).alias("tok"))
         .distinct()
     )
-    sums = toks.groupBy(id_col).agg(
+    # project the digest ONCE per row; 32 per-bit extractions read the
+    # column instead of re-hashing (Catalyst does not CSE agg children)
+    hashed = toks.select(F.col(id_col), F.md5("tok").alias("h"))
+    sums = hashed.groupBy(id_col).agg(
         *[
-            F.sum(_md5_bit(F.col("tok"), p) * 2 - 1).alias(f"s{p}")
+            F.sum(_hex_bit(F.col("h"), p) * 2 - 1).alias(f"s{p}")
             for p in range(bits)
         ]
     )

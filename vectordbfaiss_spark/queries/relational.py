@@ -709,3 +709,34 @@ def q_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+_SLIDING_ORACLE = """
+WITH w AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) - i * INTERVAL '1 hour' AS ws,
+         event_type, value
+  FROM events, unnest(generate_series(0, 1)) AS t(i)
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+FROM w GROUP BY 1, 2
+"""
+
+
+@register("sliding_window_2h_1h", _SLIDING_ORACLE)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (2h duration, 1h slide): every event lands
+    in exactly two overlapping windows; Spark's F.window generates the
+    window set, the oracle reproduces it as an explicit generate_series
+    cross join."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
