@@ -172,3 +172,61 @@ def q_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk",
         F.size(F.split(F.col("chunk"), r"\s+")).cast("long").alias("n_words"),
     )
+
+
+_RELEVANT_ORACLE = """
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(rtrim(text), '\\s+')) AS tok
+  FROM documents
+), counts AS (
+  SELECT source, tok, count(*) AS n FROM toks GROUP BY source, tok
+), ranked AS (
+  SELECT source, tok, n,
+         row_number() OVER (PARTITION BY source ORDER BY n DESC, tok) AS rnk
+  FROM counts
+)
+SELECT source,
+       string_agg(tok, ' ' ORDER BY rnk) AS relevant_tokens
+FROM ranked WHERE rnk <= 5
+GROUP BY source
+"""
+
+
+@register("relevant_tokens_report", _RELEVANT_ORACLE)
+def q_relevant_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3+U4 composed: per-source "most relevant tokens" (deterministic
+    TF ranking replacing the gpt-3.5 call, embed.js:51-98) assembled into
+    the space-joined report string and round-tripped through the CSV sink
+    (saveRelevantTokensToCsv, embed.js:106-127) — the oracle checks the
+    final report content, so the whole explode -> count -> rank -> join ->
+    CSV write/read chain is validated."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window as W2, types as T2
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.rtrim("text"), r"\s+")).alias("tok")
+    )
+    counts = toks.groupBy("source", "tok").agg(F.count("*").alias("n"))
+    w = W2.partitionBy("source").orderBy(F.desc("n"), F.asc("tok"))
+    ranked = counts.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+    report = ranked.groupBy("source").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rnk", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("relevant_tokens")
+    )
+    tmp = os.path.join(tempfile.gettempdir(), f"vdbf_rel_{abs(hash(sf_dir)) % 10**8}")
+    report.write.mode("overwrite").option("header", "true").csv(tmp)
+    schema = T2.StructType(
+        [
+            T2.StructField("source", T2.StringType()),
+            T2.StructField("relevant_tokens", T2.StringType()),
+        ]
+    )
+    return spark.read.schema(schema).option("header", "true").csv(tmp)
