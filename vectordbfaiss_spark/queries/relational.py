@@ -740,3 +740,33 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+_STATS_ORACLE = """
+SELECT l_returnflag,
+       round(stddev_samp(l_extendedprice), 4) AS sd_price,
+       round(var_samp(l_quantity), 6) AS var_qty,
+       round(corr(l_extendedprice, l_quantity), 6) AS corr_price_qty,
+       round(covar_samp(l_extendedprice, l_discount), 6) AS cov_price_disc,
+       round(min(l_extendedprice), 4) AS min_price,
+       round(max(l_extendedprice), 4) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("stats_summary_lineitem", _STATS_ORACLE)
+def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/correlation/covariance) —
+    the EDA layer; sample definitions match across engines and the
+    single-pass co-moment formulations agree to well under the 4-6dp
+    rounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_price_qty"),
+        F.round(F.covar_samp("l_extendedprice", "l_discount"), 6).alias("cov_price_disc"),
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+    )
