@@ -34,8 +34,13 @@ def main() -> None:
     # warmup: JVM + parquet reader touch, not billed
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    wanted = set(subset.split(",")) if subset else None
+
     timings: dict[str, float] = {}
     for name, fn in sorted(registry.queries().items()):
+        if wanted is not None and name not in wanted:
+            continue
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -1,0 +1,30 @@
+"""bench.py must emit exactly one valid JSON line with the driver's
+expected fields — the contract the per-round BENCH_r{N}.json depends on."""
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_bench_emits_driver_contract_json():
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_BENCH_QUERIES="q1_pricing_summary,topk_search",
+    )
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = out.stdout.strip().splitlines()[-1]
+    d = json.loads(line)
+    assert d["unit"] == "sec" and d["sf"] == 0.001
+    assert set(d["queries"]) == {"q1_pricing_summary", "topk_search"}
+    assert d["value"] > 0 and isinstance(d["metric"], str)

@@ -230,3 +230,59 @@ def q_relevant_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.read.schema(schema).option("header", "true").csv(tmp)
+
+
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(rtrim(text), '\\s+')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.tok,
+         round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, tok, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rnk
+  FROM scored
+)
+SELECT doc_id, tok, tfidf, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
+@register("tfidf_top_terms", _TFIDF_ORACLE)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document: term-frequency x ln(N/df), ranked
+    with deterministic tie-break. The document-frequency table is tiny
+    (vocab-sized) -> broadcast; the heavy side is one explode + two hash
+    aggregates. (ln agrees across engines well under 6dp rounding.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    from vectordbfaiss_spark.session import fan_out
+
+    toks = fan_out(docs).select(
+        "doc_id", F.explode(F.split(F.rtrim("text"), r"\s+")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df), "tok").select(
+        "doc_id",
+        "tok",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    from pyspark.sql import Window as W2
+
+    w = W2.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "tok", "tfidf", F.col("rnk").cast("long").alias("rnk"))
+    )
