@@ -770,3 +770,84 @@ def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("l_extendedprice"), 4).alias("min_price"),
         F.round(F.max("l_extendedprice"), 4).alias("max_price"),
     )
+
+
+_Q13_ORACLE = """
+SELECT n_orders, count(*) AS n_customers
+FROM (
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+)
+GROUP BY n_orders
+"""
+
+
+@register("q13_customer_distribution", _Q13_ORACLE)
+def q_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped double aggregation: per-customer order counts
+    (zero-preserving left join with a join-side filter) -> histogram of
+    counts. count(col) vs count(*) null semantics matter here."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+_MINMAXBY_ORACLE = """
+SELECT o_orderpriority,
+       arg_min(o_orderkey, printf('%020.4f|%012d', o_totalprice, o_orderkey)) AS cheapest_order,
+       arg_max(o_orderkey, printf('%020.4f|%012d', o_totalprice, o_orderkey)) AS priciest_order,
+       round(min(o_totalprice), 4) AS min_price,
+       round(max(o_totalprice), 4) AS max_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("min_max_by_orders", _MINMAXBY_ORACLE)
+def q_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by (argmin/argmax) aggregates — the "which row was the
+    extreme" lookup without a self-join. The ordering key is a fixed-width
+    formatted (price, orderkey) string: price ties exist in the fixture, so
+    the arg must be tie-broken identically on both engines (neither Spark
+    min_by nor DuckDB arg_min accepts a struct key)."""
+    o = load_table(spark, sf_dir, "orders")
+    key = F.format_string("%020.4f|%012d", F.col("o_totalprice"), F.col("o_orderkey"))
+    return o.groupBy("o_orderpriority").agg(
+        F.min_by("o_orderkey", key).alias("cheapest_order"),
+        F.max_by("o_orderkey", key).alias("priciest_order"),
+        F.round(F.min("o_totalprice"), 4).alias("min_price"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+    )
+
+
+_NTILE_ORACLE = """
+SELECT o_orderkey,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cdist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@register("ntile_percent_rank_orders", _NTILE_ORACLE)
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-family windows: ntile / percent_rank / cume_dist (identical
+    definitions across engines; deterministic order via price + key)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
