@@ -60,3 +60,41 @@ def test_stream_sessions_match_batch_twin(spark, tmp_path: pathlib.Path):
     # most closed sessions should actually have been emitted
     closable = {s for s in expected}
     assert len(got) >= len(closable) // 3
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path: pathlib.Path):
+    from vectordbfaiss_spark.streaming.stream_join import (
+        click_purchase_interval_join,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    clicks_b = ev.filter(F.col("event_type") == "click")
+    purchases_b = ev.filter(F.col("event_type") == "purchase")
+
+    cdir, pdir = tmp_path / "clicks", tmp_path / "purch"
+    clicks_b.coalesce(1).write.parquet(str(cdir))
+    purchases_b.coalesce(1).write.parquet(str(pdir))
+
+    cs = spark.readStream.schema(clicks_b.schema).parquet(str(cdir))
+    ps = spark.readStream.schema(purchases_b.schema).parquet(str(pdir))
+    q = (
+        click_purchase_interval_join(cs, ps, window_minutes=120)
+        .writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(map(tuple, spark.sql("SELECT * FROM ssj_out").collect()))
+    expected = sorted(
+        map(
+            tuple,
+            click_purchase_interval_join(
+                clicks_b, purchases_b, window_minutes=120
+            ).collect(),
+        )
+    )
+    assert len(expected) > 0
+    assert got == expected

@@ -264,3 +264,35 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id", "frame_idx", F.length("frame").cast("long").alias("frame_len")
     )
+
+
+@register("ivf_recall_report", rows_only=True)
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality as a first-class query: recall@10 of IVF (nprobe=4 of 8)
+    against the exact brute-force kernel, computed in one plan. Rows-only
+    (k-means is not SQL-expressible) but self-validating: the exact side IS
+    the in-plan oracle, the SURVEY §7(e) way to check ANN operators."""
+    from pyspark.sql import functions as F2
+
+    from vectordbfaiss_spark.operators.topk import score_topk_vectorized
+    from vectordbfaiss_spark.plans.ivf import assign_clusters, ivf_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F2.col("vec_id") < 50).select(
+        F2.col("vec_id").alias("query_id"), F2.col("embedding").alias("query_vec")
+    )
+    exact = score_topk_vectorized(queries, emb, k=10).select("query_id", "vec_id")
+    assigned, centroids = assign_clusters(emb, n_clusters=8, seed=42)
+    approx = ivf_search(assigned, queries, centroids, k=10, nprobe=4).select(
+        "query_id", "vec_id"
+    )
+    hits = exact.join(approx, ["query_id", "vec_id"], "left_semi")
+    return (
+        hits.agg(F2.count("*").alias("n_hits"))
+        .crossJoin(exact.agg(F2.count("*").alias("n_exact")))
+        .select(
+            "n_hits",
+            "n_exact",
+            F2.round(F2.col("n_hits") / F2.col("n_exact"), 4).alias("recall_at_10"),
+        )
+    )
