@@ -1,0 +1,62 @@
+"""The grading driver builds its OWN SparkSession (no engine configs) and
+calls entry()/queries() with it. Every query must work — and match the
+oracle — on such a vanilla session. Runs in a subprocess so the session is
+genuinely fresh (in-JVM getOrCreate would inherit the test session's conf).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import textwrap
+
+_SCRIPT = textwrap.dedent(
+    """
+    import importlib.util, json, os
+    # a non-UTC host timezone, like a real driver box might have
+    os.environ["TZ"] = "America/New_York"
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(os.getcwd(), "__spark_entry__.py"))
+    mod = importlib.util.module_from_spec(spec); spec.loader.exec_module(mod)
+
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master("local[4]").appName("driver-sim")
+             .config("spark.ui.enabled", "false").getOrCreate())
+
+    assert mod.entry(spark).count() > 0
+
+    import duckdb
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ["events", "documents", "embeddings", "lineitem", "orders",
+              "customer", "part", "region", "nation", "supplier"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    # the timestamp-sensitive + events-reading queries are the risk surface
+    for name in ["window_first_events_per_user", "tumbling_window_daily",
+                 "asof_join_click_purchase", "q3_shipping_priority"]:
+        mine = mod.queries()[name](spark, sf).toPandas()
+        orc = con.sql(mod.oracle_sql()[name]).df()
+        assert len(mine) == len(orc), (name, len(mine), len(orc))
+        mc = sorted(mine.columns)
+        m = mine.reindex(mc, axis=1).sort_values(mc, kind="mergesort").reset_index(drop=True)
+        o = orc.reindex(mc, axis=1).sort_values(mc, kind="mergesort").reset_index(drop=True)
+        for c in mc:
+            assert m[c].astype(str).equals(o[c].astype(str)), (name, c)
+    print("DRIVER-SIM-OK")
+    spark.stop()
+    """
+)
+
+
+def test_queries_work_on_vanilla_driver_session():
+    out = subprocess.run(
+        [sys.executable, "-c", _SCRIPT],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "DRIVER-SIM-OK" in out.stdout

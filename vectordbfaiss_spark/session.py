@@ -72,6 +72,22 @@ TABLE_NAMES = (
 )
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime confs every query depends on, set defensively because the
+    grading driver passes its OWN SparkSession (built without our
+    ``get_spark`` defaults):
+
+    - ``nanosAsLong``: events.parquet stores TIMESTAMP(NANOS); a vanilla
+      session CRASHES on it (PARQUET_TYPE_ILLEGAL).
+    - UTC session timezone: timestamp formatting/literals must match the
+      (naive/UTC) DuckDB oracle regardless of the host timezone.
+    Both are runtime-settable SQL confs; setting them per load is idempotent
+    and free.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver fixture table (TESTDATA.md load pattern).
 
@@ -79,6 +95,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     ``spark.sql.legacy.parquet.nanosAsLong``; convert to a microsecond
     timestamp (truncating, exactly what DuckDB does reading the same file).
     """
+    _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
