@@ -286,3 +286,87 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "tok", "tfidf", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+_CURATION_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, lang, source, text,
+         string_split_regex(rtrim(text), '\\s+') AS words
+  FROM documents
+), m AS (
+  SELECT doc_id, lang, source, text, words,
+         len(words) AS n_tokens,
+         len(list_filter(words, t -> list_contains({_STOPLIST_SQL}, t))) AS n_stop,
+         len(list_distinct(words)) / len(words) AS ttr
+  FROM w
+), scored AS (
+  SELECT doc_id, lang, source, text, n_tokens,
+         round(0.4 * least(n_tokens / 64.0, 1.0)
+             + 0.3 * least(n_stop / n_tokens * 3, 1.0)
+             + 0.3 * least(ttr * 2, 1.0), 6) AS quality
+  FROM m
+), kept AS (
+  SELECT *, md5(text) AS fp FROM scored
+  WHERE quality >= 0.5 AND n_tokens >= 24 AND lang IN ('en', 'de')
+), dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+)
+SELECT lang, source,
+       count(*) AS n_docs,
+       CAST(sum(least(n_tokens, 48)) AS BIGINT) AS token_budget,
+       CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS BIGINT) AS quality_sum_micro
+FROM dedup
+GROUP BY lang, source
+"""
+
+
+@register("curation_pipeline", _CURATION_ORACLE)
+def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation pipeline in ONE declarative plan:
+    quality scoring -> threshold + length + language filters -> exact dedup
+    on content hash (first-doc-wins) -> per-(lang, source) corpus stats with
+    a truncation token budget (K2). Every stage is an operator declared
+    individually elsewhere; this query proves they compose, and the oracle
+    checks the composition end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.rtrim("text"), r"\s+")
+    stop_arr = F.array(*[F.lit(x) for x in TS.EN_STOPWORDS])
+    n_tokens = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    ttr = F.size(F.array_distinct(words)) / n_tokens
+    quality = F.round(
+        F.lit(0.4) * F.least(n_tokens / F.lit(64.0), F.lit(1.0))
+        + F.lit(0.3) * F.least(n_stop / n_tokens * 3, F.lit(1.0))
+        + F.lit(0.3) * F.least(ttr * 2, F.lit(1.0)),
+        6,
+    )
+    scored = docs.select(
+        "doc_id", "lang", "source", "text",
+        n_tokens.alias("n_tokens"), quality.alias("quality"),
+    )
+    kept = scored.filter(
+        (F.col("quality") >= 0.5)
+        & (F.col("n_tokens") >= 24)
+        & F.col("lang").isin("en", "de")
+    ).withColumn("fp", F.md5("text"))
+    from pyspark.sql import Window as W3
+
+    dedup = (
+        kept.withColumn(
+            "rn", F.row_number().over(W3.partitionBy("fp").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+    )
+    # integer-exact quality aggregation: an avg of rounded floats can land
+    # on a 6dp rounding boundary and flip by summation order across engines;
+    # micro-unit integer sums cannot.
+    return dedup.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.least(F.col("n_tokens"), F.lit(48))).cast("long").alias("token_budget"),
+        F.sum(F.round(F.col("quality") * 1_000_000).cast("long")).alias(
+            "quality_sum_micro"
+        ),
+    )
