@@ -851,3 +851,93 @@ def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )
+
+
+_DATETIME_ORACLE = """
+SELECT o_orderkey,
+       CAST(extract(year FROM o_orderdate) AS INTEGER) AS yr,
+       CAST(extract(month FROM o_orderdate) AS INTEGER) AS mon,
+       CAST(extract(day FROM o_orderdate) AS INTEGER) AS dom,
+       CAST(extract(hour FROM o_orderdate) AS INTEGER) AS hr,
+       CAST(extract(isodow FROM o_orderdate) AS INTEGER) AS iso_dow,
+       CAST(date_diff('day', TIMESTAMP '2024-01-01 00:00:00', o_orderdate) AS INTEGER) AS days_since_2024,
+       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date
+FROM orders
+WHERE o_orderkey < 200
+"""
+
+
+@register("datetime_functions_orders", _DATETIME_ORACLE)
+def q_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar family with engine-portable definitions: extract
+    fields, ISO day-of-week (Spark's dayofweek is Sunday=1, DuckDB's
+    dayofweek Sunday=0 — ISO Monday=1 agrees on both), day difference, and
+    interval arithmetic formatted to string."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mon"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.hour("o_orderdate").alias("hr"),
+        F.weekday("o_orderdate").cast("int").alias("iso_dow_0"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("2024-01-01 00:00:00").cast("timestamp")
+        ).alias("days_since_2024"),
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd"
+        ).alias("due_date"),
+    ).withColumn("iso_dow", F.col("iso_dow_0") + 1).drop("iso_dow_0")
+
+
+_GSETS_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
+@register("grouping_sets_lineitem", _GSETS_ORACLE)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (disjoint single-key groupings — neither
+    rollup nor cube shape) through the SQL surface."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+_NULLS_ORACLE = """
+SELECT s.s_suppkey,
+       coalesce(n.n_name, 'UNKNOWN') AS nation_or_unknown,
+       (n.n_name IS NULL) AS is_unmatched,
+       ifnull(n.n_regionkey, -1) AS region_or_neg1,
+       nullif(s.s_nationkey, 0) AS natkey_nullif0
+FROM supplier s LEFT JOIN nation n
+  ON s.s_nationkey = n.n_nationkey AND n.n_regionkey = 0
+"""
+
+
+@register("null_handling_suppliers", _NULLS_ORACLE)
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling scalar family over an outer join: coalesce / ifnull /
+    nullif / IS NULL — identical three-valued-logic semantics on both
+    engines."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    j = s.join(
+        F.broadcast(n), (s.s_nationkey == n.n_nationkey) & (n.n_regionkey == 0), "left"
+    )
+    return j.select(
+        "s_suppkey",
+        F.coalesce("n_name", F.lit("UNKNOWN")).alias("nation_or_unknown"),
+        F.col("n_name").isNull().alias("is_unmatched"),
+        F.ifnull(F.col("n_regionkey"), F.lit(-1)).alias("region_or_neg1"),
+        F.nullif(F.col("s_nationkey"), F.lit(0)).alias("natkey_nullif0"),
+    )
