@@ -941,3 +941,78 @@ def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ifnull(F.col("n_regionkey"), F.lit(-1)).alias("region_or_neg1"),
         F.nullif(F.col("s_nationkey"), F.lit(0)).alias("natkey_nullif0"),
     )
+
+
+_FUNNEL_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage_view,
+       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS stage_click,
+       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                      AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase
+FROM firsts
+"""
+
+
+@register("funnel_view_click_purchase", _FUNNEL_ORACLE)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view -> click -> purchase): per-user
+    first-occurrence times via conditional min, stage predicates require
+    strict event-time ordering. One hash aggregate over the fact table +
+    one tiny global aggregate — the canonical event-analytics shape."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    reached_view = F.col("t_view").isNotNull()
+    reached_click = reached_view & (F.col("t_click") > F.col("t_view"))
+    reached_purchase = reached_click & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.sum(reached_view.cast("int")).cast("long").alias("stage_view"),
+        F.sum(reached_click.cast("int")).cast("long").alias("stage_click"),
+        F.sum(reached_purchase.cast("int")).cast("long").alias("stage_purchase"),
+    )
+
+
+_RETENTION_ORACLE = """
+WITH user_weeks AS (
+  SELECT DISTINCT user_id,
+         CAST(date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts) // 7 AS INTEGER) AS week
+  FROM events
+), cohort AS (
+  SELECT user_id, min(week) AS first_week FROM user_weeks GROUP BY user_id
+)
+SELECT c.first_week, uw.week,
+       count(DISTINCT uw.user_id) AS n_active
+FROM cohort c JOIN user_weeks uw ON c.user_id = uw.user_id
+GROUP BY c.first_week, uw.week
+"""
+
+
+@register("retention_cohorts_weekly", _RETENTION_ORACLE)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: first-active week per user
+    (cohort) x weeks active. distinct -> min -> self-join on user — both
+    shuffles on user_id, so AQE reuses the exchange."""
+    e = load_table(spark, sf_dir, "events")
+    week = F.floor(
+        F.datediff(F.col("ts"), F.lit("2024-01-01 00:00:00").cast("timestamp")) / 7
+    ).cast("int")
+    user_weeks = e.select("user_id", week.alias("week")).distinct()
+    cohort = user_weeks.groupBy("user_id").agg(F.min("week").alias("first_week"))
+    return (
+        user_weeks.join(cohort, "user_id")
+        .groupBy("first_week", "week")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
