@@ -1,0 +1,248 @@
+"""Relational operator extensions: null-safe equality, array set algebra,
+higher-order array functions, Q16-shaped exclusion join, EXISTS/NOT EXISTS,
+and regexp_extract_all.
+
+The reference has none of these (its relational surface is server.js:79,131,
+231-248); they round out the engine's scalar/join family for the scaled
+pipeline. All pure built-in DataFrame API — array outputs are rendered
+with array_join so the oracle hash-compare sees plain strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from vectordbfaiss_spark.registry import register
+from vectordbfaiss_spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM)
+# ---------------------------------------------------------------------------
+
+_NULLSAFE_ORACLE = """
+WITH a AS (
+  SELECT nullif(o_orderstatus, 'O') AS st, o_orderkey FROM orders
+), b AS (
+  SELECT st AS st_b, count(*) AS group_n FROM a GROUP BY st
+)
+SELECT coalesce(s.st, '<null>') AS status, b.group_n, count(*) AS n_sample
+FROM (SELECT * FROM a WHERE o_orderkey < 1000) s
+JOIN b ON s.st IS NOT DISTINCT FROM b.st_b
+GROUP BY 1, 2
+"""
+
+
+@register("null_safe_join_status", _NULLSAFE_ORACLE)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (eqNullSafe, SQL `<=>`): NULL keys match each
+    other instead of vanishing — required when a dedup/group key is
+    nullable. A plain equi-join would drop the NULL group silently."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.select(
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("st"), "o_orderkey"
+    )
+    b = a.groupBy(F.col("st").alias("st_b")).agg(F.count("*").alias("group_n"))
+    sample = a.filter(F.col("o_orderkey") < 1000)
+    return (
+        sample.join(F.broadcast(b), sample.st.eqNullSafe(b.st_b), "inner")
+        .groupBy(F.coalesce("st", F.lit("<null>")).alias("status"), "group_n")
+        .agg(F.count("*").alias("n_sample"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array set algebra (intersect / except / union / contains)
+# ---------------------------------------------------------------------------
+
+_ARRAY_SET_ORACLE = """
+WITH sts AS (
+  SELECT o_orderpriority,
+         list_sort(list_distinct(list(o_orderstatus))) AS statuses
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       CAST(len(statuses) AS BIGINT) AS n_statuses,
+       array_to_string(list_sort(list_intersect(statuses, ['F', 'O'])), ',') AS inter_fo,
+       array_to_string(list_sort(list_filter(statuses, x -> x <> 'F')), ',') AS minus_f,
+       array_to_string(list_sort(list_distinct(list_concat(statuses, ['X']))), ',') AS union_x,
+       list_contains(statuses, 'P') AS has_p
+FROM sts
+"""
+
+
+@register("array_set_functions", _ARRAY_SET_ORACLE)
+def q_array_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra over collect_set results: intersect/except/union/
+    contains, with every array re-sorted before rendering so both engines
+    serialize identically."""
+    o = load_table(spark, sf_dir, "orders")
+    sts = o.groupBy("o_orderpriority").agg(
+        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses")
+    )
+    fo = F.array(F.lit("F"), F.lit("O"))
+    return sts.select(
+        "o_orderpriority",
+        F.size("statuses").cast("long").alias("n_statuses"),
+        F.array_join(
+            F.sort_array(F.array_intersect("statuses", fo)), ","
+        ).alias("inter_fo"),
+        F.array_join(
+            F.sort_array(F.array_except("statuses", F.array(F.lit("F")))), ","
+        ).alias("minus_f"),
+        F.array_join(
+            F.sort_array(F.array_union("statuses", F.array(F.lit("X")))), ","
+        ).alias("union_x"),
+        F.array_contains("statuses", "P").alias("has_p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array functions (transform / filter / aggregate)
+# ---------------------------------------------------------------------------
+
+_HOF_ORACLE = """
+WITH per_bucket AS (
+  SELECT o_custkey % 100 AS cust_bucket,
+         list_sort(list(CAST(round(o_totalprice * 100) AS BIGINT))) AS cents
+  FROM orders GROUP BY o_custkey % 100
+)
+SELECT cust_bucket,
+       CAST(len(cents) AS BIGINT) AS n_orders,
+       CAST(len(list_filter(cents, x -> x > 15000000)) AS BIGINT) AS n_big,
+       CAST(list_sum(list_filter(cents, x -> x > 15000000)) AS BIGINT) AS sum_big_cents,
+       list_max(cents) AS max_cents,
+       list_transform(cents, x -> x * 2)[1] AS min_doubled
+FROM per_bucket
+"""
+
+
+@register("higher_order_array_funcs", _HOF_ORACLE)
+def q_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform/filter/aggregate) over
+    integer-cent arrays — money is cast to BIGINT cents before any array
+    math so the fold is exact regardless of summation order."""
+    o = load_table(spark, sf_dir, "orders")
+    cents_col = F.round(F.col("o_totalprice") * 100).cast("long")
+    per_bucket = o.groupBy((F.col("o_custkey") % 100).alias("cust_bucket")).agg(
+        F.sort_array(F.collect_list(cents_col)).alias("cents")
+    )
+    big = F.filter("cents", lambda x: x > F.lit(15_000_000))
+    return per_bucket.select(
+        "cust_bucket",
+        F.size("cents").cast("long").alias("n_orders"),
+        F.size(big).cast("long").alias("n_big"),
+        F.aggregate(big, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "sum_big_cents"
+        ),
+        F.array_max("cents").alias("max_cents"),
+        F.element_at(F.transform("cents", lambda x: x * 2), 1).alias("min_doubled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape: exclusion anti-join + grouped count-distinct
+# ---------------------------------------------------------------------------
+
+_Q16_ORACLE = """
+SELECT p.p_brand, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_size IN (1, 4, 7, 10)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_nationkey = 0)
+GROUP BY p.p_brand, p.p_size
+"""
+
+
+@register("q16_supplier_relationship", _Q16_ORACLE)
+def q_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped query: dimension-filtered fact join, a NOT IN
+    exclusion list (anti-join — the tiny excluded-supplier side broadcasts),
+    then grouped count-distinct. At 100 TB the part filter prunes before
+    the shuffle and the anti-join never materializes the full supplier
+    table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 7, 10)
+    )
+    excluded = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(excluded, "l_suppkey", "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXISTS / NOT EXISTS (semi + anti join composition)
+# ---------------------------------------------------------------------------
+
+_EXISTS_ORACLE = """
+SELECT c.c_custkey, c.c_mktsegment, round(c.c_acctbal, 4) AS acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+"""
+
+
+@register("exists_not_exists_customers", _EXISTS_ORACLE)
+def q_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS + NOT EXISTS as a semi-join/anti-join pipeline: customers with
+    at least one finished order and no open orders. Both probes shuffle on
+    the same key, so AQE reuses the customer-side exchange."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    finished = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    open_ = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        c.join(finished, "c_custkey", "left_semi")
+        .join(open_, "c_custkey", "left_anti")
+        .select("c_custkey", "c_mktsegment", F.round("c_acctbal", 4).alias("acctbal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# regexp_extract_all over document text
+# ---------------------------------------------------------------------------
+
+_REGEXP_ORACLE = """
+WITH m AS (
+  SELECT doc_id, lang, regexp_extract_all(text, '[a-z]{5,}') AS long_words
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(len(long_words) AS BIGINT) AS n_long,
+       CAST(len(list_distinct(long_words)) AS BIGINT) AS n_long_distinct,
+       coalesce(long_words[1], '') AS first_long
+FROM m
+"""
+
+
+@register("regexp_extract_all_docs", _REGEXP_ORACLE)
+def q_regexp_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all: pull every >=5-letter word per document and
+    report total/distinct counts plus the first match. The regex class
+    [a-z]{5,} means the Java and RE2 dialects agree exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        "lang",
+        F.regexp_extract_all("text", F.lit("([a-z]{5,})")).alias("long_words"),
+    )
+    return m.select(
+        "doc_id",
+        "lang",
+        F.size("long_words").cast("long").alias("n_long"),
+        F.size(F.array_distinct("long_words")).cast("long").alias("n_long_distinct"),
+        F.coalesce(F.element_at("long_words", 1), F.lit("")).alias("first_long"),
+    )

@@ -70,6 +70,7 @@ def _load() -> None:
         dedup,
         reference_parity,
         relational,
+        relational_ext,
         sources_io,
         text_analysis,
         vector_search,
