@@ -1,0 +1,70 @@
+"""Bounded-state streaming dedup + small-file compaction."""
+
+from __future__ import annotations
+
+import pathlib
+
+from pyspark.sql import functions as F
+
+from vectordbfaiss_spark.operators.maintenance import compact_parquet, table_file_stats
+from vectordbfaiss_spark.session import load_table
+from vectordbfaiss_spark.streaming.ingest_stream import stream_dedup
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path: pathlib.Path):
+    """Duplicated event rows arriving in-stream are dropped exactly once;
+    output matches batch dropDuplicates on the same keys."""
+    # load_table normalizes the fixture's TIMESTAMP(NANOS) ts to a real
+    # timestamp — watermarks require TimestampType
+    ev = load_table(spark, SF_DIR, "events").limit(500)
+    src = str(tmp_path / "src")
+    # two copies of every row: the stream must emit each event_id once
+    ev.union(ev).write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    deduped = stream_dedup(stream, ["event_id"], ts_col="ts", watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_sink").first()
+    want = ev.select("event_id").distinct().count()
+    assert got["n"] == got["d"] == want
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path: pathlib.Path):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    frag = str(tmp_path / "frag")
+    li.repartition(32).write.parquet(frag)
+    n_before, total = table_file_stats(spark, frag)
+    assert n_before == 32
+
+    out = str(tmp_path / "compact")
+    compact_parquet(spark, frag, out, target_file_bytes=max(total, 1))
+    n_after, _ = table_file_stats(spark, out)
+    assert n_after == 1
+    # lossless: same rows
+    a = spark.read.parquet(out)
+    assert a.count() == li.count()
+    assert a.exceptAll(li).isEmpty() and li.exceptAll(a).isEmpty()
+
+
+def test_compact_parquet_partitioned_one_file_per_dir(spark, tmp_path: pathlib.Path):
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    frag = str(tmp_path / "frag_part")
+    # fragmented partitioned layout: many files inside each status dir
+    o.repartition(8).write.partitionBy("o_orderstatus").parquet(frag)
+    out = str(tmp_path / "compact_part")
+    n = compact_parquet(spark, frag, out, partition_by=["o_orderstatus"])
+    assert n == o.select("o_orderstatus").distinct().count()
+    for d in pathlib.Path(out).glob("o_orderstatus=*"):
+        files = [f for f in d.iterdir() if not f.name.startswith(("_", "."))]
+        assert len(files) == 1, d
+    back = spark.read.parquet(out)
+    assert back.count() == o.count()

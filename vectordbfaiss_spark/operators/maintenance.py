@@ -1,0 +1,66 @@
+"""Table maintenance: small-file compaction.
+
+Incremental ingest (sources/ingest.py append batches, streaming foreachBatch
+micro-batches) accretes many small parquet files; at 100 TB a scan's task
+count and open-file overhead are dominated by file COUNT, not bytes.
+Compaction rewrites a table into size-targeted files. Without a table
+format's atomic commit (Delta/Iceberg are out of public-only scope here)
+the rewrite goes to a NEW directory and the caller swaps readers to it —
+the rename is the (posix-atomic-enough) publish step for a single-writer
+pipeline, mirroring how the ingest path already assumes one writer
+(SURVEY §7 risk (d)).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def table_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(n_files, total_bytes) of a parquet table, via the Hadoop FS API so
+    it works for any supported filesystem URI, not just file://."""
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    n, total = 0, 0
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        n += 1
+        total += st.getLen()
+    return n, total
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Rewrite ``path`` into ``out_path`` with ~``target_file_bytes`` files.
+
+    Unpartitioned: the file count is sized from the CURRENT on-disk bytes
+    (already compressed parquet, so the estimate is honest) and the rewrite
+    is a shuffle-free ``coalesce`` — merging files needs no exchange.
+    With ``partition_by`` (e.g. an IVF table's cluster_id dirs) the frame
+    is hash-``repartition``-ed on the partition columns instead, so every
+    partition value lands in exactly one task -> exactly one file per
+    directory — the canonical partitioned-compaction shape.
+    Returns the target file count (unpartitioned) or partition count.
+    """
+    df: DataFrame = spark.read.parquet(path)
+    if partition_by:
+        out = df.repartition(*[df[c] for c in partition_by])
+        out.write.mode("overwrite").partitionBy(*partition_by).parquet(out_path)
+        return df.select(*partition_by).distinct().count()
+    _, total = table_file_stats(spark, path)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df.coalesce(n_out).write.mode("overwrite").parquet(out_path)
+    return n_out

@@ -146,6 +146,14 @@ def score_topk_vectorized(
     ~1000x smaller, and the arithmetic runs in BLAS instead of codegen'd
     per-element lambdas. Results are identical to score_pairs+topk after
     6dp rounding (asserted in tests).
+
+    The query matrix ships to executors as a SparkContext BROADCAST, not a
+    task-closure capture: at 100k+ queries the closure would be re-shipped
+    with every task (and every retry), while a broadcast is torrent-
+    distributed once per executor and survives stage retries. The batch
+    top-k selection itself is a single stable argsort over the score
+    matrix — no per-query Python loop — with rows pre-sorted by id so
+    stability yields the exact (score DESC, id ASC) tie-break.
     """
     import numpy as np
 
@@ -154,33 +162,39 @@ def score_topk_vectorized(
     Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     qn = np.linalg.norm(Q, axis=1, keepdims=True)
     qn[qn == 0.0] = 1.0
-    Qn = (Q / qn).T  # (d, Q)
+    bc = queries.sparkSession.sparkContext.broadcast((qids, (Q / qn).T))
 
     out_schema = f"{query_id} long, {index_id} long, score double"
 
     def kernel(batches):
         import pandas as pd
 
+        qids_, Qn = bc.value  # (Q,), (d, Q)
         for pdf in batches:
             if not len(pdf):
                 continue
             ids = pdf[index_id].to_numpy(dtype=np.int64)
-            V = np.array(list(pdf[index_vec]), dtype=np.float64)
+            by_id = np.argsort(ids, kind="stable")
+            ids = ids[by_id]
+            V = np.array(list(pdf[index_vec]), dtype=np.float64)[by_id]
             vn = np.linalg.norm(V, axis=1, keepdims=True)
             vn[vn == 0.0] = 1.0
             S = np.round((V / vn) @ Qn, round_to)  # (B, Q)
-            cols = {query_id: [], index_id: [], "score": []}
-            for qi in range(S.shape[1]):
-                keep = ids != qids[qi] if exclude_self else slice(None)
-                bids, bsc = ids[keep], S[keep, qi]
-                take = min(k, len(bids))
-                order = np.lexsort((bids, -bsc))[:take]
-                cols[query_id].append(np.full(take, qids[qi]))
-                cols[index_id].append(bids[order])
-                cols["score"].append(bsc[order])
-            yield pd.DataFrame(
-                {c: np.concatenate(v) for c, v in cols.items()}
+            if exclude_self:
+                S = np.where(ids[:, None] == qids_[None, :], -np.inf, S)
+            take = min(k + (1 if exclude_self else 0), len(ids))
+            # stable argsort on -score + id-sorted rows == (score DESC, id ASC)
+            sel = np.argsort(-S, axis=0, kind="stable")[:take]  # (take, Q)
+            out = pd.DataFrame(
+                {
+                    query_id: np.repeat(qids_, take),
+                    index_id: ids[sel].ravel(order="F"),
+                    "score": np.take_along_axis(S, sel, axis=0).ravel(order="F"),
+                }
             )
+            if exclude_self:
+                out = out[np.isfinite(out["score"].to_numpy())]
+            yield out
 
     survivors = index.select(index_id, index_vec).mapInPandas(kernel, out_schema)
     return topk(survivors, k, query_id, index_id)

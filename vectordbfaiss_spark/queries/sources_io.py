@@ -266,6 +266,29 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ivf_disk_search", rows_only=True)
+def q_ivf_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete north-star path, disk-backed: build the IVF index as a
+    cluster-PARTITIONED parquet table (plans.ivf.build_ivf_index), read it
+    back, and search — the nprobe routing join's cluster_id predicate is
+    now a real PARTITION filter, so Catalyst skips the unprobed clusters'
+    files on disk (the at-scale read path; in-memory assign_clusters in
+    `ivf_topk_search` is the ad-hoc variant). Rows-only: k-means is not
+    SQL-expressible; recall is asserted in tests/test_ivf.py."""
+    import pathlib
+
+    from vectordbfaiss_spark.plans.ivf import build_ivf_index, ivf_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = f"/root/repo/spark-warehouse/ivf_index_{pathlib.Path(sf_dir).name}"
+    centroids = build_ivf_index(emb, out, n_clusters=8, seed=42)
+    index = spark.read.parquet(out)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_search(index, queries, centroids, k=5, nprobe=4)
+
+
 @register("ivf_recall_report", rows_only=True)
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality as a first-class query: recall@10 of IVF (nprobe=4 of 8)

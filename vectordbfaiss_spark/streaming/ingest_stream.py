@@ -74,6 +74,26 @@ def stream_ingest_text(
     )
 
 
+def stream_dedup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming dedup with BOUNDED state: ``dropDuplicatesWithinWatermark``
+    holds a key's dedup state only for the watermark horizon, then evicts.
+
+    Plain streaming ``dropDuplicates`` keeps every key ever seen — on an
+    unbounded 100 TB stream that state grows forever and eventually OOMs
+    the state store. The within-watermark variant trades that for a
+    bounded-staleness contract: duplicates arriving within ``watermark``
+    of the first occurrence are dropped; a re-occurrence after the horizon
+    may pass (and is then caught by the batch store anti-join in
+    ``write_dedup_append`` — the same two-tier dedup as ingest).
+    """
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def stream_windowed_event_counts(
     events: DataFrame,
     window: str = "10 minutes",
