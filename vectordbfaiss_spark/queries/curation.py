@@ -1,0 +1,163 @@
+"""Dataset-curation operators for training pipelines: deterministic
+sampling, split assignment, per-class balancing, text normalization.
+
+Sampling in a 100 TB curation pipeline must be REPRODUCIBLE and
+join-stable: `df.sample()` depends on partitioning and row order, so two
+runs (or the same run after a repartition) select different rows. The
+engine's sampling primitive is therefore content-hash based — a row is
+selected iff md5(id) falls under the rate threshold — which is (a) exactly
+re-derivable by any engine (the DuckDB oracle hash-checks every query
+here), (b) stable under any shuffle/partitioning, and (c) a pure
+map-side filter: no shuffle, full predicate pushdown of everything else.
+The reference has no sampling at all (SURVEY §2); this family is part of
+the north-star LLM-data-pipeline additions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from vectordbfaiss_spark.registry import register
+from vectordbfaiss_spark.session import load_table
+
+# md5-hex prefix -> uniform int in [0, 16^6) — 6 hex digits = 24 bits of
+# uniformity, plenty for percent-level rates, cheap to replicate in SQL.
+_HEX_SPAN = 16**6
+
+
+def _hash_bucket(col) -> "F.Column":
+    """Deterministic uniform bucket in [0, 16^6) from md5 of a column."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 6), 16, 10).cast("long")
+
+
+def _sql_hash_bucket(expr: str) -> str:
+    """DuckDB replica of :func:`_hash_bucket` (no hex-cast builtin there:
+    positional digit arithmetic over the md5 hex prefix)."""
+    digit = (
+        "(strpos('0123456789abcdef', substr(md5(CAST({e} AS VARCHAR)), {i}, 1)) - 1)"
+    )
+    terms = " + ".join(
+        digit.format(e=expr, i=i + 1) + f" * {16 ** (5 - i)}" for i in range(6)
+    )
+    return f"({terms})"
+
+
+_SAMPLE_ORACLE = f"""
+SELECT lang, count(*) AS n_sampled,
+       CAST(min(doc_id) AS BIGINT) AS min_id,
+       CAST(max(doc_id) AS BIGINT) AS max_id
+FROM documents
+WHERE {_sql_hash_bucket('doc_id')} < {int(0.2 * _HEX_SPAN)}
+GROUP BY lang
+"""
+
+
+@register("deterministic_sample_docs", _SAMPLE_ORACLE)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20% deterministic sample of documents: selection = md5(doc_id) under
+    threshold. Reproducible across runs/engines/partitionings — unlike
+    df.sample() — and executes as a pure map-side filter."""
+    d = load_table(spark, sf_dir, "documents")
+    sampled = d.filter(_hash_bucket(F.col("doc_id")) < int(0.2 * _HEX_SPAN))
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_sampled"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+_SPLIT_ORACLE = f"""
+WITH assigned AS (
+  SELECT lang,
+         CASE WHEN {_sql_hash_bucket('doc_id')} < {int(0.8 * _HEX_SPAN)} THEN 'train'
+              WHEN {_sql_hash_bucket('doc_id')} < {int(0.9 * _HEX_SPAN)} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT lang, split, count(*) AS n_docs
+FROM assigned GROUP BY lang, split
+"""
+
+
+@register("train_test_split_assign", _SPLIT_ORACLE)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment from the same hash
+    bucket — a document's split never changes when the corpus grows, which
+    is the property that prevents train/test leakage across dataset
+    versions."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = _hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(bucket < int(0.8 * _HEX_SPAN), "train")
+        .when(bucket < int(0.9 * _HEX_SPAN), "val")
+        .otherwise("test")
+    )
+    return (
+        d.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_BALANCE_N = 40
+
+_BALANCE_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {_sql_hash_bucket('doc_id')}, doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {_BALANCE_N}
+"""
+
+
+@register("balanced_downsample_per_lang", _BALANCE_ORACLE)
+def q_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: at most N docs per language, chosen by
+    hash order (deterministic pseudo-random, id tie-break). The window
+    shuffles once on the class key; at scale the same shape handles
+    per-domain / per-source caps in data mixing."""
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(_hash_bucket(F.col("doc_id")), "doc_id")
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _BALANCE_N)
+        .select("doc_id", "lang", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+_NORMALIZE_ORACLE = """
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS norm_text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(norm_text) AS BIGINT) AS n_chars_norm,
+       md5(norm_text) AS norm_digest
+FROM norm
+"""
+
+
+@register("text_normalize_docs", _NORMALIZE_ORACLE)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation text normalization: lowercase, strip non-alphanumerics,
+    collapse whitespace — the canonical form used for exact dedup keys.
+    The md5 digest of the normalized text IS the output, so the oracle
+    checks the normalization byte-for-byte."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        F.md5(norm).alias("norm_digest"),
+    )

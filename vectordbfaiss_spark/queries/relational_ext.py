@@ -10,7 +10,7 @@ with array_join so the oracle hash-compare sees plain strings.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from vectordbfaiss_spark.registry import register
 from vectordbfaiss_spark.session import load_table
@@ -208,6 +208,128 @@ def q_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(finished, "c_custkey", "left_semi")
         .join(open_, "c_custkey", "left_anti")
         .select("c_custkey", "c_mktsegment", F.round("c_acctbal", 4).alias("acctbal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (wide measures -> long rows)
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+SELECT l_returnflag, measure, round(sum(val), 4) AS total
+FROM (
+  SELECT l_returnflag, 'quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'discount', l_discount FROM lineitem
+)
+GROUP BY l_returnflag, measure
+"""
+
+
+@register("unpivot_lineitem_measures", _UNPIVOT_ORACLE)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): three measure columns become (measure, val) rows —
+    the inverse of `pivot_event_counts`. Spark's unpivot reads the table
+    ONCE and explodes in-task; the oracle's UNION ALL formulation shows the
+    3x-scan shape unpivot avoids."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.unpivot(
+            "l_returnflag",
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "measure",
+            "val",
+        )
+        .withColumn("measure", F.expr("substring(measure, 3)"))
+        .groupBy("l_returnflag", "measure")
+        .agg(F.round(F.sum("val"), 4).alias("total"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date-spine gap filling
+# ---------------------------------------------------------------------------
+
+_GAPFILL_ORACLE = """
+WITH spine AS (
+  SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-02-04',
+                                INTERVAL 1 DAY))::DATE AS day
+), purchases AS (
+  SELECT ts::DATE AS day, count(*) AS n, round(sum(value), 6) AS sum_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT strftime(s.day, '%Y-%m-%d') AS day,
+       coalesce(p.n, 0) AS n,
+       round(coalesce(p.sum_value, 0.0), 6) AS sum_value
+FROM spine s LEFT JOIN purchases p ON s.day = p.day
+"""
+
+
+@register("daily_gapfill_event_counts", _GAPFILL_ORACLE)
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily purchase counts: a generated date spine (sequence +
+    explode — no source table needed) left-joins the aggregate so zero-event
+    days appear explicitly. The spine is a handful of rows — broadcast side
+    of nothing; the aggregate shuffles once. Spine deliberately extends past
+    the data's last day to prove the zero-fill."""
+    e = load_table(spark, sf_dir, "events")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-02-04").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+    return spine.join(purchases, "day", "left").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.round(F.coalesce("sum_value", F.lit(0.0)), 6).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC-style latest-row dedup (snapshot compaction)
+# ---------------------------------------------------------------------------
+
+_LATEST_ORACLE = """
+SELECT user_id, event_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM (
+  SELECT user_id, event_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+@register("latest_event_per_user", _LATEST_ORACLE)
+def q_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-row-per-key dedup (the CDC/upsert compaction shape: reduce an
+    event log to its current snapshot). row_number over (key ORDER BY ts
+    DESC) with an id tie-break; one shuffle on the key. At scale this is
+    the standard merge-on-read compaction query."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
     )
 
 
