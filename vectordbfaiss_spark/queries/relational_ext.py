@@ -334,6 +334,67 @@ def q_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch sessionization (gap-based; oracle-checkable twin of the streaming
+# applyInPandasWithState sessionizer in streaming/sessionize.py)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+_SESSIONIZE_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+       count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+       CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT)
+         AS duration_s
+FROM numbered GROUP BY user_id, sess_id
+"""
+
+
+@register("sessionize_events_batch", _SESSIONIZE_ORACLE)
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session) as a
+    pure window pipeline: new-session flag from lag, session id as the
+    running flag sum, then per-session aggregates. ONE shuffle on user_id
+    serves both windows and the final aggregate. This is the batch twin of
+    the stateful streaming sessionizer (streaming/sessionize.py) and the
+    oracle-checked form of its semantics."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("user_id", "sess_id").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            / F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("duration_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # regexp_extract_all over document text
 # ---------------------------------------------------------------------------
 

@@ -56,6 +56,33 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ORC round-trip (columnar source/sink breadth beyond parquet/csv/json)
+# ---------------------------------------------------------------------------
+
+_ORC_ORACLE = """
+SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 4) AS total_bal
+FROM supplier GROUP BY s_nationkey
+"""
+
+
+@register("orc_roundtrip_supplier", _ORC_ORACLE)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write ``supplier`` to ORC, read it back, aggregate — proves the
+    second columnar format round-trips losslessly (ORC scans get the same
+    vectorized reader + pushdown treatment as parquet in Spark)."""
+    s = load_table(spark, sf_dir, "supplier")
+    tmp = os.path.join(
+        tempfile.gettempdir(), f"vdbf_orc_{abs(hash(sf_dir)) % 10**8}"
+    )
+    s.write.mode("overwrite").orc(tmp)
+    back = spark.read.orc(tmp)
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("s_acctbal"), 4).alias("total_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # S10: JSON serialize -> parse round-trip (express.json analog)
 # ---------------------------------------------------------------------------
 
