@@ -14,3 +14,15 @@ def test_approx_count_distinct_within_bound(spark):
     )
     for r in both.collect():
         assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.1
+
+
+def test_approx_percentile_within_bound(spark):
+    """The sketch quantile must land within a tight rank neighborhood of
+    the exact quantile (1e4 accuracy at this SF: near-exact)."""
+    o = load_table(spark, SF_DIR, "orders")
+    both = o.groupBy("o_orderpriority").agg(
+        F.approx_percentile("o_totalprice", 0.5, 10_000).alias("approx"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact"),
+    )
+    for r in both.collect():
+        assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.02, r

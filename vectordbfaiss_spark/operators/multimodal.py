@@ -128,6 +128,54 @@ def extract_features(
     return df.select(id_col, payload_col).mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int = 32,
+    target_h: int = 32,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize stage: payload -> payload at (target_w, target_h).
+
+    STUB fake (no imaging lib in the container): the "resized" payload is
+    the input truncated proportionally to the pixel-count ratio —
+    floor(len * tw*th / (w*h)) bytes, >= 1 — with dims from the same fake
+    decode as :func:`decode_image_metadata`. Real Spark plumbing: binary
+    in, binary out, Arrow-batched, constant memory; a real implementation
+    replaces only the kernel body (PIL ``Image.resize``).
+    """
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, outs = [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(p)
+                w, h, _ = _fake_dims(b)
+                n = max(1, (len(b) * target_w * target_h) // (w * h))
+                ids.append(int(i))
+                outs.append(b[:n])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": [target_w] * len(ids),
+                    "height": [target_h] * len(ids),
+                    "resized": outs,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, RESIZED_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame, n_frames: int = 4, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:

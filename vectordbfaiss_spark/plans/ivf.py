@@ -109,16 +109,32 @@ def _nearest_centroids(df: DataFrame, vec_col: str, centroids, n: int) -> DataFr
     return df.mapInPandas(kernel, schema)
 
 
+# Trained centroid models keyed by (corpus_key, vec_col, k, seed). The
+# quantizer is a persisted ARTIFACT in a real deployment (FAISS stores it
+# with the index); memoizing the deterministic fit gives the same effect
+# in-process — repeated queries over the same corpus skip the count +
+# sample-collect + Lloyd's jobs and go straight to assignment.
+_CENTROID_CACHE: dict[tuple, list] = {}
+
+
 def assign_clusters(
     index: DataFrame,
     vec_col: str = "embedding",
     n_clusters: int = 16,
     seed: int = 42,
+    corpus_key: str | None = None,
 ) -> tuple[DataFrame, list]:
     """Normalize vectors, fit KMeans, attach ``cluster_id`` (nearest
-    centroid). Returns (assigned_df, centroids)."""
+    centroid). Returns (assigned_df, centroids). Pass ``corpus_key`` (any
+    stable identifier of the input corpus, e.g. its path) to reuse an
+    already-trained centroid model for that corpus."""
     norm = index.withColumn(vec_col, l2_normalize(F.col(vec_col)).cast("array<float>"))
-    centroids = _fit_centroids(norm, vec_col, n_clusters, seed)
+    key = (corpus_key, vec_col, n_clusters, seed)
+    centroids = _CENTROID_CACHE.get(key) if corpus_key is not None else None
+    if centroids is None:
+        centroids = _fit_centroids(norm, vec_col, n_clusters, seed)
+        if corpus_key is not None:
+            _CENTROID_CACHE[key] = centroids
     assigned = _nearest_centroids(norm, vec_col, centroids, 1).select(
         "*", F.element_at("cluster_ids", 1).alias("cluster_id")
     ).drop("cluster_ids")

@@ -334,6 +334,71 @@ def q_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Range join (equi key + interval predicate)
+# ---------------------------------------------------------------------------
+
+_RANGE_JOIN_ORACLE = """
+SELECT o.o_orderkey,
+       count(e.event_id) AS n_events_3d,
+       round(coalesce(sum(e.value), 0.0), 6) AS sum_value
+FROM orders o
+LEFT JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate
+ AND e.ts < o.o_orderdate + INTERVAL 3 DAY
+WHERE o.o_orderkey < 2000
+GROUP BY o.o_orderkey
+"""
+
+
+@register("range_join_orders_events", _RANGE_JOIN_ORACLE)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: activity within 3 days after each order by the same
+    user. The equi component (user_id = custkey) carries the shuffle /
+    hash-join; the interval predicate is evaluated as a post-join filter
+    inside the same stage — the plan stays a hash join, never a cartesian.
+    Left join keeps zero-activity orders (count(col) null semantics)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    e = load_table(spark, sf_dir, "events")
+    cond = (
+        (e.user_id == o.o_custkey)
+        & (e.ts >= o.o_orderdate)
+        & (e.ts < F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS"))
+    )
+    return (
+        o.join(e, cond, "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("event_id").alias("n_events_3d"),
+            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 6).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate percentiles (sketch-based; rows-only like the HLL sketch)
+# ---------------------------------------------------------------------------
+
+
+@register("approx_percentiles_order_value", rows_only=True)
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style mergeable sketch): single-pass grouped
+    quantiles — the 100 TB path where the exact sort-based percentile
+    (`percentiles_order_value`) is too expensive. Rows-only by design:
+    sketch outputs are accuracy-bounded, not value-exact; the bound vs the
+    exact result is asserted in tests/test_approx.py."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_percentile("o_totalprice", F.array(F.lit(0.5), F.lit(0.95)), 10_000)
+        .alias("pcts")
+    ).select(
+        "o_orderpriority",
+        F.round(F.element_at("pcts", 1), 4).alias("p50_approx"),
+        F.round(F.element_at("pcts", 2), 4).alias("p95_approx"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Batch sessionization (gap-based; oracle-checkable twin of the streaming
 # applyInPandasWithState sessionizer in streaming/sessionize.py)
 # ---------------------------------------------------------------------------

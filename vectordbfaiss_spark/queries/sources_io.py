@@ -216,7 +216,7 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordbfaiss_spark.plans.ivf import assign_clusters, ivf_search
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned, centroids = assign_clusters(emb, n_clusters=8, seed=42)
+    assigned, centroids = assign_clusters(emb, n_clusters=8, seed=42, corpus_key=sf_dir)
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -316,6 +316,46 @@ def q_ivf_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(index, queries, centroids, k=5, nprobe=4)
 
 
+_RESIZE_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, length(text) AS blen, md5(text) AS h FROM documents
+), dims AS (
+  SELECT doc_id, blen,
+         64 + ({_HEXPAIR.format(a=1, b=2)}) % 192 AS w,
+         64 + ({_HEXPAIR.format(a=3, b=4)}) % 192 AS h2
+  FROM m
+)
+SELECT doc_id,
+       CAST(32 AS INTEGER) AS width,
+       CAST(32 AS INTEGER) AS height,
+       CAST(greatest(1, (blen * 1024) // (w * h2)) AS BIGINT) AS n_bytes
+FROM dims
+"""
+
+
+@register("multimodal_resize", _RESIZE_ORACLE)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage over binary payloads (operators/multimodal.py
+    mapInPandas): payloads shrink proportionally to the 32x32 target pixel
+    count. The oracle recomputes the resized BYTE LENGTH from the fake
+    decode's md5 dims, so the actual binary slicing in the kernel is what
+    gets checked (n_bytes = length of the produced bytes, not arithmetic).
+    (ASCII corpus: byte length == char length on both engines.)"""
+    from vectordbfaiss_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_images(attach_binary_payload(docs), target_w=32, target_h=32)
+    return resized.select(
+        "doc_id",
+        "width",
+        "height",
+        F.length("resized").cast("long").alias("n_bytes"),
+    )
+
+
 @register("ivf_recall_report", rows_only=True)
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality as a first-class query: recall@10 of IVF (nprobe=4 of 8)
@@ -332,7 +372,7 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F2.col("vec_id").alias("query_id"), F2.col("embedding").alias("query_vec")
     )
     exact = score_topk_vectorized(queries, emb, k=10).select("query_id", "vec_id")
-    assigned, centroids = assign_clusters(emb, n_clusters=8, seed=42)
+    assigned, centroids = assign_clusters(emb, n_clusters=8, seed=42, corpus_key=sf_dir)
     approx = ivf_search(assigned, queries, centroids, k=10, nprobe=4).select(
         "query_id", "vec_id"
     )

@@ -370,3 +370,48 @@ def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality_sum_micro"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-style pretokenizer counting (the "token budget" estimator)
+# ---------------------------------------------------------------------------
+
+# GPT-2-style pretokenizer, simplified to the dialect-portable core:
+# a token is an optionally-space-prefixed run of letters, digits, or
+# punctuation. Identical semantics in Java regex (Spark) and RE2 (DuckDB).
+_BPE_PATTERN = r"(?: ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+)"
+
+_BPE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS n_bpe,
+         len(string_split_regex(rtrim(text), '\\s+')) AS n_ws,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(n_bpe AS BIGINT) AS n_bpe,
+       CAST(n_ws AS BIGINT) AS n_ws,
+       round(CAST(n_chars AS DOUBLE) / n_bpe, 6) AS chars_per_token
+FROM t
+"""
+
+
+@register("text_bpe_token_count", _BPE_ORACLE)
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pretokenizer regex alongside the plain
+    whitespace count — the per-document token-budget estimate every mixing/
+    packing stage needs (reference analog: the 3000-token cap, embed.js:33).
+    Pure regexp_extract_all expression — no Python in the hot path."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.rtrim(F.col("text")), r"\s+")
+    bpe = F.regexp_extract_all("text", F.lit(f"({_BPE_PATTERN})"))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(bpe).cast("long").alias("n_bpe"),
+        F.size(words).cast("long").alias("n_ws"),
+        F.round(F.length("text").cast("double") / F.size(bpe), 6).alias(
+            "chars_per_token"
+        ),
+    )
