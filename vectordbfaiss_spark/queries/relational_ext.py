@@ -334,6 +334,84 @@ def q_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q4 shape: EXISTS over a date window, counted per priority
+# ---------------------------------------------------------------------------
+
+_Q4_ORACLE = """
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '2024-01-08 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '2024-01-22 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("q4_order_priority_checking", _Q4_ORACLE)
+def q_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped query: orders in a two-week window having at least
+    one line item shipped after the order date, counted per priority. The
+    EXISTS is a semi-join with a NON-equi component (l_shipdate >
+    o_orderdate) riding on the orderkey equi-join — still a hash semi-join,
+    date filter pushed to the orders scan."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("2024-01-08 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2024-01-22 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    matched = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item revenue top-N
+# ---------------------------------------------------------------------------
+
+_Q10_ORACLE = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("q10_returned_item_revenue", _Q10_ORACLE)
+def q_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped query: lost revenue from returned items, top 20
+    customers. Fact-side filter (returnflag) prunes before the joins;
+    nation broadcasts; the final top-20 is TakeOrderedAndProject (no global
+    sort). Revenue rounded before ordering, custkey tie-break."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Range join (equi key + interval predicate)
 # ---------------------------------------------------------------------------
 
