@@ -74,3 +74,28 @@ def test_semi_and_anti_joins_planned_as_hash_joins(spark):
     assert "LeftSemi" in _plan(semi)
     assert "LeftAnti" in _plan(anti)
     assert "SortMergeJoin" not in _plan(semi)
+
+
+def test_q6_pushes_all_filters_and_reads_narrow(spark):
+    q = registry.queries()["q6_forecast_revenue"](spark, SF_DIR)
+    plan = _plan(q)
+    pushed = plan.split("PushedFilters:")[-1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    read = plan.split("ReadSchema:")[-1]
+    assert "l_returnflag" not in read and "l_orderkey" not in read
+
+
+def test_q10_broadcasts_nation_and_takes_ordered(spark):
+    q = registry.queries()["q10_returned_item_revenue"](spark, SF_DIR)
+    plan = _plan(q)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    # returnflag filter must prune the fact scan before any join
+    assert re.search(r"PushedFilters: \[.*EqualTo\(l_returnflag,R\)", plan), plan[:3000]
+
+
+def test_range_join_is_hash_join_with_residual_not_cartesian(spark):
+    q = registry.queries()["range_join_orders_events"](spark, SF_DIR)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -130,6 +130,59 @@ def q_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_BUDGET = 2048
+
+_PACKING_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(string_split_regex(rtrim(text), '\\s+')) AS n_tokens,
+         {_sql_hash_bucket('doc_id')} AS hkey
+  FROM documents
+), ordered AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY hkey, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks
+), binned AS (
+  SELECT doc_id, n_tokens, (cum - n_tokens) // {_PACK_BUDGET} AS bin_id
+  FROM ordered
+)
+SELECT CAST(bin_id AS BIGINT) AS bin_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM binned GROUP BY bin_id
+"""
+
+
+@register("sequence_packing_bins", _PACKING_ORACLE)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: stream documents in deterministic hash order and
+    cut a new bin whenever the running token count crosses the budget —
+    the standard streaming-pack that turns a corpus into near-budget-sized
+    training sequences. Pure window cumsum; at scale the same shape runs
+    per-shard (partitionBy on a shard key) so the global sort disappears."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(F.split(F.rtrim("text"), r"\s+")).alias("n_tokens"),
+        _hash_bucket(F.col("doc_id")).alias("hkey"),
+    )
+    w = W.orderBy("hkey", "doc_id").rowsBetween(W.unboundedPreceding, 0)
+    binned = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_BUDGET).alias(
+            "bin_id"
+        ),
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
 _NORMALIZE_ORACLE = """
 WITH norm AS (
   SELECT doc_id,

@@ -334,6 +334,74 @@ def q_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q6 shape: pure filter + scalar aggregate (pushdown showcase)
+# ---------------------------------------------------------------------------
+
+_Q6_ORACLE = """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2024-01-05 00:00:00'
+  AND l_shipdate < TIMESTAMP '2024-03-05 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", _Q6_ORACLE)
+def q_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped query: conjunctive filters + one scalar aggregate.
+    Every predicate reaches the parquet scan (PushedFilters) and only 4
+    columns are read — the canonical scan-efficiency probe; no shuffle at
+    all except the final partial-agg merge."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2024-03-05 00:00:00").cast("timestamp"))
+        & (F.col("l_discount").between(0.02, 0.04))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape: join + two-way conditional aggregation
+# ---------------------------------------------------------------------------
+
+_Q12_ORACLE = """
+SELECT l.l_linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate < o.o_orderdate + INTERVAL 20 DAY
+GROUP BY l.l_linestatus
+"""
+
+
+@register("q12_shipping_priority_split", _Q12_ORACLE)
+def q_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped query: fact join with a non-equi residual (shipped
+    within 20 days of ordering) and conditional-sum pivoting of priorities
+    into high/low counts — the CASE-WHEN aggregation idiom."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = o.join(li, o.o_orderkey == li.l_orderkey).filter(
+        F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 20 DAYS")
+    )
+    return j.groupBy("l_linestatus").agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q4 shape: EXISTS over a date window, counted per priority
 # ---------------------------------------------------------------------------
 
