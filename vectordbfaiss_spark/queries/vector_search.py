@@ -194,6 +194,64 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_neardup_oracle(n_planes: int = 4, dim: int = 64, seed: int = 7) -> str:
+    """Bucket-blocked cosine near-dup: the full scale-path composition in
+    SQL — same literal projections, bucket-equality candidates, cosine
+    verification."""
+    from vectordbfaiss_spark.operators.lsh import hyperplanes
+
+    P = hyperplanes(n_planes, dim, seed)
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(float(x)) for x in P[i])}]"
+        f"::DOUBLE[]) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 500
+),
+b AS (SELECT vec_id, v, CAST({terms} AS INTEGER) AS bucket FROM e),
+cand AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.v AS va, y.v AS vb
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT id_a, id_b,
+       round(
+         list_dot_product(va, vb)
+         / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))),
+       6) AS cos_sim
+FROM cand
+WHERE round(
+         list_dot_product(va, vb)
+         / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))),
+       6) >= 0.2
+"""
+
+
+@register("embedding_near_dup_lsh", _lsh_neardup_oracle())
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, SCALE PATH end-to-end: LSH sign-bit blocking ->
+    candidate pairs from bucket equality (never all-pairs) -> exact cosine
+    verification at 0.2. The brute-force twin (`cosine_pairs_threshold`)
+    is the recall oracle; THIS query is what runs at 100 TB — pair count
+    is sum over buckets of |bucket|^2 instead of N^2, and the only shuffle
+    is the hash-partition on bucket id."""
+    from vectordbfaiss_spark.functions.vector import cosine_similarity
+    from vectordbfaiss_spark.operators.lsh import signature_buckets
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    b = signature_buckets(emb, "embedding", n_planes=4, dim=64, seed=7)
+    x = b.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket")
+    y = b.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket")
+    cand = x.join(y, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        cand.select(
+            "id_a", "id_b", F.round(cosine_similarity("va", "vb"), 6).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= 0.2)
+    )
+
+
 _QUANT_ORACLE = """
 WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
