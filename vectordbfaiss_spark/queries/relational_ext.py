@@ -480,6 +480,97 @@ def q_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q14 shape: conditional-revenue ratio over a fact/dim join
+# ---------------------------------------------------------------------------
+
+_Q14_ORACLE = """
+SELECT round(
+         100.0 * sum(CASE WHEN p.p_type LIKE 'STANDARD%'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END)
+         / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct,
+       count(*) AS n_rows
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '2024-01-05 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '2024-02-05 00:00:00'
+"""
+
+
+@register("q14_promo_revenue_pct", _Q14_ORACLE)
+def q_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped query: share of revenue from one part type over a
+    month — conditional-sum ratio in a single aggregate over a broadcast
+    dim join (part is the small side; the date filter prunes the fact scan
+    first)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2024-02-05 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("STANDARD"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_pct"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: large-volume orders via HAVING subquery
+# ---------------------------------------------------------------------------
+
+_Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+)
+SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 4) AS o_totalprice,
+       round(sum(l.l_quantity), 4) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_custkey, o.o_orderkey, o.o_totalprice
+"""
+
+
+@register("q18_large_volume_orders", _Q18_ORACLE)
+def q_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped query: orders whose total quantity exceeds a
+    threshold (HAVING subquery -> semi-join), re-joined to customer and
+    lineitem for the detail rollup. The `big` id set is tiny -> broadcast
+    semi-join; both lineitem aggregations shuffle on the same key so AQE
+    reuses the exchange."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 150)
+        .select("l_orderkey")
+    )
+    o_big = o.join(
+        F.broadcast(big), o.o_orderkey == big.l_orderkey, "left_semi"
+    )
+    return (
+        o_big.join(li, o_big.o_orderkey == li.l_orderkey)
+        .join(c, o_big.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Range join (equi key + interval predicate)
 # ---------------------------------------------------------------------------
 
