@@ -341,8 +341,8 @@ _Q6_ORACLE = """
 SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
        count(*) AS n_rows
 FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '2024-01-05 00:00:00'
-  AND l_shipdate < TIMESTAMP '2024-03-05 00:00:00'
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
   AND l_discount BETWEEN 0.02 AND 0.04
   AND l_quantity < 24
 """
@@ -356,8 +356,8 @@ def q_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     all except the final partial-agg merge."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.filter(
-        (F.col("l_shipdate") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("2024-03-05 00:00:00").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_discount").between(0.02, 0.04))
         & (F.col("l_quantity") < 24)
     ).agg(
@@ -408,8 +408,8 @@ def q_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q4_ORACLE = """
 SELECT o.o_orderpriority, count(*) AS order_count
 FROM orders o
-WHERE o.o_orderdate >= TIMESTAMP '2024-01-08 00:00:00'
-  AND o.o_orderdate < TIMESTAMP '2024-01-22 00:00:00'
+WHERE o.o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-06-01 00:00:00'
   AND EXISTS (SELECT 1 FROM lineitem l
               WHERE l.l_orderkey = o.o_orderkey
                 AND l.l_shipdate > o.o_orderdate)
@@ -425,8 +425,8 @@ def q_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_orderdate) riding on the orderkey equi-join — still a hash semi-join,
     date filter pushed to the orders scan."""
     o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("2024-01-08 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("2024-01-22 00:00:00").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-06-01 00:00:00").cast("timestamp"))
     )
     li = load_table(spark, sf_dir, "lineitem")
     matched = o.join(
@@ -491,8 +491,8 @@ SELECT round(
          / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct,
        count(*) AS n_rows
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-WHERE l.l_shipdate >= TIMESTAMP '2024-01-05 00:00:00'
-  AND l.l_shipdate < TIMESTAMP '2024-02-05 00:00:00'
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
 """
 
 
@@ -503,8 +503,8 @@ def q_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim join (part is the small side; the date filter prunes the fact scan
     first)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("2024-02-05 00:00:00").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
     )
     p = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
