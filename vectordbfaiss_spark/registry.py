@@ -74,5 +74,6 @@ def _load() -> None:
         relational_ext,
         sources_io,
         text_analysis,
+        tpch_extra,
         vector_search,
     )
