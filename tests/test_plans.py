@@ -99,3 +99,54 @@ def test_range_join_is_hash_join_with_residual_not_cartesian(spark):
     q = registry.queries()["range_join_orders_events"](spark, SF_DIR)
     plan = _plan(q)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q7_broadcasts_dims_single_fact_shuffle(spark):
+    q = registry.queries()["q7_volume_shipping"](spark, SF_DIR)
+    plan = _plan(q)
+    # supplier + 2x nation broadcast; lineitem<->orders/customer shuffle
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q9_like_filter_stays_on_broadcast_build_side(spark):
+    q = registry.queries()["q9_product_type_profit"](spark, SF_DIR)
+    plan = _plan(q)
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the LIKE lands as a Contains filter on the part scan, not post-join
+    assert re.search(r"PushedFilters: \[.*StringContains\(p_name,bolt\)", plan), (
+        plan[:3000]
+    )
+
+
+def test_q19_derives_pushable_quantity_envelope_from_or(spark):
+    q = registry.queries()["q19_disjunctive_revenue"](spark, SF_DIR)
+    plan = _plan(q)
+    # Catalyst factors the OR into a scan-pushable l_quantity range
+    assert re.search(r"PushedFilters: \[.*l_quantity", plan), plan[:3000]
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q21_is_one_aggregate_no_lineitem_self_join(spark):
+    q = registry.queries()["q21_lone_fault_supplier"](spark, SF_DIR)
+    plan = _plan(q)
+    # the EXISTS/NOT-EXISTS pair is ONE per-order aggregate, so lineitem
+    # is scanned once -- not three times as in the textbook self-join plan
+    assert plan.count("lineitem.parquet") == 1, plan.count("lineitem.parquet")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q22_anti_join_prunes_orders_scan(spark):
+    q = registry.queries()["q22_dormant_customers"](spark, SF_DIR)
+    plan = _plan(q)
+    assert "LeftAnti" in plan
+    # date filter pushed to the orders scan feeding the anti join
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate", plan), (
+        plan[:3000]
+    )
+
+
+def test_interval_join_no_cartesian(spark):
+    q = registry.queries()["interval_join_click_purchase"](spark, SF_DIR)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -72,6 +72,7 @@ def _load() -> None:
         reference_parity,
         relational,
         relational_ext,
+        relational_more,
         sources_io,
         text_analysis,
         tpch_extra,
