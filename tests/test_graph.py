@@ -1,0 +1,43 @@
+"""Connected-components operator: correctness on known graphs and
+convergence behavior (pointer jumping must handle long chains in
+O(log n) rounds, far under max_iter)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vectordbfaiss_spark.operators.graph import connected_components
+
+
+def _cc_map(spark, edges):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    rows = connected_components(df).collect()
+    return {r["id"]: r["component"] for r in rows}
+
+
+def test_two_components_and_transitive_merge(spark):
+    # 1-2, 2-3 (one component via transitivity), 10-11 (another)
+    got = _cc_map(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_bridge_node_fuses_groups(spark):
+    # two cliques bridged by one edge -> single component
+    edges = [(1, 2), (2, 3), (7, 8), (8, 9), (3, 7)]
+    got = _cc_map(spark, edges)
+    assert set(got.values()) == {1}
+
+
+def test_long_chain_converges(spark):
+    # a 64-node path: naive min propagation needs 63 rounds; pointer
+    # jumping must finish within the default max_iter=25 (O(log n))
+    edges = [(i, i + 1) for i in range(63)]
+    got = _cc_map(spark, edges)
+    assert set(got.values()) == {0}
+    assert len(got) == 64
+
+
+def test_edge_direction_irrelevant(spark):
+    got_fwd = _cc_map(spark, [(1, 5), (5, 9)])
+    got_rev = _cc_map(spark, [(5, 1), (9, 5)])
+    assert got_fwd == got_rev == {1: 1, 5: 1, 9: 1}

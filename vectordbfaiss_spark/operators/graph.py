@@ -1,0 +1,94 @@
+"""Connected components over an edge DataFrame — the clustering step that
+turns near-duplicate PAIRS into duplicate GROUPS.
+
+Every pairwise dedup operator in this engine (exact, n-gram Jaccard,
+MinHash-LSH, SimHash, embedding cosine — operators/dedup.py, lsh.py) emits
+(id_a, id_b) pairs; choosing ONE canonical document per duplicate *group*
+requires the transitive closure of those pairs. The reference never needs
+this (its dedup is exact-match UNIQUE, server.js:29,198 — groups are
+implicit), but any near-dup pipeline at scale does.
+
+Algorithm: iterative min-label propagation with pointer jumping
+(label <- min(label, neighbors' labels, label's label)). The pointer-
+jumping step halves path lengths each round, so convergence is
+O(log(diameter)) DataFrame iterations, each one shuffle on the edge key —
+the standard Spark formulation of the large-star/small-star family
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14).
+Each iteration is localCheckpoint-ed: iterative lineage otherwise grows a
+plan Catalyst re-optimizes from scratch every round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Return (id, component) with component = min node id reachable.
+
+    ``edges`` is undirected input (each pair listed once in either
+    direction); isolated nodes are absent by construction (callers union
+    them back if needed — duplicate-group analytics only cares about nodes
+    with at least one edge).
+
+    Driver-side convergence check per round (a one-row count): iterative
+    graph algorithms are the one place a driver loop is the *correct*
+    Spark shape — the loop body stays fully distributed.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # neighbor minimum: min label over adjacent nodes
+        neigh = (
+            sym.join(labels, sym.v == labels.id)
+            .groupBy("u")
+            .agg(F.min("label").alias("nmin"))
+        )
+        stepped = (
+            labels.join(neigh, labels.id == neigh.u, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # pointer jumping: label <- label(label); halves chain depth
+        l2 = stepped.select(
+            F.col("id").alias("p_id"), F.col("label").alias("p_label")
+        )
+        jumped = (
+            stepped.join(l2, stepped.label == l2.p_id, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("component"))

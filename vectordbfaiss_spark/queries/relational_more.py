@@ -177,6 +177,50 @@ def q_nth_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SCD2-style validity intervals (CDC history table shape)
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+SELECT user_id, event_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       coalesce(strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S'), '9999-12-31')
+         AS valid_to,
+       CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+FROM events
+WHERE user_id < 10
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("scd2_event_intervals", _SCD2_ORACLE)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history from an event log: each
+    row's validity runs until the user's next event; the latest row is
+    flagged current with an open-ended sentinel date.
+
+    This is the write-side complement of `latest_event_per_key` (the
+    snapshot read): together they give CDC history + current-state views
+    of the same stream.
+
+    Scale plan: one shuffle on user_id, one window pass computing both
+    lead() columns; timestamps leave as formatted strings per the oracle
+    convention (no tz/epoch drift).
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    nxt = F.lead("ts").over(w)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.coalesce(F.date_format(nxt, fmt), F.lit("9999-12-31")).alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bitwise aggregates
 # ---------------------------------------------------------------------------
 

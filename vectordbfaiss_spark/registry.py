@@ -69,6 +69,7 @@ def _load() -> None:
     from vectordbfaiss_spark.queries import (  # noqa: F401
         curation,
         dedup,
+        graph_cluster,
         reference_parity,
         relational,
         relational_ext,
