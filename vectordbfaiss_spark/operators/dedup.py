@@ -108,13 +108,17 @@ def ngram_jaccard_pairs(
     down to a candidate id list first — used by the LSH verify step so the
     exact-Jaccard join runs only over banding candidates, not the corpus.
     """
-    sh = exploded_shingles(df, id_col, text_col, n)
     if restrict_ids is not None:
-        sh = sh.join(
+        # restrict BEFORE the explode: the shingle explode multiplies rows
+        # ~100x, so filtering the doc set first (tiny broadcast semi-join)
+        # keeps the whole verify subtree proportional to the candidate set,
+        # not the corpus
+        df = df.join(
             F.broadcast(restrict_ids.select(F.col(restrict_ids.columns[0]).alias(id_col))),
             id_col,
             "left_semi",
         )
+    sh = exploded_shingles(df, id_col, text_col, n)
     counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     hashed = sh.select(F.col(id_col), F.xxhash64("shingle").alias("sh_key"))
     a = hashed.select(F.col(id_col).alias("id_a"), "sh_key")

@@ -11,7 +11,7 @@ per-row subquery that would not survive 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from vectordbfaiss_spark.registry import register
 from vectordbfaiss_spark.session import load_table
@@ -533,4 +533,61 @@ def q_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("numcust"),
             F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2: minimum-cost supplier per part (argmin join)
+# ---------------------------------------------------------------------------
+
+_Q2_ORACLE = """
+WITH prices AS (
+  SELECT l_partkey, l_suppkey,
+         round(avg(l_extendedprice / l_quantity), 6) AS price
+  FROM lineitem GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY l_partkey
+                               ORDER BY price, l_suppkey) AS rn
+  FROM prices
+)
+SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, n.n_name, r.price
+FROM ranked r
+JOIN part p     ON r.l_partkey = p.p_partkey
+JOIN supplier s ON r.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+WHERE r.rn = 1 AND p.p_size <= 5
+"""
+
+
+@register("q2_min_cost_supplier", _Q2_ORACLE)
+def q_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (ps_supplycost -> observed avg unit price from
+    lineitem; fixtures carry no partsupp): the cheapest supplier for every
+    small part — the correlated-MIN-subquery decorrelated as a per-part
+    argmin window.
+
+    Determinism: price is rounded BEFORE ranking and ties break on
+    s_suppkey, so both engines pick the same winner (SURVEY §2.5 note).
+
+    Scale plan: the (part, supplier) price aggregate shuffles lineitem
+    once; the argmin window runs on the aggregate (tiny); part/supplier/
+    nation broadcast. The classic scalar-subquery form would rescan the
+    price table per part — the window form is the 100 TB plan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    prices = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias(
+            "price"
+        )
+    )
+    w = W.partitionBy("l_partkey").orderBy(F.asc("price"), F.asc("l_suppkey"))
+    best = prices.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "n_name", "price")
     )
