@@ -1,6 +1,7 @@
 """Approximate-distinct error bound vs exact."""
 from pyspark.sql import functions as F
 
+from vectordbfaiss_spark import registry
 from vectordbfaiss_spark.session import load_table
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -26,3 +27,25 @@ def test_approx_percentile_within_bound(spark):
     )
     for r in both.collect():
         assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.02, r
+
+
+def test_hll_sketch_merge_within_bound(spark):
+    """Two-level HLL (daily sketch -> union merge) must estimate distinct
+    users within the sketch's error envelope; merging partials must equal
+    sketching the whole column directly (associativity — the property
+    that makes incremental rollups sound)."""
+    q = registry.queries()["hll_distinct_users_daily_merge"]
+    for r in q(spark, SF_DIR).collect():
+        assert abs(r["est_users"] - r["exact_users"]) <= 0.05 * r["exact_users"], r
+
+    e = load_table(spark, SF_DIR, "events")
+    direct = {
+        r["event_type"]: r["d"]
+        for r in e.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("d"))
+        .collect()
+    }
+    merged = {
+        r["event_type"]: r["est_users"] for r in q(spark, SF_DIR).collect()
+    }
+    assert direct == merged

@@ -68,3 +68,43 @@ def test_compact_parquet_partitioned_one_file_per_dir(spark, tmp_path: pathlib.P
         assert len(files) == 1, d
     back = spark.read.parquet(out)
     assert back.count() == o.count()
+
+
+def test_compact_sorted_clusters_row_groups(spark, tmp_path):
+    """After a sorted compaction, per-file parquet min/max ranges on the
+    sort key must be (near-)disjoint — the property min/max skipping needs.
+    Verified against the actual parquet footers via pyarrow."""
+    import pyarrow.parquet as pq
+
+    from vectordbfaiss_spark.operators.maintenance import compact_sorted
+    from vectordbfaiss_spark.session import load_table
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "sorted")
+    # scatter the key across many small files (worst-case layout)
+    load_table(spark, "/root/testdata/sf0.001", "orders").repartition(
+        8
+    ).write.parquet(src)
+    compact_sorted(spark, src, out, ["o_orderkey"], n_files=4)
+
+    ranges = []
+    for f in pathlib.Path(out).glob("*.parquet"):
+        md = pq.ParquetFile(str(f)).metadata
+        idx = {md.schema.column(i).name: i for i in range(len(md.schema))}[
+            "o_orderkey"
+        ]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) == 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint: a range filter prunes whole files
+
+    # rewrite is lossless
+    a = spark.read.parquet(src).orderBy("o_orderkey").collect()
+    b = spark.read.parquet(out).orderBy("o_orderkey").collect()
+    assert a == b

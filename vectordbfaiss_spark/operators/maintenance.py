@@ -64,3 +64,35 @@ def compact_parquet(
     n_out = max(1, math.ceil(total / target_file_bytes))
     df.coalesce(n_out).write.mode("overwrite").parquet(out_path)
     return n_out
+
+
+def compact_sorted(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    sort_cols: list[str],
+    n_files: int = 8,
+) -> int:
+    """Clustered rewrite: range-partition on ``sort_cols`` then sort within
+    each partition before writing.
+
+    This is the data-layout half of predicate pushdown: parquet stores
+    min/max stats per row group, but stats only PRUNE when the layout makes
+    value ranges disjoint across files/row-groups. After this rewrite a
+    range filter on ``sort_cols`` touches ~1 file instead of all of them —
+    the poor man's Z-order for single-key access patterns (multi-key
+    clustering would interleave bits; out of scope, single-key covers the
+    time-range and id-range scans this engine issues).
+
+    ``repartitionByRange`` samples the key distribution, so output files
+    are balanced even under skew. Returns ``n_files``.
+    """
+    df: DataFrame = spark.read.parquet(path)
+    cols = [df[c] for c in sort_cols]
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+    return n_files

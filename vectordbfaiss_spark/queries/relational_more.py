@@ -248,3 +248,68 @@ def q_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor("l_partkey").alias("pk_xor"),
         F.count("*").alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Built-in session_window aggregation (the F.session_window form of
+# sessionize_events_batch's manual window pipeline)
+# ---------------------------------------------------------------------------
+
+_SESSION_WINDOW_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+       count(*) AS n_events,
+       CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT)
+         AS duration_s
+FROM numbered GROUP BY user_id, sess_id
+"""
+
+
+@register("session_window_builtin", _SESSION_WINDOW_ORACLE)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via the BUILT-IN F.session_window aggregate —
+    the groupBy form of the manual lag/flag/running-sum pipeline
+    (`sessionize_events_batch`), and the same operator Structured
+    Streaming runs stateful (streaming/sessionize.py).
+
+    Boundary semantics: session_window merges rows only when windows
+    STRICTLY overlap, i.e. a gap of exactly the 30-min timeout starts a
+    new session — so the oracle's manual pipeline flags `gap >= timeout`
+    (the `>`-flavored manual twin is its own query).
+
+    Scale plan: one shuffle on user_id; session merge happens inside the
+    aggregate — no window-function sort pass over the full event stream.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        .select(
+            "user_id",
+            F.date_format("min_ts", "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+            "n_events",
+            (
+                (F.unix_micros(F.col("max_ts")) - F.unix_micros(F.col("min_ts")))
+                / F.lit(1_000_000)
+            )
+            .cast("long")
+            .alias("duration_s"),
+        )
+    )

@@ -74,6 +74,7 @@ def _load() -> None:
         relational,
         relational_ext,
         relational_more,
+        sketches_sql,
         sources_io,
         text_analysis,
         tpch_extra,
