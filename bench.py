@@ -31,8 +31,14 @@ def main() -> None:
 
     spark = get_spark(app_name="vectordbfaiss-bench")
 
-    # warmup: JVM + parquet reader touch, not billed
+    # warmup: JVM + parquet reader + Python/Arrow worker spin-up, not billed
+    # (workers are long-lived per session; billing their one-time fork to
+    # whichever pandas query happens to run first would misattribute it)
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    from pyspark.sql import functions as F, types as T  # noqa: PLC0415
+
+    _warm = F.pandas_udf(lambda s: s, T.LongType())
+    spark.range(64).select(_warm("id")).count()
 
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     wanted = set(subset.split(",")) if subset else None

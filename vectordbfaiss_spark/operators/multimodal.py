@@ -199,3 +199,60 @@ def sample_frames(
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.select(id_col, payload_col).mapInPandas(kernel, FRAME_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("window_idx", T.LongType()),
+        T.StructField("win_samples", T.LongType()),
+        T.StructField("win_md5", T.StringType()),
+    ]
+)
+
+
+def window_audio(
+    df: DataFrame,
+    frame_samples: int = 256,
+    hop_samples: int = 128,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Audio windowing stage: PCM16 payload -> overlapping sample windows.
+
+    Treats the opaque payload as 16-bit mono PCM (2 bytes/sample —
+    deterministic fake; a real librosa/soundfile decode slots into the
+    same kernel). Windows start every ``hop_samples``; the final window
+    is the natural partial. Each window's bytes are md5-fingerprinted so
+    the slicing is content-verified end-to-end, not just length-verified.
+
+    Same shape as STFT framing in a real feature pipeline: one input row
+    explodes to ~n_samples/hop rows inside the worker, no JVM round-trip
+    per window.
+    """
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, idxs, lens, sums = [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(p)
+                n_samples = len(b) // 2
+                for w, start in enumerate(range(0, n_samples, hop_samples)):
+                    n_win = min(frame_samples, n_samples - start)
+                    # clamp to the SAMPLE boundary: a trailing odd byte is
+                    # not a sample and must not leak into the last window
+                    win = b[start * 2 : (start + n_win) * 2]
+                    ids.append(int(i))
+                    idxs.append(w)
+                    lens.append(n_win)
+                    sums.append(hashlib.md5(win).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "window_idx": idxs,
+                    "win_samples": lens,
+                    "win_md5": sums,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, AUDIO_WINDOW_SCHEMA)

@@ -386,3 +386,36 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F2.round(F2.col("n_hits") / F2.col("n_exact"), 4).alias("recall_at_10"),
         )
     )
+
+
+_AUDIO_ORACLE = """
+WITH d AS (
+  SELECT doc_id, text, CAST(length(text) // 2 AS BIGINT) AS n_samples
+  FROM documents
+), w AS (
+  SELECT doc_id, text, n_samples, unnest(range(0, n_samples, 128)) AS start
+  FROM d
+)
+SELECT doc_id,
+       CAST(start // 128 AS BIGINT) AS window_idx,
+       CAST(least(256, n_samples - start) AS BIGINT) AS win_samples,
+       md5(substr(text, CAST(start * 2 + 1 AS INT),
+                  CAST(least(256, n_samples - start) * 2 AS INT))) AS win_md5
+FROM w
+"""
+
+
+@register("multimodal_audio_windows", _AUDIO_ORACLE)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio (PCM16) windowing over binary payloads
+    (operators/multimodal.py::window_audio): 256-sample frames every 128
+    samples, partial tail kept — STFT framing shape. The oracle recomputes
+    every window's md5 from substr arithmetic on the (ASCII) payload, so
+    the byte slicing is verified content-exactly, not just by length."""
+    from vectordbfaiss_spark.operators.multimodal import (
+        attach_binary_payload,
+        window_audio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return window_audio(attach_binary_payload(docs))
