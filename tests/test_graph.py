@@ -41,3 +41,44 @@ def test_edge_direction_irrelevant(spark):
     got_fwd = _cc_map(spark, [(1, 5), (5, 9)])
     got_rev = _cc_map(spark, [(5, 1), (9, 5)])
     assert got_fwd == got_rev == {1: 1, 5: 1, 9: 1}
+
+
+def _union_find_reference(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: min node id per component
+    return {n: find(n) for n in parent}
+
+
+def test_random_graphs_match_union_find(spark):
+    import random
+
+    for seed in (7, 42, 1234):
+        rng = random.Random(seed)
+        nodes = list(range(rng.randint(10, 40)))
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(len(nodes))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        expect = _union_find_reference(edges)
+        # path-compressed union-find roots are not guaranteed minimal;
+        # normalize both sides to min-id-per-component
+        comp_min = {}
+        for n, r in expect.items():
+            comp_min[r] = min(comp_min.get(r, n), n)
+        expect = {n: comp_min[r] for n, r in expect.items()}
+        got = _cc_map(spark, edges)
+        assert got == expect, (seed, sorted(edges))
