@@ -313,3 +313,49 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("duration_s"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Top-N per time bucket (trending items)
+# ---------------------------------------------------------------------------
+
+_TRENDING_ORACLE = """
+WITH bucketed AS (
+  SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+         event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT day, event_type, n, CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY day
+                                   ORDER BY n DESC, event_type) AS rnk
+      FROM bucketed)
+WHERE rnk <= 2
+"""
+
+
+@register("trending_types_daily_top2", _TRENDING_ORACLE)
+def q_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 event types per day — the "trending items per window"
+    composition: event-time bucketing (F.window) feeding a rank window
+    over the bucket. Ties break on the item so both engines agree.
+
+    Scale plan: the count aggregate shrinks data to |days|x|types| rows
+    BEFORE the rank window, so the expensive operator sees a tiny input;
+    at 100 TB the same two-stage shape holds (never rank the raw stream).
+    In streaming this becomes the classic "aggregate, then rank in
+    foreachBatch" pattern (rank windows aren't incremental)."""
+    e = load_table(spark, sf_dir, "events")
+    counts = (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n",
+        )
+    )
+    w = W.partitionBy("day").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 2)
+    )
