@@ -419,3 +419,33 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return window_audio(attach_binary_payload(docs))
+
+
+# Trained PQ codebooks per corpus (same artifact-memoization rationale as
+# plans.ivf._CENTROID_CACHE).
+_PQ_BOOK_CACHE: dict[str, object] = {}
+
+
+@register("pq_topk_search", rows_only=True)
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN top-k (plans.pq): per-subspace codebooks ->
+    m-byte codes (32x smaller than raw float32, the reference's storage
+    format at server.js:194) -> ADC lookup-table scoring with batch-local
+    pruning. Rows-only: ANN correctness is recall-vs-exact, asserted in
+    tests/test_pq.py (SURVEY §7 risk (e))."""
+    from vectordbfaiss_spark.plans.pq import (
+        pq_encode,
+        pq_search,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = _PQ_BOOK_CACHE.get(sf_dir)
+    if books is None:
+        books = train_pq_codebooks(emb, m=16, k_codes=32, seed=42)
+        _PQ_BOOK_CACHE[sf_dir] = books
+    encoded = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return pq_search(encoded, queries, books, k=10)
