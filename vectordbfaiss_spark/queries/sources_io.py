@@ -449,3 +449,31 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return pq_search(encoded, queries, books, k=10)
+
+
+@register("ivfpq_topk_search", rows_only=True)
+def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed (plans.pq.ivfpq_search): centroid routing prunes
+    the ROW count (nprobe/k_clusters of the corpus), PQ codes prune the
+    BYTES per row (m bytes vs 4d) — the FAISS IVFPQ index re-expressed as
+    layout + broadcast + ADC kernel. Rows-only; recall in tests/test_pq.py."""
+    from vectordbfaiss_spark.plans.ivf import assign_clusters
+    from vectordbfaiss_spark.plans.pq import (
+        ivfpq_search,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = _PQ_BOOK_CACHE.get(sf_dir)
+    if books is None:
+        books = train_pq_codebooks(emb, m=16, k_codes=32, seed=42)
+        _PQ_BOOK_CACHE[sf_dir] = books
+    assigned, centroids = assign_clusters(
+        emb, n_clusters=8, seed=42, corpus_key=sf_dir
+    )
+    encoded = pq_encode(assigned, books)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivfpq_search(encoded, queries, centroids, books, k=10, nprobe=4)
