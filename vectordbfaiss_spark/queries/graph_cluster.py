@@ -28,21 +28,15 @@ keys AS (
   FROM d
 ),
 b1 AS (
-  SELECT k1 AS key, doc_id,
-         row_number() OVER (PARTITION BY k1 ORDER BY doc_id) AS rn
-  FROM keys
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY k1) AS hub FROM keys
 ),
 b2 AS (
-  SELECT k2 AS key, doc_id,
-         row_number() OVER (PARTITION BY k2 ORDER BY doc_id) AS rn
-  FROM keys
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY k2) AS hub FROM keys
 ),
 edges AS (
-  SELECT a.doc_id AS src, b.doc_id AS dst
-  FROM b1 a JOIN b1 b ON a.key = b.key AND b.rn = a.rn + 1
+  SELECT hub AS src, doc_id AS dst FROM b1 WHERE doc_id <> hub
   UNION
-  SELECT a.doc_id AS src, b.doc_id AS dst
-  FROM b2 a JOIN b2 b ON a.key = b.key AND b.rn = a.rn + 1
+  SELECT hub AS src, doc_id AS dst FROM b2 WHERE doc_id <> hub
 ),
 sym AS (
   SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
@@ -59,38 +53,34 @@ FROM comp GROUP BY component
 """
 
 
-def _chain_edges(keyed: DataFrame, key_col: str) -> DataFrame:
-    """Linear-chain candidate edges inside each blocking bucket:
-    consecutive doc_ids per key. A bucket of k docs yields k-1 edges — the
-    transitive closure reconstructs the group, so the quadratic
-    all-pairs-in-bucket blowup never materializes (critical when a
-    boilerplate prefix puts 10^6 docs in one bucket)."""
-    w = W.partitionBy(key_col).orderBy("doc_id")
-    rn = keyed.select(
-        key_col, "doc_id", F.row_number().over(w).alias("rn")
+def _star_edges(keyed: DataFrame, key_col: str) -> DataFrame:
+    """Star candidate edges inside each blocking bucket: every member links
+    to the bucket's MIN doc_id (the hub). A bucket of n docs yields n-1
+    edges — linear like a chain, so the quadratic all-pairs blowup never
+    materializes even when a boilerplate prefix puts 10^6 docs in one
+    bucket — but with DIAMETER 2 instead of n, so the connected-components
+    loop converges in O(1) rounds instead of O(log n). Same connectivity
+    (hence identical components) as any spanning structure of the bucket."""
+    w = W.partitionBy(key_col)
+    return (
+        keyed.select("doc_id", F.min("doc_id").over(w).alias("hub"))
+        .filter(F.col("doc_id") != F.col("hub"))
+        .select(F.col("hub").alias("src"), F.col("doc_id").alias("dst"))
     )
-    nxt = rn.select(
-        F.col(key_col).alias("__nk"),
-        F.col("doc_id").alias("dst"),
-        (F.col("rn") - 1).alias("rn2"),
-    )
-    return rn.join(
-        nxt, (F.col(key_col) == F.col("__nk")) & (F.col("rn") == F.col("rn2"))
-    ).select(F.col("doc_id").alias("src"), "dst")
 
 
 @register("dedup_cluster_components", _CC_ORACLE)
 def q_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-group discovery: two blocking keys (first-5 / last-5
-    words), chain edges per bucket, connected components, per-component
+    words), star edges per bucket, connected components, per-component
     rollup. A doc sharing its prefix with one doc and its suffix with
     another fuses all three into one group — that transitivity is exactly
     what pair-level dedup cannot express.
 
-    Scale plan: blocking + chaining keeps the edge set LINEAR in corpus
-    size; the component step is O(log diameter) shuffles (pointer jumping,
-    operators/graph.py); the recursive-CTE oracle checks the closure
-    exactly.
+    Scale plan: blocking + star edges keep the edge set LINEAR in corpus
+    size AND bucket diameter at 2, so the component loop (pointer jumping,
+    operators/graph.py) converges in a couple of shuffle rounds regardless
+    of bucket size; the recursive-CTE oracle checks the closure exactly.
     """
     docs = load_table(spark, sf_dir, "documents")
     words = F.split(F.trim(F.col("text")), r"\s+")
@@ -100,8 +90,8 @@ def q_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(F.reverse(words), 1, 5), " ").alias("k2"),
     )
     edges = (
-        _chain_edges(keyed.select("doc_id", "k1"), "k1")
-        .union(_chain_edges(keyed.select("doc_id", "k2"), "k2"))
+        _star_edges(keyed.select("doc_id", "k1"), "k1")
+        .union(_star_edges(keyed.select("doc_id", "k2"), "k2"))
         .distinct()
     )
     comp = connected_components(edges)
