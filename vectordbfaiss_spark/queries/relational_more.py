@@ -359,3 +359,87 @@ def q_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# MapType surface: parse -> concat -> explode -> aggregate
+# ---------------------------------------------------------------------------
+
+_MAP_ORACLE = """
+WITH entries AS (
+  SELECT 'k' AS key, CAST(json_extract(props, '$.k') AS DOUBLE) AS val
+  FROM events
+  UNION ALL
+  SELECT event_type AS key, value AS val FROM events
+)
+SELECT key, count(*) AS n, round(sum(val), 4) AS sum_val
+FROM entries GROUP BY key
+"""
+
+
+@register("map_functions_events", _MAP_ORACLE)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType end-to-end: from_json into map<string,long>, value retype
+    with transform_values, map_concat with a constructed create_map, then
+    explode(map) and aggregate per key. The oracle models the same
+    semantics as a UNION of entry rows (exploding a concatenated map IS
+    the union of its entries).
+
+    Scale plan: maps stay inside the row until the single explode; the
+    aggregate shuffles on the (tiny) key domain. No UDF — the whole map
+    pipeline is built-in expressions in codegen.
+    """
+    e = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "map<string,bigint>")
+    m1 = F.transform_values(parsed, lambda _, v: v.cast("double"))
+    m2 = F.create_map(F.col("event_type"), F.col("value"))
+    both = e.select(F.explode(F.map_concat(m1, m2)).alias("key", "val"))
+    return both.groupBy("key").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("val"), 4).alias("sum_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact DECIMAL aggregation (zero float error over the whole fact table)
+# ---------------------------------------------------------------------------
+
+_DECIMAL_ORACLE = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(18,2))
+           * CAST('0.01' AS DECIMAL(8,2)) AS price_dec
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(CAST(sum(price_dec) AS DECIMAL(30,2)) AS VARCHAR) AS total_exact,
+       count(*) AS n_rows
+FROM c GROUP BY l_returnflag
+"""
+
+
+@register("decimal_exact_revenue", _DECIMAL_ORACLE)
+def q_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money aggregation in exact DECIMAL: integer cents -> DECIMAL(18,2)
+    -> scale-preserving multiply -> exact sum -> normalized DECIMAL(30,2)
+    string. Zero floating-point error across the whole fact table — the
+    engine surface the double-based queries deliberately round around
+    (registry conventions), demonstrated here natively. Rendered as a
+    string so the hash-compare sees the exact digits, not a float.
+
+    Scale plan: decimal sums are map-side combinable like any sum; the
+    only cost is the wider (128-bit) accumulator.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    price_dec = cents.cast("decimal(18,2)") * F.lit("0.01").cast("decimal(8,2)")
+    return (
+        li.select("l_returnflag", price_dec.alias("price_dec"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("price_dec").cast("decimal(30,2)").cast("string").alias(
+                "total_exact"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
