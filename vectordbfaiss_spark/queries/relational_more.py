@@ -443,3 +443,41 @@ def q_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string matching (blocked levenshtein)
+# ---------------------------------------------------------------------------
+
+_FUZZY_ORACLE = """
+SELECT c_custkey, c_name,
+       CAST(levenshtein(c_name, 'Customer#000000042') AS BIGINT) AS dist
+FROM customer
+WHERE length(c_name) = length('Customer#000000042')
+  AND levenshtein(c_name, 'Customer#000000042') <= 2
+"""
+
+
+@register("fuzzy_name_match", _FUZZY_ORACLE)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity match: names within edit distance 2 of a probe,
+    blocked on exact length first — the block-then-verify shape every
+    scalable fuzzy join uses (the expensive O(len^2) levenshtein runs only
+    inside the block).
+
+    Scale plan: the length block is a pushable scan predicate; for a
+    fuzzy JOIN (probe set instead of one probe) the same pattern becomes
+    block-key equi-join -> per-pair verify, exactly like the dedup
+    family's shingle blocking.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    probe = F.lit("Customer#000000042")
+    return (
+        c.filter(F.length("c_name") == F.length(probe))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.levenshtein("c_name", probe).cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+    )
