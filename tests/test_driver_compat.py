@@ -35,7 +35,9 @@ _SCRIPT = textwrap.dedent(
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     # the timestamp-sensitive + events-reading queries are the risk surface
     for name in ["window_first_events_per_user", "tumbling_window_daily",
-                 "asof_join_click_purchase", "q3_shipping_priority"]:
+                 "asof_join_click_purchase", "q3_shipping_priority",
+                 "session_window_builtin", "scd2_event_intervals",
+                 "trending_types_daily_top2", "interval_join_click_purchase"]:
         mine = mod.queries()[name](spark, sf).toPandas()
         orc = con.sql(mod.oracle_sql()[name]).df()
         assert len(mine) == len(orc), (name, len(mine), len(orc))
