@@ -481,3 +481,52 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-preserving explode (explode_outer)
+# ---------------------------------------------------------------------------
+
+_EXPLODE_OUTER_ORACLE = r"""
+WITH m AS (
+  SELECT doc_id, lang, regexp_extract_all(text, '[a-z]{8,}') AS long_words
+  FROM documents
+), exploded AS (
+  SELECT m.doc_id, m.lang, u.tok
+  FROM m, UNNEST(long_words) AS u(tok)
+  WHERE len(long_words) > 0
+  UNION ALL
+  SELECT doc_id, lang, NULL AS tok FROM m WHERE len(long_words) = 0
+)
+SELECT lang,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_without,
+       count(DISTINCT tok) AS n_distinct_words
+FROM exploded GROUP BY lang
+"""
+
+
+@register("explode_outer_long_words", _EXPLODE_OUTER_ORACLE)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: documents with NO >=8-letter words survive the
+    explode as a single null row instead of vanishing — the semantics that
+    make per-document accounting (every doc counted exactly once-or-more)
+    correct after an explode. A plain explode here would silently drop
+    word-free documents from the per-language stats. The oracle models the
+    outer explode as UNNEST ∪ empty-list rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        "lang",
+        F.regexp_extract_all("text", F.lit("([a-z]{8,})")).alias("long_words"),
+    )
+    ex = m.select("doc_id", "lang", F.explode_outer("long_words").alias("tok"))
+    return ex.groupBy("lang").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("tok").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_without"),
+        F.countDistinct("tok").alias("n_distinct_words"),
+    )
