@@ -70,6 +70,7 @@ def _load() -> None:
         curation,
         dedup,
         graph_cluster,
+        ranking,
         reference_parity,
         relational,
         relational_ext,
