@@ -314,3 +314,27 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 50)
     )
+
+
+@register("mmr_rerank_topk", rows_only=True)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 from each query's cosine top-20 (lam=0.7).
+    Greedy selection is sequential per query but bounded (20 candidates),
+    so it runs as applyInPandas per query_id — the candidate generation
+    is the same vectorized brute-force kernel as topk_search. rows-only:
+    the greedy argmax-with-state recursion isn't SQL-expressible; exact
+    semantics are pinned against an independent numpy reference in
+    tests/test_mmr.py."""
+    from vectordbfaiss_spark.operators.rerank import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cand = (
+        score_topk_vectorized(queries, emb, k=20)
+        .withColumnRenamed("score", "rel")
+        .drop("rank")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+    )
+    return mmr_rerank(cand, k=5, lam=0.7)

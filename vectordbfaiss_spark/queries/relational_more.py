@@ -530,3 +530,49 @@ def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_docs_without"),
         F.countDistinct("tok").alias("n_distinct_words"),
     )
+
+
+_ZSCORE_ORACLE = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+  FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+), stats AS (
+  SELECT event_type, day, n,
+         avg(n) OVER (PARTITION BY event_type) AS mu,
+         stddev_samp(n) OVER (PARTITION BY event_type) AS sd
+  FROM daily
+)
+SELECT event_type, day, CAST(n AS BIGINT) AS n,
+       round((n - mu) / NULLIF(sd, 0.0), 6) AS z,
+       CAST(CASE WHEN abs(round((n - mu) / NULLIF(sd, 0.0), 6)) >= 2.0
+            THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+FROM stats
+"""
+
+
+@register("zscore_outlier_events", _ZSCORE_ORACLE)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: per-event-type daily counts scored by
+    z-score against that type's own mean/stddev, outliers = |z| >= 2 (on
+    the ROUNDED z so the flag is engine-deterministic). Two hash
+    aggregates; the stats window partitions by event_type, so state per
+    partition is days-per-type — bounded regardless of event volume."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    wt = W.partitionBy("event_type")
+    z = F.round(
+        (F.col("n") - F.avg("n").over(wt))
+        / F.nullif(F.stddev_samp("n").over(wt), F.lit(0.0)),
+        6,
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        F.col("n").cast("long").alias("n"),
+        z.alias("z"),
+        F.when(F.abs(z) >= 2.0, 1).otherwise(0).cast("long").alias("is_outlier"),
+    )
