@@ -576,3 +576,90 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         F.when(F.abs(z) >= 2.0, 1).otherwise(0).cast("long").alias("is_outlier"),
     )
+
+
+_INCR_ORACLE = """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS sum_value,
+       round(sum(value) / count(*), 6) AS avg_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events
+GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+"""
+
+
+@register("incremental_daily_agg", _INCR_ORACLE)
+def q_incremental_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (operators/incremental.py):
+    the input is split into three arbitrary chunks, each reduced to
+    algebraic partial state (n/sum/min/max per type x day), and the states
+    are merged in a deliberately shuffled order — the oracle is the
+    from-scratch aggregate, so the MATCH proves merge associativity end to
+    end. avg is derived only at finalize; the merge shuffles view-key rows
+    (types x days), not events."""
+    from vectordbfaiss_spark.operators.incremental import (
+        finalize,
+        merge_states,
+        partial_daily_state,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    chunks = [
+        partial_daily_state(e.filter(F.col("ts").cast("long") % 3 == i))
+        for i in range(3)
+    ]
+    merged = merge_states(merge_states(chunks[2], chunks[0]), chunks[1])
+    return finalize(merged)
+
+
+_HIST_ORACLE = """
+WITH stats AS (
+  SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+), bucketed AS (
+  SELECT CAST(least(floor((o_totalprice - s.mn) / ((s.mx - s.mn) / 20.0)), 19.0) AS BIGINT) AS bucket,
+         s.mn, s.mx
+  FROM orders CROSS JOIN stats s
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(mn) + bucket * ((min(mx) - min(mn)) / 20.0), 6) AS lo,
+       round(min(mn) + (bucket + 1) * ((min(mx) - min(mn)) / 20.0), 6) AS hi
+FROM bucketed
+GROUP BY bucket
+"""
+
+
+@register("histogram_order_values", _HIST_ORACLE)
+def q_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram of order values — the distribution
+    profile a curation pipeline computes before choosing filters. One
+    scalar min/max aggregate broadcast back over the scan, then a single
+    hash aggregate on the bucket id: two passes, no sort, no window.
+    Bucket arithmetic is +-*/ and floor (IEEE-exact), so the bucket
+    assignment is engine-deterministic without rounding tricks."""
+    o = load_table(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / 20.0
+    bucketed = o.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("mn")) / width), F.lit(19.0)
+        )
+        .cast("long")
+        .alias("bucket"),
+        "mn",
+        "mx",
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(
+            F.min("mn") + F.col("bucket") * ((F.min("mx") - F.min("mn")) / 20.0), 6
+        ).alias("lo"),
+        F.round(
+            F.min("mn") + (F.col("bucket") + 1) * ((F.min("mx") - F.min("mn")) / 20.0),
+            6,
+        ).alias("hi"),
+    )
