@@ -49,3 +49,27 @@ def test_hll_sketch_merge_within_bound(spark):
         r["event_type"]: r["est_users"] for r in q(spark, SF_DIR).collect()
     }
     assert direct == merged
+
+
+def test_cms_estimates_overcount_never_undercount(spark):
+    """CMS point estimates are >= exact counts (min over hash rows can
+    only add collision mass), and with d=4/w=64 the top token's estimate
+    stays within eps*N = (e/w)*N of truth."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from vectordbfaiss_spark.queries.sketches_sql import _CMS_W
+    from vectordbfaiss_spark.registry import queries
+    from vectordbfaiss_spark.session import fan_out, load_table
+
+    sf = "/root/testdata/sf0.001"
+    est = {r.tok: r.est for r in queries()["cms_heavy_hitters"](spark, sf).collect()}
+    toks = fan_out(load_table(spark, sf, "documents")).select(
+        F.explode(F.split(F.rtrim("text"), r"\s+")).alias("tok")
+    )
+    exact = {r.tok: r.n for r in toks.groupBy("tok").agg(F.count("*").alias("n")).collect()}
+    total = sum(exact.values())
+    assert all(est[t] >= exact[t] for t in est)
+    top = max(est, key=lambda t: (est[t], t))
+    assert est[top] - exact[top] <= math.e / _CMS_W * total

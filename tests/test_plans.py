@@ -150,3 +150,41 @@ def test_interval_join_no_cartesian(spark):
     q = registry.queries()["interval_join_click_purchase"](spark, SF_DIR)
     plan = _plan(q)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_filtered_topk_pushes_metadata_predicates(spark):
+    q = registry.queries()["filtered_topk_search"](spark, SF_DIR)
+    plan = _plan(q)
+    # the lang/n_chars predicates reach the documents parquet scan: the
+    # corpus is pruned BEFORE the cosine kernel, not after
+    assert re.search(r"PushedFilters: \[.*EqualTo\(lang,en\)", plan), plan[:3000]
+    assert re.search(r"GreaterThanOrEqual\(n_chars,200\)", plan)
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_broadcasts_stats_no_sort_merge(spark):
+    q = registry.queries()["bm25_doc_ranking"](spark, SF_DIR)
+    plan = _plan(q)
+    # df (vocab-sized) and the scalar stats row join as broadcasts; the
+    # only shuffles are the hash aggregates
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_weighted_sample_is_single_topk_no_full_sort(spark):
+    q = registry.queries()["weighted_sample_docs"](spark, SF_DIR)
+    plan = _plan(q)
+    # the key computation is map-side; the global rnk<=50 costs at most the
+    # single-partition exchange for the unpartitioned window — no extra
+    # shuffles may creep in
+    assert plan.count("Exchange") <= 2, plan[:3000]
+
+
+def test_incremental_merge_shuffles_view_keys_only(spark):
+    q = registry.queries()["incremental_daily_agg"](spark, SF_DIR)
+    plan = _plan(q)
+    # partial_aggregate -> exchange -> final per chunk, then the merge agg:
+    # every exchange is hashpartitioning on the view key, never on event_id
+    assert "SortMergeJoin" not in plan
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "event_type" in m.group(1), m.group(0)

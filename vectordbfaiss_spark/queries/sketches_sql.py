@@ -98,3 +98,95 @@ def q_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY tok
         HAVING count(*) >= 200
     """)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters — unlike HLL, the CMS is fully
+# deterministic given the hash family, and md5 is shared with DuckDB, so
+# the WHOLE sketch (build -> merge -> point query) is oracle-checkable.
+# ---------------------------------------------------------------------------
+
+_CMS_W = 64  # deliberately small so collisions actually happen at test SF
+_CMS_D = 4
+
+
+def _cms_sql_bucket(tok_expr: str, d_expr: str) -> str:
+    """DuckDB replica of the (tok, depth) -> bucket hash: md5 6-hex-prefix
+    of 'tok#d', mod width (same digit-arithmetic trick as curation.py)."""
+    from vectordbfaiss_spark.queries.curation import _sql_hash_bucket
+
+    return f"({_sql_hash_bucket(f'({tok_expr} || {chr(39)}#{chr(39)} || CAST({d_expr} AS VARCHAR))')} % {_CMS_W})"
+
+
+_CMS_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(rtrim(text), '\\s+')) AS tok FROM documents
+), depths AS (
+  SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(d)
+), cms AS (
+  SELECT d, {_cms_sql_bucket('tok', 'd')} AS bucket, count(*) AS cnt
+  FROM toks CROSS JOIN depths
+  GROUP BY d, {_cms_sql_bucket('tok', 'd')}
+), vocab AS (
+  SELECT DISTINCT tok FROM toks
+), probes AS (
+  SELECT v.tok, dd.d, {_cms_sql_bucket('v.tok', 'dd.d')} AS bucket
+  FROM vocab v CROSS JOIN depths dd
+), est AS (
+  SELECT p.tok, CAST(min(c.cnt) AS BIGINT) AS est
+  FROM probes p JOIN cms c ON p.d = c.d AND p.bucket = c.bucket
+  GROUP BY p.tok
+), ranked AS (
+  SELECT tok, est, row_number() OVER (ORDER BY est DESC, tok) AS rnk
+  FROM est
+)
+SELECT tok, est, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= 20
+"""
+
+
+@register("cms_heavy_hitters", _CMS_ORACLE)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over document tokens: build a d=4,
+    w=64 CMS (rows (d, bucket, cnt) — merge across shards is a plain
+    groupBy-sum, associative like the HLL merge), then answer top-20 by
+    the sketch's min-over-rows point estimate. The sketch table is d*w
+    rows regardless of corpus size — THAT is the scale story: 100 TB of
+    tokens reduce to 256 mergeable counters, and the ranking never
+    touches exact counts. Estimates are CMS-biased (>= truth, pinned in
+    tests/test_approx.py); determinism comes from the md5 hash family."""
+    from vectordbfaiss_spark.queries.curation import _hash_bucket
+    from vectordbfaiss_spark.session import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(docs).select(
+        F.explode(F.split(F.rtrim("text"), r"\s+")).alias("tok")
+    )
+    depths = spark.range(_CMS_D).select(F.col("id").cast("int").alias("d"))
+
+    def bucket(tok_col, d_col):
+        return (
+            _hash_bucket(F.concat(tok_col, F.lit("#"), d_col.cast("string")))
+            % _CMS_W
+        )
+
+    cms = (
+        toks.crossJoin(F.broadcast(depths))
+        .groupBy("d", bucket(F.col("tok"), F.col("d")).alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    vocab = toks.distinct()
+    probes = vocab.crossJoin(F.broadcast(depths)).select(
+        "tok", "d", bucket(F.col("tok"), F.col("d")).alias("bucket")
+    )
+    est = (
+        probes.join(F.broadcast(cms), ["d", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("cnt").cast("long").alias("est"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("est"), F.asc("tok"))
+    return (
+        est.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 20)
+    )
