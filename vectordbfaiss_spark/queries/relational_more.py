@@ -663,3 +663,54 @@ def q_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hi"),
     )
+
+
+def _profile_oracle() -> str:
+    num = ["o_orderkey", "o_custkey", "o_totalprice"]
+    txt = ["o_orderstatus", "o_orderpriority", "o_orderdate_s"]
+    base = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, o_orderpriority,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s
+FROM orders
+"""
+    blocks = []
+    for c in num + txt:
+        is_num = c in num
+        blocks.append(
+            f"""SELECT '{c}' AS col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       {f'round(CAST(min({c}) AS DOUBLE), 6)' if is_num else 'CAST(NULL AS DOUBLE)'} AS min_num,
+       {f'round(CAST(max({c}) AS DOUBLE), 6)' if is_num else 'CAST(NULL AS DOUBLE)'} AS max_num,
+       {'CAST(NULL AS VARCHAR)' if is_num else f'min({c})'} AS min_str,
+       {'CAST(NULL AS VARCHAR)' if is_num else f'max({c})'} AS max_str
+FROM t"""
+        )
+    return f"WITH t AS ({base})\n" + "\nUNION ALL\n".join(blocks)
+
+
+@register("profile_orders_table", _profile_oracle())
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column profile of orders (operators/profile.py):
+    nulls, distincts, min/max for every column from ONE aggregate over
+    ONE scan, unpivoted with stack. The pre-filter decision report a
+    curation pipeline runs first — and the shape ANALYZE TABLE uses.
+    Timestamps profile as formatted strings (lexicographic ==
+    chronological for a fixed format); numerics stay numeric so no
+    engine-specific float-to-string formatting leaks into results."""
+    from vectordbfaiss_spark.operators.profile import profile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate_s"),
+    )
+    return profile(
+        o,
+        num_cols=["o_orderkey", "o_custkey", "o_totalprice"],
+        str_cols=["o_orderstatus", "o_orderpriority", "o_orderdate_s"],
+    )
