@@ -169,12 +169,15 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _CMS_W
         )
 
+    # aggregate term frequencies FIRST (the only token-volume shuffle),
+    # then expand the vocab-sized tf table by d — not the raw token stream
+    tf = toks.groupBy("tok").agg(F.count("*").alias("tf"))
     cms = (
-        toks.crossJoin(F.broadcast(depths))
+        tf.crossJoin(F.broadcast(depths))
         .groupBy("d", bucket(F.col("tok"), F.col("d")).alias("bucket"))
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("tf").alias("cnt"))
     )
-    vocab = toks.distinct()
+    vocab = tf.select("tok")
     probes = vocab.crossJoin(F.broadcast(depths)).select(
         "tok", "d", bucket(F.col("tok"), F.col("d")).alias("bucket")
     )
