@@ -692,10 +692,12 @@ FROM t"""
 
 @register("profile_orders_table", _profile_oracle())
 def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-pass per-column profile of orders (operators/profile.py):
-    nulls, distincts, min/max for every column from ONE aggregate over
-    ONE scan, unpivoted with stack. The pre-filter decision report a
-    curation pipeline runs first — and the shape ANALYZE TABLE uses.
+    """Per-column profile of orders (operators/profile.py): nulls, exact
+    distincts, min/max as a union of NARROW single-column aggregates —
+    each scans only its own parquet column, vs the multi-distinct
+    single-agg plan whose Expand multiplies full-width rows into the
+    shuffle (measured ~2.5x slower; see operator docstring). The
+    pre-filter decision report a curation pipeline runs first.
     Timestamps profile as formatted strings (lexicographic ==
     chronological for a fixed format); numerics stay numeric so no
     engine-specific float-to-string formatting leaks into results."""
