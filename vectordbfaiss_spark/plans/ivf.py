@@ -153,9 +153,20 @@ def build_ivf_index(
     ``partitionBy("cluster_id")`` encodes the inverted lists as directories —
     query-side ``cluster_id`` predicates become file skipping. Returns the
     centroids (callers persist them next to the index or re-derive).
+
+    The pre-write ``repartition(cluster_id)`` is the dynamic-partition-write
+    rule: without it every upstream task emits one file into EVERY cluster
+    directory (tasks x clusters small files — at 1000 tasks x 1000 clusters,
+    a million files); with it each cluster's list arrives at one task and
+    writes one well-sized file. AQE splits any skewed-cluster partition.
     """
     assigned, centroids = assign_clusters(index, vec_col, n_clusters, seed)
-    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(out_path)
+    (
+        assigned.repartition("cluster_id")
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(out_path)
+    )
     return centroids
 
 
