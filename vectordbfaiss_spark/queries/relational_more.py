@@ -716,3 +716,37 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_cols=["o_orderkey", "o_custkey", "o_totalprice"],
         str_cols=["o_orderstatus", "o_orderpriority", "o_orderdate_s"],
     )
+
+
+_VARIANT_ORACLE = """
+SELECT event_id AS eid, user_id AS uid, event_type AS etype,
+       round(value, 6) AS val
+FROM events
+"""
+
+
+@register("variant_json_extract_events", _VARIANT_ORACLE)
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType surface: serialize each event to JSON, parse to
+    VARIANT (binary-encoded semi-structured value — one parse, typed
+    sub-field access after), then extract nested/array paths back out.
+    The contract is roundtrip identity, so the oracle reads the original
+    columns — any drift in the JSON encode, variant parse, or typed
+    variant_get shows up as a mismatch. At scale variant beats repeated
+    get_json_object (which re-parses the string per extraction)."""
+    e = load_table(spark, sf_dir, "events")
+    j = F.to_json(
+        F.struct(
+            F.col("event_type"),
+            F.col("value"),
+            F.struct(F.col("user_id").alias("u")).alias("meta"),
+            F.array(F.col("event_id")).alias("ids"),
+        )
+    )
+    v = e.select(F.parse_json(j).alias("v"))
+    return v.select(
+        F.variant_get("v", "$.ids[0]", "long").alias("eid"),
+        F.variant_get("v", "$.meta.u", "long").alias("uid"),
+        F.variant_get("v", "$.event_type", "string").alias("etype"),
+        F.round(F.variant_get("v", "$.value", "double"), 6).alias("val"),
+    )

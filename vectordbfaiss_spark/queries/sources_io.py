@@ -477,3 +477,72 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return ivfpq_search(encoded, queries, centroids, books, k=10, nprobe=4)
+
+
+_SQLITE_RT_ORACLE = """
+WITH first_per_text AS (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT md5(f.text) AS content_md5,
+       CAST(len(e.embedding) AS BIGINT) AS vec_len,
+       round(CAST(e.embedding[1] AS DOUBLE), 6) AS v0
+FROM first_per_text f JOIN embeddings e ON f.doc_id = e.vec_id
+WHERE f.rn = 1
+"""
+
+
+@register("sqlite_roundtrip_docs", _SQLITE_RT_ORACLE)
+def q_sqlite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-storage-format roundtrip: documents+embeddings ->
+    vectors.db via the sqlite_documents Python DataSource (float32-LE
+    blobs, INSERT OR IGNORE like server.js:194,198) -> partitioned read
+    back -> per-row checksums. Ids are autoincrement-assigned, so the
+    contract is content-addressed: md5 of content plus vector shape and
+    first component. Duplicate texts are collapsed to the min-doc_id row
+    FIRST (deterministically), matching the UNIQUE-keeps-first semantics
+    without depending on insert order. The write coalesces to one task —
+    SQLite serializes writers; this sink is the export-back-to-reference
+    escape hatch, not a scale sink (see sources/sqlite_source.py)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window as W2
+
+    from vectordbfaiss_spark.sources.sqlite_source import SQLiteDocumentsDataSource
+
+    spark.dataSource.register(SQLiteDocumentsDataSource)
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    first = (
+        docs.withColumn(
+            "rn", F.row_number().over(W2.partitionBy("text").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    rows = first.join(emb, first.doc_id == emb.vec_id).select(
+        F.lit(None).cast("long").alias("id"),
+        F.col("text").alias("content"),
+        F.col("embedding").alias("vector"),
+    )
+    db = os.path.join(
+        tempfile.gettempdir(), f"vdbf_rt_{abs(hash(sf_dir)) % 10**8}.db"
+    )
+    if os.path.exists(db):
+        os.remove(db)
+    rows.coalesce(1).write.format("sqlite_documents").option("path", db).mode(
+        "append"
+    ).save()
+    back = (
+        spark.read.format("sqlite_documents")
+        .option("path", db)
+        .option("numPartitions", "4")
+        .load()
+    )
+    return back.select(
+        F.md5("content").alias("content_md5"),
+        F.size("vector").cast("long").alias("vec_len"),
+        F.round(F.element_at("vector", 1).cast("double"), 6).alias("v0"),
+    )
