@@ -37,7 +37,10 @@ _SCRIPT = textwrap.dedent(
     for name in ["window_first_events_per_user", "tumbling_window_daily",
                  "asof_join_click_purchase", "q3_shipping_priority",
                  "session_window_builtin", "scd2_event_intervals",
-                 "trending_types_daily_top2", "interval_join_click_purchase"]:
+                 "trending_types_daily_top2", "interval_join_click_purchase",
+                 "zscore_outlier_events", "incremental_daily_agg",
+                 "profile_orders_table", "variant_json_extract_events",
+                 "sqlite_roundtrip_docs"]:
         mine = mod.queries()[name](spark, sf).toPandas()
         orc = con.sql(mod.oracle_sql()[name]).df()
         assert len(mine) == len(orc), (name, len(mine), len(orc))
