@@ -750,3 +750,35 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get("v", "$.event_type", "string").alias("etype"),
         F.round(F.variant_get("v", "$.value", "double"), 6).alias("val"),
     )
+
+
+_SALTED_ORACLE = """
+SELECT event_type,
+       round(sum(value), 4) AS sum_value,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("skew_salted_event_totals", _SALTED_ORACLE)
+def q_salted_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation (operators/skew.py) on a genuinely
+    skewed keyspace — events has only 5 event_type groups, so a naive
+    groupBy lands ALL rows on 5 reducers no matter how many executors
+    exist. Stage 1 aggregates on (key, salt) spreading each hot key over
+    16 partitions; stage 2 folds the 5x16 partials. The oracle is the
+    plain GROUP BY: salting must be invisible in results. This is the
+    hash-agg fallback for the single-hot-group case AQE skew handling
+    doesn't cover (AQE splits skewed JOIN partitions, not agg groups)."""
+    from vectordbfaiss_spark.operators.skew import salted_sum
+
+    e = load_table(spark, sf_dir, "events")
+    out = salted_sum(
+        e.select("event_type", "value"), key="event_type", value="value"
+    )
+    return out.select(
+        "event_type",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
