@@ -193,3 +193,69 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF surface (Spark 4): lateral table function. The chunk-span
+# arithmetic mirrors the reference chunker's stride semantics
+# (embed.js:183-195 — window `size`, advance `step`, stop once a chunk
+# reaches the end), so the oracle is closed-form over generate_series.
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE, _CHUNK_STEP = 40, 30
+
+_UDTF_ORACLE = f"""
+WITH spans AS (
+  SELECT doc_id,
+         unnest(generate_series(
+           0,
+           CAST(greatest(ceil((n_chars - {_CHUNK_SIZE}.0) / {_CHUNK_STEP}.0), 0) AS BIGINT)
+         )) AS i,
+         n_chars
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * {_CHUNK_STEP} AS BIGINT) AS start_char,
+       CAST(least(i * {_CHUNK_STEP} + {_CHUNK_SIZE}, n_chars) AS BIGINT) AS end_char
+FROM spans
+"""
+
+
+@register("udtf_chunk_spans", _UDTF_ORACLE)
+def q_udtf_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function) in a LATERAL
+    join: one input row -> variable output rows, the API surface for
+    row-expanding custom logic that doesn't fit a scalar UDF or a single
+    explode. The UDTF emits the reference chunker's span arithmetic
+    (embed.js:183-195 stride semantics: last chunk emitted once the
+    window reaches the end); the oracle reproduces it in closed form
+    with generate_series, so the lateral plumbing is hash-verified.
+    Arrow-batched like any pandas path; each row's expansion is local,
+    so the operator is a pure flatMap at scale — no shuffle."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx: long, start_char: long, end_char: long")
+    class ChunkSpans:
+        def eval(self, n_chars: int, size: int, step: int):
+            if n_chars is None or n_chars <= 0:
+                return
+            start, idx = 0, 0
+            while start < n_chars:
+                yield idx, start, min(start + size, n_chars)
+                if start + size >= n_chars:
+                    break
+                start += step
+                idx += 1
+
+    spark.udtf.register("vdbf_chunk_spans", ChunkSpans)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs.createOrReplaceTempView("vdbf_udtf_docs")
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, s.chunk_idx, s.start_char, s.end_char
+        FROM vdbf_udtf_docs d,
+             LATERAL vdbf_chunk_spans(CAST(d.n_chars AS INT),
+                                      {_CHUNK_SIZE}, {_CHUNK_STEP}) s
+        """
+    )
