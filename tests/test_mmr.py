@@ -116,3 +116,18 @@ def test_registry_query_deterministic(spark):
     a = sorted(map(tuple, fn(spark, SF_DIR).collect()))
     b = sorted(map(tuple, fn(spark, SF_DIR).collect()))
     assert a == b and len(a) == 25  # 5 queries x 5 picks
+
+
+def test_filtered_topk_with_unsatisfiable_filter_is_empty(spark):
+    """Pre-filter ANN contract: an empty corpus yields an empty result,
+    not an error (the reference's empty-index guard, server.js:46-48)."""
+    from pyspark.sql import functions as F2
+
+    from vectordbfaiss_spark.operators.topk import score_topk_vectorized
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = emb.filter(F2.col("vec_id") < 0)  # nothing survives
+    queries = emb.filter(F2.col("vec_id") < 3).select(
+        F2.col("vec_id").alias("query_id"), F2.col("embedding").alias("query_vec")
+    )
+    assert score_topk_vectorized(queries, corpus, k=5).count() == 0

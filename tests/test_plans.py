@@ -188,3 +188,19 @@ def test_incremental_merge_shuffles_view_keys_only(spark):
     assert "SortMergeJoin" not in plan
     for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
         assert "event_type" in m.group(1), m.group(0)
+
+
+def test_hybrid_rrf_fusion_joins_stay_hash_or_broadcast(spark):
+    q = registry.queries()["hybrid_rrf_fusion"](spark, SF_DIR)
+    plan = _plan(q)
+    # the Q*20-row fused lists must never sort-merge; the full-outer fusion
+    # join of two bounded lists is a hash join
+    assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_cms_probe_join_broadcasts_sketch(spark):
+    q = registry.queries()["cms_heavy_hitters"](spark, SF_DIR)
+    plan = _plan(q)
+    # the d*w-counter sketch is broadcast to the vocab probes
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

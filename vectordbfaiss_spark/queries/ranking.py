@@ -196,8 +196,11 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("krnk") <= 20)
         .select("query_id", "doc_id", "krnk")
     )
+    # full outer can't broadcast either side; hint SHUFFLE_HASH so the
+    # bounded Q*20 lists hash-join after the shuffle instead of paying
+    # SortMergeJoin's per-partition sorts
     fused = (
-        vrank.join(krank, ["query_id", "doc_id"], "full_outer")
+        vrank.hint("SHUFFLE_HASH").join(krank, ["query_id", "doc_id"], "full_outer")
         .select(
             "query_id",
             "doc_id",
