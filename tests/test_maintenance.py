@@ -108,3 +108,55 @@ def test_compact_sorted_clusters_row_groups(spark, tmp_path):
     a = spark.read.parquet(src).orderBy("o_orderkey").collect()
     b = spark.read.parquet(out).orderBy("o_orderkey").collect()
     assert a == b
+
+
+def test_zorder_compact_prunes_on_both_dimensions(spark, tmp_path):
+    """Files after a Z-order rewrite are rectangles on the (custkey,
+    totalprice) grid: a selective range predicate on EITHER column must
+    rule out a majority of files by footer min/max alone — the property
+    a single-column sort only provides for its own sort key."""
+    import pyarrow.parquet as pq
+
+    from vectordbfaiss_spark.operators.maintenance import zorder_compact
+    from vectordbfaiss_spark.session import load_table
+
+    src = str(tmp_path / "zsrc")
+    out = str(tmp_path / "zout")
+    load_table(spark, "/root/testdata/sf0.01", "orders").repartition(
+        8
+    ).write.parquet(src)
+    zorder_compact(
+        spark, src, out, "o_custkey", "o_totalprice", bits=8, n_files=16
+    )
+
+    boxes = []
+    for f in pathlib.Path(out).glob("*.parquet"):
+        md = pq.ParquetFile(str(f)).metadata
+        idx = {md.schema.column(i).name: i for i in range(len(md.schema))}
+        stats = {}
+        for c in ("o_custkey", "o_totalprice"):
+            mins = [md.row_group(rg).column(idx[c]).statistics.min
+                    for rg in range(md.num_row_groups)]
+            maxs = [md.row_group(rg).column(idx[c]).statistics.max
+                    for rg in range(md.num_row_groups)]
+            stats[c] = (min(mins), max(maxs))
+        boxes.append(stats)
+    assert len(boxes) == 16
+
+    lo_k = min(b["o_custkey"][0] for b in boxes)
+    hi_k = max(b["o_custkey"][1] for b in boxes)
+    lo_p = min(b["o_totalprice"][0] for b in boxes)
+    hi_p = max(b["o_totalprice"][1] for b in boxes)
+
+    # bottom-eighth range query on each dimension independently
+    k_cut = lo_k + (hi_k - lo_k) / 8
+    p_cut = lo_p + (hi_p - lo_p) / 8
+    touch_k = sum(1 for b in boxes if b["o_custkey"][0] <= k_cut)
+    touch_p = sum(1 for b in boxes if b["o_totalprice"][0] <= p_cut)
+    assert touch_k <= 8, [b["o_custkey"] for b in boxes]
+    assert touch_p <= 8, [b["o_totalprice"] for b in boxes]
+
+    # rewrite is lossless
+    a = spark.read.parquet(src).orderBy("o_orderkey").collect()
+    b = spark.read.parquet(out).orderBy("o_orderkey").collect()
+    assert a == b
