@@ -546,3 +546,45 @@ def q_sqlite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("vector").cast("long").alias("vec_len"),
         F.round(F.element_at("vector", 1).cast("double"), 6).alias("v0"),
     )
+
+
+_SNAPSHOT_ORACLE = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE doc_id < 200
+GROUP BY lang
+"""
+
+
+@register("snapshot_pinned_read_docs", _SNAPSHOT_ORACLE)
+def q_snapshot_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset versioning end-to-end (sources/snapshots.py): publish v1 =
+    docs under id 200, publish v2 = the full corpus, then read PINNED
+    v1 — the oracle sees only the v1 predicate, so the hash-match proves
+    the pin still resolves bit-identically after the table moved on.
+    The repro guarantee a training pipeline needs ("model X trained on
+    corpus v1") with plain parquet + an atomic pointer file."""
+    import os
+    import shutil
+    import tempfile
+
+    from vectordbfaiss_spark.sources.snapshots import (
+        snapshot_read,
+        snapshot_write,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    table = os.path.join(
+        tempfile.gettempdir(), f"vdbf_snap_{abs(hash(sf_dir)) % 10**8}"
+    )
+    if os.path.exists(table):
+        shutil.rmtree(table)
+    snapshot_write(docs.filter(F.col("doc_id") < 200), table)
+    snapshot_write(docs, table)  # the table moves on...
+    pinned = snapshot_read(spark, table, version=1)  # ...the pin does not
+    return pinned.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
