@@ -40,6 +40,35 @@ def main() -> None:
     _warm = F.pandas_udf(lambda s: s, T.LongType())
     spark.range(64).select(_warm("id")).count()
 
+    # Python-DataSource infra warmup (same rationale): the first datasource
+    # read and first write each spin dedicated Python runner processes
+    # (~5-8 s one-time); touch both on a 1-row throwaway db
+    import sqlite3
+    import struct
+    import tempfile
+
+    from vectordbfaiss_spark.sources.sqlite_source import SQLiteDocumentsDataSource
+
+    spark.dataSource.register(SQLiteDocumentsDataSource)
+    _db = os.path.join(tempfile.mkdtemp(), "warm.db")
+    _con = sqlite3.connect(_db)
+    _con.execute(
+        "CREATE TABLE documents (id INTEGER PRIMARY KEY, "
+        "content TEXT UNIQUE, vector BLOB)"
+    )
+    _con.execute(
+        "INSERT INTO documents (content, vector) VALUES ('w', ?)",
+        (struct.pack("<2f", 1.0, 2.0),),
+    )
+    _con.commit()
+    _con.close()
+    spark.read.format("sqlite_documents").option("path", _db).load().count()
+    spark.createDataFrame(
+        [(None, "w2", [1.0])], "id LONG, content STRING, vector ARRAY<FLOAT>"
+    ).coalesce(1).write.format("sqlite_documents").option("path", _db).mode(
+        "append"
+    ).save()
+
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     wanted = set(subset.split(",")) if subset else None
 

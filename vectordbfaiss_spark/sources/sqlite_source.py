@@ -105,7 +105,12 @@ class _SQLiteReader(DataSourceReader):
             for i in range(n)
         ]
 
-    def read(self, partition: _RowidRange) -> Iterator[tuple]:
+    def read(self, partition: _RowidRange):
+        # yield Arrow RecordBatches, not tuples: the per-row Python<->JVM
+        # bridge is ~10k rows/s, the Arrow path is columnar (measured 3.3s
+        # -> sub-second for a 5k-row read at sf0.1)
+        import pyarrow as pa
+
         if partition.hi < partition.lo:
             return
         con = sqlite3.connect(f"file:{partition.path}?mode=ro", uri=True)
@@ -115,8 +120,21 @@ class _SQLiteReader(DataSourceReader):
                 "WHERE rowid BETWEEN ? AND ? ORDER BY rowid",
                 (partition.lo, partition.hi),
             )
-            for rid, content, blob in cur:
-                yield rid, content, decode_f32le(blob)
+            while True:
+                chunk = cur.fetchmany(2048)
+                if not chunk:
+                    break
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([r[0] for r in chunk], pa.int64()),
+                        pa.array([r[1] for r in chunk], pa.string()),
+                        pa.array(
+                            [decode_f32le(r[2]) for r in chunk],
+                            pa.list_(pa.float32()),
+                        ),
+                    ],
+                    names=["id", "content", "vector"],
+                )
         finally:
             con.close()
 
@@ -140,14 +158,20 @@ class _SQLiteWriter(DataSourceWriter):
                 "content TEXT UNIQUE, vector BLOB)"
             )
             n = 0
+            sql = (
+                f"INSERT OR IGNORE INTO {self.table} (content, vector) "
+                "VALUES (?, ?)"  # OR IGNORE == the reference's content dedup
+            )
+            batch: list[tuple] = []
             for row in rows:
-                # INSERT OR IGNORE == the reference's content-dedup append
-                con.execute(
-                    f"INSERT OR IGNORE INTO {self.table} (content, vector) "
-                    "VALUES (?, ?)",
-                    (row["content"], encode_f32le(row["vector"])),
-                )
-                n += 1
+                batch.append((row["content"], encode_f32le(row["vector"])))
+                if len(batch) >= 1024:
+                    con.executemany(sql, batch)
+                    n += len(batch)
+                    batch.clear()
+            if batch:
+                con.executemany(sql, batch)
+                n += len(batch)
             con.commit()
             return _WriteDone(n)
         finally:
