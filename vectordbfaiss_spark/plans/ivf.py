@@ -147,6 +147,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     n_clusters: int = 16,
     seed: int = 42,
+    corpus_key: str | None = None,
 ) -> list:
     """Build and persist the IVF index: cluster-partitioned Parquet.
 
@@ -160,7 +161,9 @@ def build_ivf_index(
     a million files); with it each cluster's list arrives at one task and
     writes one well-sized file. AQE splits any skewed-cluster partition.
     """
-    assigned, centroids = assign_clusters(index, vec_col, n_clusters, seed)
+    assigned, centroids = assign_clusters(
+        index, vec_col, n_clusters, seed, corpus_key=corpus_key
+    )
     (
         assigned.repartition("cluster_id")
         .write.mode("overwrite")

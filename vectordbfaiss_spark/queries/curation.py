@@ -214,3 +214,136 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(norm).cast("long").alias("n_chars_norm"),
         F.md5(norm).alias("norm_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: n-gram collision against a held-out set
+# ---------------------------------------------------------------------------
+
+_DECON_N = 5  # tokens per shingle (big enough to be phrase-specific)
+
+_DECON_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(rtrim(text), '\\s+') AS l
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         array_to_string(l[i : i + {_DECON_N} - 1], ' ') AS shingle
+  FROM toks, LATERAL unnest(generate_series(1, len(l) - {_DECON_N} + 1)) AS t(i)
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id < 10
+), corpus AS (
+  SELECT doc_id, shingle FROM sh WHERE doc_id >= 10
+), hits AS (
+  SELECT c.doc_id, count(DISTINCT c.shingle) AS n_hits
+  FROM corpus c JOIN bench b ON c.shingle = b.shingle
+  GROUP BY c.doc_id
+), totals AS (
+  SELECT doc_id, count(DISTINCT shingle) AS n_shingles FROM corpus GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_shingles AS BIGINT) AS n_shingles,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_contaminated,
+       round(coalesce(h.n_hits, 0) * 1.0 / t.n_shingles, 6) AS contamination
+FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+WHERE coalesce(h.n_hits, 0) > 0
+"""
+
+
+@register("benchmark_decontamination", _DECON_ORACLE)
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-set decontamination: flag corpus documents sharing 5-token
+    shingles with a held-out benchmark set (docs 0-9 stand in for the
+    eval set). THE hygiene pass before any pretraining run — eval
+    answers leaking into training data invalidate the benchmark. Plan:
+    both sides shingle once (posexplode over the token array); the
+    benchmark's distinct-shingle set is benchmark-sized (tiny) and
+    BROADCAST against the corpus shingles, so the collision check is a
+    map-side semi-ish join — no corpus-sized shuffle beyond the per-doc
+    distinct aggregate. Only contaminated docs are emitted."""
+    from vectordbfaiss_spark.session import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(docs).select(
+        "doc_id", F.split(F.rtrim("text"), r"\s+").alias("l")
+    )
+    n = _DECON_N
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("l") - n),
+                lambda i: F.concat_ws(" ", F.slice("l", i + 1, n)),
+            )
+        ).alias("shingle"),
+    )
+    bench = sh.filter(F.col("doc_id") < 10).select("shingle").distinct()
+    corpus = sh.filter(F.col("doc_id") >= 10)
+    hits = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_hits"))
+    )
+    totals = corpus.groupBy("doc_id").agg(
+        F.countDistinct("shingle").alias("n_shingles")
+    )
+    return (
+        totals.join(hits, "doc_id")
+        .filter(F.col("n_hits") > 0)
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_hits").cast("long").alias("n_contaminated"),
+            F.round(F.col("n_hits") * 1.0 / F.col("n_shingles"), 6).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
+_NLL_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(rtrim(text), '\\s+')) AS tok
+  FROM documents
+), g AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), n AS (
+  SELECT count(*) AS total FROM toks
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_toks,
+       round(avg(-ln(g.c * 1.0 / n.total)), 6) AS avg_nll
+FROM toks t JOIN g ON t.tok = g.tok CROSS JOIN n
+GROUP BY t.doc_id
+"""
+
+
+@register("unigram_logprob_quality", _NLL_ORACLE)
+def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring, unigram edition: per-document mean
+    negative log-likelihood under the corpus's own unigram distribution —
+    the cheap statistical stand-in for model-based perplexity filtering
+    (docs full of rare junk score high, formulaic boilerplate scores
+    low; both tails get inspected before training). The model IS a
+    vocab-sized aggregate: broadcast back over one token explode, so
+    scoring any corpus is one shuffle (the per-doc aggregate)."""
+    from vectordbfaiss_spark.session import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(docs).select(
+        "doc_id", F.explode(F.split(F.rtrim("text"), r"\s+")).alias("tok")
+    )
+    g = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    n = toks.agg(F.count("*").alias("total"))
+    return (
+        toks.join(F.broadcast(g), "tok")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_toks"),
+            F.round(F.avg(-F.log(F.col("c") * 1.0 / F.col("total"))), 6).alias(
+                "avg_nll"
+            ),
+        )
+    )

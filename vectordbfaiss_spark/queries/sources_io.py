@@ -308,7 +308,7 @@ def q_ivf_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     out = f"/root/repo/spark-warehouse/ivf_index_{pathlib.Path(sf_dir).name}"
-    centroids = build_ivf_index(emb, out, n_clusters=8, seed=42)
+    centroids = build_ivf_index(emb, out, n_clusters=8, seed=42, corpus_key=sf_dir)
     index = spark.read.parquet(out)
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
