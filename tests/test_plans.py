@@ -204,3 +204,30 @@ def test_cms_probe_join_broadcasts_sketch(spark):
     # the d*w-counter sketch is broadcast to the vocab probes
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Partition-pruning at runtime (DPP): joining a day-partitioned fact
+    table against a filtered dim must inject a dynamicpruning subquery so
+    only the matching day directories are scanned — the mechanism that
+    turns a date-dimension filter into file skipping on a 100 TB fact
+    table without the filter appearing on the fact side at all."""
+    ev = load_table(spark, SF_DIR, "events")
+    fact = str(tmp_path / "events_by_day")
+    ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd")).write.partitionBy(
+        "day"
+    ).parquet(fact)
+
+    # the dim must be independent of the fact and carry a selective filter
+    # for the DPP heuristic to fire
+    dim = spark.createDataFrame(
+        [(f"2024-01-{d:02d}", d) for d in range(1, 32)], "day STRING, dnum INT"
+    )
+    f = spark.read.parquet(fact)
+    joined = (
+        f.join(F.broadcast(dim.filter(F.col("dnum") <= 2)), "day")
+        .groupBy("day")
+        .count()
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
