@@ -65,3 +65,14 @@ def test_streaming_mv_matches_batch_aggregate(spark, tmp_path):
     got = finalize(spark.read.parquet(str(tmp_path / "mv_state")))
     want = finalize(partial_daily_state(ev))
     assert _rows(got) == _rows(want)
+
+
+def test_ewma_matches_pandas_adjusted(spark):
+    """The window-cumsum EWMA must equal pandas ewm(adjust=True).mean()."""
+    from vectordbfaiss_spark.registry import queries
+
+    got = queries()["ewma_daily_counts"](spark, SF_DIR).toPandas()
+    for etype, g in got.groupby("event_type"):
+        g = g.sort_values("day")
+        want = g["n"].ewm(alpha=0.3, adjust=True).mean().round(6)
+        assert (g["ewma"].round(6) - want).abs().max() < 1e-5, etype

@@ -782,3 +782,72 @@ def q_salted_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_value", 4).alias("sum_value"),
         F.col("n_rows").cast("long").alias("n_rows"),
     )
+
+
+_EWMA_A = 0.3
+
+# EWMA via the numerically-explicit closed form: ewma_i = a * (1-a)^i *
+# cumsum_j<=i[ (1-a)^(-j) * x_j ], normalized by the weight sum so the
+# first rows aren't biased low. Identical expression order on both
+# engines; series are days-per-type (~30), so the (1-a)^(-j) terms stay
+# well inside double range.
+_EWMA_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+  FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+), idx AS (
+  SELECT event_type, day, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS i
+  FROM daily
+), acc AS (
+  SELECT event_type, day, n, i,
+         sum(power(1.0 - {_EWMA_A}, -i) * n)
+           OVER (PARTITION BY event_type ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+         sum(power(1.0 - {_EWMA_A}, -i))
+           OVER (PARTITION BY event_type ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w
+  FROM idx
+)
+SELECT event_type, day, CAST(n AS BIGINT) AS n,
+       round(s / w, 6) AS ewma
+FROM acc
+"""
+
+
+@register("ewma_daily_counts", _EWMA_ORACLE)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily event volumes
+    (alpha=0.3) — trend smoothing for the anomaly family. EWMA's
+    recursion is rewritten as a weighted cumulative sum (two sums in ONE
+    window pass), so the 'iterative' smoother is a plain window
+    aggregate: one shuffle on event_type, state O(1) per row. The
+    normalized form (divide by the running weight sum) matches pandas
+    ewm(adjust=True) semantics."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    wi = W.partitionBy("event_type").orderBy("day")
+    idx = daily.withColumn("i", F.row_number().over(wi) - 1)
+    frame = (
+        W.partitionBy("event_type")
+        .orderBy("i")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    decay = F.pow(F.lit(1.0 - _EWMA_A), -F.col("i"))
+    acc = idx.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum(decay * F.col("n")).over(frame).alias("s"),
+        F.sum(decay).over(frame).alias("w"),
+    )
+    return acc.select(
+        "event_type",
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("s") / F.col("w"), 6).alias("ewma"),
+    )
