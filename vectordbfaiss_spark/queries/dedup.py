@@ -181,3 +181,79 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(docs, "doc_id", "text", max_hamming=1).select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )
+
+
+_TRI_ORACLE = (
+    _jaccard_ctes(3)
+    + """,
+e AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.6),
+tri AS (
+  SELECT ab.id_a AS a, ab.id_b AS b, bc.id_b AS c
+  FROM e ab JOIN e bc ON ab.id_b = bc.id_a
+  JOIN e ac ON ab.id_a = ac.id_a AND bc.id_b = ac.id_b
+), nodes AS (
+  SELECT id_a AS doc_id FROM e UNION ALL SELECT id_b FROM e
+), deg AS (
+  SELECT doc_id, count(*) AS degree FROM nodes GROUP BY doc_id
+), tn AS (
+  SELECT v AS doc_id, count(*) AS n_tri
+  FROM (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+  GROUP BY v
+)
+SELECT d.doc_id,
+       CAST(d.degree AS BIGINT) AS degree,
+       CAST(coalesce(tn.n_tri, 0) AS BIGINT) AS n_triangles
+FROM deg d LEFT JOIN tn ON d.doc_id = tn.doc_id
+"""
+)
+
+
+@register("neardup_triangle_count", _TRI_ORACLE)
+def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics over the near-duplicate pair graph: per-node degree
+    and triangle participation (J >= 0.6 n-gram edges). Triangles are
+    mutual-similarity cliques — the difference between a chain of
+    borderline pairs and a genuine duplicate cluster; connected
+    components (dedup_cluster_components) can't tell those apart. Plan:
+    the edge list is blocking-bounded; the triangle enumeration is two
+    self-equi-joins ordered a<b<c so each triangle counts once. At scale
+    the standard node-degree-ordering optimization drops the join input
+    further; edge sets here are dedup-pair-sized (tiny), not corpus-sized."""
+    from vectordbfaiss_spark.operators.dedup import ngram_jaccard_pairs
+    from vectordbfaiss_spark.session import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    e = (
+        ngram_jaccard_pairs(fan_out(docs), "doc_id", "text", n=3, threshold=0.6)
+        .select("id_a", "id_b")
+    )
+    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
+    tri = (
+        ab.join(bc, F.col("ab.id_b") == F.col("bc.id_a"))
+        .join(
+            ac,
+            (F.col("ab.id_a") == F.col("ac.id_a"))
+            & (F.col("bc.id_b") == F.col("ac.id_b")),
+        )
+        .select(
+            F.col("ab.id_a").alias("a"),
+            F.col("ab.id_b").alias("b"),
+            F.col("bc.id_b").alias("c"),
+        )
+    )
+    nodes = e.select(F.col("id_a").alias("doc_id")).unionAll(
+        e.select(F.col("id_b").alias("doc_id"))
+    )
+    deg = nodes.groupBy("doc_id").agg(F.count("*").alias("degree"))
+    tn = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    return deg.join(tn, "doc_id", "left").select(
+        "doc_id",
+        F.col("degree").cast("long").alias("degree"),
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_triangles"),
+    )
