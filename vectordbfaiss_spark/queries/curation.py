@@ -347,3 +347,48 @@ def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_WINSOR_ORACLE = """
+WITH bounds AS (
+  SELECT quantile_cont(value, 0.01) AS p01,
+         quantile_cont(value, 0.99) AS p99
+  FROM events
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN e.value < b.p01 OR e.value > b.p99 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped,
+       round(avg(least(greatest(e.value, b.p01), b.p99)), 6) AS winsor_mean,
+       round(avg(e.value), 6) AS raw_mean
+FROM events e CROSS JOIN bounds b
+GROUP BY e.event_type
+"""
+
+
+@register("winsorize_event_values", _WINSOR_ORACLE)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized statistics: clip values to the global [p01, p99] band
+    before averaging — the robust-mean preprocessing a feature pipeline
+    applies before normalization so a single corrupt reading can't move
+    the statistics. Two passes: an exact-percentile scalar (one row,
+    broadcast back over the scan) then one hash aggregate; at 100 TB the
+    first pass swaps to approx_percentile with no other change
+    (the approx_percentiles_order_value entry demonstrates that path)."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.percentile("value", F.lit(0.01)).alias("p01"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    out_of_band = (F.col("value") < F.col("p01")) | (F.col("value") > F.col("p99"))
+    return (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(out_of_band, 1).otherwise(0)).cast("long").alias("n_clipped"),
+            F.round(F.avg(clipped), 6).alias("winsor_mean"),
+            F.round(F.avg("value"), 6).alias("raw_mean"),
+        )
+    )
