@@ -40,7 +40,8 @@ _SCRIPT = textwrap.dedent(
                  "trending_types_daily_top2", "interval_join_click_purchase",
                  "zscore_outlier_events", "incremental_daily_agg",
                  "profile_orders_table", "variant_json_extract_events",
-                 "sqlite_roundtrip_docs"]:
+                 "sqlite_roundtrip_docs", "ewma_daily_counts",
+                 "udtf_chunk_spans", "snapshot_pinned_read_docs"]:
         mine = mod.queries()[name](spark, sf).toPandas()
         orc = con.sql(mod.oracle_sql()[name]).df()
         assert len(mine) == len(orc), (name, len(mine), len(orc))
