@@ -851,3 +851,29 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round(F.col("s") / F.col("w"), 6).alias("ewma"),
     )
+
+
+_BOOL_AGG_ORACLE = """
+SELECT o_orderpriority,
+       bool_and(o_totalprice > 100)  AS all_over_100,
+       bool_or(o_orderstatus = 'F')  AS any_finished,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_open
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("bool_aggregates_orders", _BOOL_AGG_ORACLE)
+def q_bool_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family: every/any (bool_and/bool_or) plus the
+    null-skipping conditional count — the predicates-over-groups
+    vocabulary data-quality checks are written in. All map-side
+    combinable single-bit accumulators."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.every(F.col("o_totalprice") > 100).alias("all_over_100"),
+        F.some(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).cast("long").alias("n_open"),
+    )
