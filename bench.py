@@ -81,14 +81,25 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # Per-query timings go to a sidecar file, NOT stdout: the driver parses
+    # the (single, small) stdout JSON line, and a ~4 KB line with 140+ query
+    # timings overflowed its capture in round 1 (BENCH_r01.json parsed:null).
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_queries.json"), "w") as f:
+        json.dump(
+            {"sf": sf, "n_queries": len(timings), "queries": timings}, f, indent=1
+        )
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     print(
         json.dumps(
             {
                 "metric": "registry_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+                "queries_file": "bench_queries.json",
+                "slowest5": slowest,
             }
         )
     )

@@ -24,7 +24,13 @@ def test_bench_emits_driver_contract_json():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     line = out.stdout.strip().splitlines()[-1]
+    # the stdout line must be small enough for the driver's capture (round-1
+    # lesson: a 4 KB line with all per-query timings failed to parse)
+    assert len(line) < 1024
     d = json.loads(line)
     assert d["unit"] == "sec" and d["sf"] == 0.001
-    assert set(d["queries"]) == {"q1_pricing_summary", "topk_search"}
     assert d["value"] > 0 and isinstance(d["metric"], str)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, d["queries_file"])) as f:
+        side = json.load(f)
+    assert set(side["queries"]) == {"q1_pricing_summary", "topk_search"}
