@@ -89,7 +89,9 @@ def run_pair(spark, name: str, sf_dir: str) -> list[str]:
     sql = registry.oracle_sql().get(name)
     mine = fn(spark, sf_dir).toPandas()
     if sql is None:
-        return [] if len(mine) >= 0 else [f"{name}: spark query failed"]
+        # rows-only entries still must produce rows — an empty result would
+        # silently pass the driver's weaker check while meaning "broken"
+        return [] if len(mine) > 0 else [f"{name}: rows-only query returned 0 rows"]
     con = duckdb_connection(sf_dir)
     oracle = con.sql(sql).df()
     con.close()

@@ -134,6 +134,7 @@ def _load() -> None:
         curation,
         dedup,
         graph_cluster,
+        ingest_e2e,
         ranking,
         reference_parity,
         relational,

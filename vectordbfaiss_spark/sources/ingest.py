@@ -119,6 +119,23 @@ def write_dedup_append(
     return deduped
 
 
+def canonical_dedup_chunks(chunks: DataFrame) -> DataFrame:
+    """Deterministic in-batch chunk dedup: one row per distinct content,
+    winner = smallest (stem, chunk_idx).
+
+    ``dropDuplicates`` keeps an *arbitrary* duplicate — fine for the
+    reference's first-writer-wins semantics (server.js:198) but the winner
+    then depends on task scheduling, so rebuilds are not reproducible and
+    the result is not oracle-checkable. A min-struct aggregate costs the
+    same single hash shuffle on content and pins the winner.
+    """
+    return (
+        chunks.groupBy("content")
+        .agg(F.min(F.struct("stem", "chunk_idx", "chunk_name")).alias("w"))
+        .select("w.stem", "w.chunk_idx", "w.chunk_name", "content")
+    )
+
+
 def ingest_text_dir(
     spark: SparkSession,
     src_dir: str,
@@ -137,9 +154,7 @@ def ingest_text_dir(
     files = load_text_dir(spark, src_dir)
     chunks = chunk_documents(files, n=n, m=m)
     written = write_dedup_append(
-        embed_chunks(
-            chunks.dropDuplicates(["content"]), dim
-        ),
+        embed_chunks(canonical_dedup_chunks(chunks), dim),
         store_path,
         spark,
     )
