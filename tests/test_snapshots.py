@@ -49,3 +49,32 @@ def test_publish_read_rollback_vacuum(spark, tmp_path):
 def test_unpublished_table_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         snapshot_read(spark, str(tmp_path / "nope"))
+
+
+def test_partial_version_not_published_but_numbering_skips_it(spark, tmp_path):
+    import os
+
+    from vectordbfaiss_spark.sources.snapshots import (
+        _versions,
+        snapshot_rollback,
+        snapshot_write,
+    )
+
+    table = str(tmp_path / "corpus")
+    docs = load_table(spark, SF_DIR, "documents")
+    snapshot_write(docs.filter(F.col("doc_id") < 10), table)
+
+    # simulate a writer that crashed mid-write: v=2 exists, no _SUCCESS
+    partial = os.path.join(table, "v=2")
+    os.makedirs(partial)
+    with open(os.path.join(partial, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"garbage")
+
+    assert _versions(table) == [1]  # unpublished => invisible to readers
+    with pytest.raises(ValueError):
+        snapshot_rollback(table, 2)  # cannot point at partial data
+
+    # the next write must NOT collide with the partial directory
+    v = snapshot_write(docs.filter(F.col("doc_id") < 20), table)
+    assert v == 3
+    assert snapshot_read(spark, table).count() == 20

@@ -93,6 +93,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.4,
     restrict_ids: DataFrame | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over n-gram shingle sets for every pair
     sharing >= 1 shingle; keep pairs with J >= threshold.
@@ -107,6 +108,17 @@ def ngram_jaccard_pairs(
     surface one). ``restrict_ids`` (optional) semi-joins the shingle set
     down to a candidate id list first — used by the LSH verify step so the
     exact-Jaccard join runs only over banding candidates, not the corpus.
+
+    ``max_shingle_df`` (standalone-scale guard): drop shingles whose
+    document frequency exceeds the cap BEFORE the self-join. A shingle
+    shared by f documents contributes f^2/2 join rows, so one boilerplate
+    trigram ("terms of service …") at f=10^6 produces a 5*10^11-row bucket
+    — the quadratic skew that kills the unrestricted join at 100 TB.
+    Capping changes the exact result only for pairs whose EVERY shared
+    shingle is above the cap (standard in the dedup literature; those pairs
+    are boilerplate-only matches). Pick the cap above the corpus' plausible
+    non-boilerplate df; the LSH verify path leaves it None because
+    ``restrict_ids`` already bounds the join input.
     """
     if restrict_ids is not None:
         # restrict BEFORE the explode: the shingle explode multiplies rows
@@ -121,6 +133,17 @@ def ngram_jaccard_pairs(
     sh = exploded_shingles(df, id_col, text_col, n)
     counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     hashed = sh.select(F.col(id_col), F.xxhash64("shingle").alias("sh_key"))
+    if max_shingle_df is not None:
+        # one extra agg on the SAME key the join shuffles on (the exchange
+        # is reusable); emits only below-cap keys, bounding every join
+        # bucket at max_shingle_df^2 rows
+        keep = (
+            hashed.groupBy("sh_key")
+            .agg(F.count("*").alias("sh_df"))
+            .filter(F.col("sh_df") <= max_shingle_df)
+            .select("sh_key")
+        )
+        hashed = hashed.join(keep, "sh_key", "left_semi")
     a = hashed.select(F.col(id_col).alias("id_a"), "sh_key")
     b = hashed.select(F.col(id_col).alias("id_b"), "sh_key")
     inter = (
@@ -278,16 +301,84 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     return sums.select(F.col(id_col), sig.cast("long").alias("simhash"))
 
 
-def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
-) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+def _block_specs(bits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """(bit_offset, width) for ``n_blocks`` disjoint blocks covering
+    ``bits`` bits, widths differing by at most one."""
+    base, extra = divmod(bits, n_blocks)
+    specs: list[tuple[int, int]] = []
+    off = 0
+    for i in range(n_blocks):
+        w = base + (1 if i < extra else 0)
+        specs.append((off, w))
+        off += w
+    return specs
 
-    Pair generation here is the exact all-pairs form (correct at test SF);
-    the 100 TB path blocks on signature prefix bytes first (join on
-    ``simhash >> 24`` etc.) — same verify expression, bounded buckets.
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6, bits: int = 32
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming —
+    block-joined candidate generation (the 100 TB path), exact result.
+
+    Pigeonhole blocking (Manku et al., WWW'07 flavor): split the signature
+    into B = max_hamming + 1 disjoint bit blocks. A pair with Hamming
+    distance d <= max_hamming has differing bits in at most d < B blocks,
+    so AT LEAST ONE block is bit-identical — candidates are the union of B
+    equi-joins on (block_id, block_value), never a cross join, and the
+    verified result is IDENTICAL to the all-pairs form (blocking is
+    lossless). Selectivity = ~2^(bits/B) distinct values per block: at the
+    default 32-bit/6-Hamming that is 2^4..2^5 buckets per block (prefer
+    wider signatures or a lower threshold at extreme corpus sizes — the
+    registry's ``dedup_simhash`` runs max_hamming=1, i.e. 2x16-bit blocks).
+    ``simhash_pairs_allpairs`` keeps the O(n^2) form as the test oracle.
     """
-    s = simhash(df, id_col, text_col)
+    s = simhash(df, id_col, text_col, bits)
+    specs = _block_specs(bits, max_hamming + 1)
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col("simhash"), off)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("val"),
+            )
+            for i, (off, w) in enumerate(specs)
+        ]
+    )
+    blocked = s.select(F.col(id_col), F.col("simhash"), F.explode(blocks).alias("b"))
+    a = blocked.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("sim_a"),
+        F.col("b.blk").alias("blk"),
+        F.col("b.val").alias("val"),
+    )
+    b = blocked.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("sim_b"),
+        F.col("b.blk").alias("blk"),
+        F.col("b.val").alias("val"),
+    )
+    return (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        # a pair sharing k identical blocks surfaces k times — dedup AFTER
+        # the Hamming filter so the distinct shuffle carries survivors only
+        .distinct()
+    )
+
+
+def simhash_pairs_allpairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6, bits: int = 32
+) -> DataFrame:
+    """All-pairs reference form of :func:`simhash_pairs` — O(n^2) theta
+    join, test-oracle only (never the scale path)."""
+    s = simhash(df, id_col, text_col, bits)
     a = s.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"))
     b = s.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"))
     return (

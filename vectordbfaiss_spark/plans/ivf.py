@@ -32,9 +32,6 @@ from vectordbfaiss_spark.functions.vector import dot, l2_normalize
 from vectordbfaiss_spark.operators.topk import topk
 
 
-_TRAIN_SAMPLE_CAP = 200_000  # vectors collected for centroid training
-
-
 def _fit_centroids(
     index: DataFrame, vec_col: str, n_clusters: int, seed: int, iters: int = 10
 ):
@@ -46,17 +43,16 @@ def _fit_centroids(
     centroid model is a tiny artifact, only cluster ASSIGNMENT must be
     distributed. A driver-side numpy fit is deterministic (fixed seed +
     iteration count), has none of the multi-job scheduling overhead a
-    distributed KMeans pays per iteration, and at 100 TB the sample
-    collect is a single bounded-size action.
+    distributed KMeans pays per iteration, and the sample collect is
+    byte-bounded for any dimension (plans.sampling).
     """
     import numpy as np
 
-    n_rows = index.count()
-    frac = min(1.0, _TRAIN_SAMPLE_CAP / max(n_rows, 1))
-    sample = index.select(vec_col) if frac >= 1.0 else index.select(vec_col).sample(
-        fraction=frac, seed=seed
-    )
-    X = np.array([list(r[0]) for r in sample.collect()], dtype=np.float64)
+    from vectordbfaiss_spark.plans.sampling import collect_training_sample
+
+    # float64 math over the float32-bounded sample (stored vectors are
+    # float32, so the widening is value-exact)
+    X = collect_training_sample(index, vec_col, seed).astype(np.float64)
     rng = np.random.default_rng(seed)
     k = min(n_clusters, len(X))
     centers = X[rng.choice(len(X), size=k, replace=False)]

@@ -31,8 +31,6 @@ from pyspark.sql import DataFrame, functions as F
 
 from vectordbfaiss_spark.functions.vector import l2_normalize
 
-_TRAIN_SAMPLE_CAP = 100_000
-
 
 def train_pq_codebooks(
     df: DataFrame,
@@ -50,11 +48,9 @@ def train_pq_codebooks(
     """
     import numpy as np
 
-    n_rows = df.count()
-    frac = min(1.0, _TRAIN_SAMPLE_CAP / max(n_rows, 1))
-    base = df.select(vec_col)
-    sample = base if frac >= 1.0 else base.sample(fraction=frac, seed=seed)
-    X = np.array([list(r[0]) for r in sample.collect()], dtype=np.float64)
+    from vectordbfaiss_spark.plans.sampling import collect_training_sample
+
+    X = collect_training_sample(df, vec_col, seed).astype(np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     d = X.shape[1]
     assert d % m == 0, f"dim {d} not divisible by m={m}"
@@ -163,20 +159,27 @@ def pq_search(
             if not len(pdf):
                 continue
             codes = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
-            ids = pdf[id_col].to_numpy()
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            # id-sorted rows + ROUNDED scores + stable argsort give the
+            # exact (score DESC, id ASC) order the global window uses, so
+            # the batch-local k boundary is deterministic under rounded
+            # ties (same recipe as topk.score_topk_vectorized)
+            by_id = np.argsort(ids, kind="stable")
+            ids = ids[by_id]
+            codes = codes[by_id]
             # scores: (n_q, n) via gather-sum over subspaces
             scores = np.zeros((len(qids), len(codes)))
             for s in range(m):
                 scores += lut[:, s, :][:, codes[:, s]]
+            scores = np.round(scores, 6)
             n_local = min(k, scores.shape[1])
-            # batch-local prune: per query keep only k candidates
-            top = np.argpartition(-scores, n_local - 1, axis=1)[:, :n_local]
+            top = np.argsort(-scores, axis=1, kind="stable")[:, :n_local]
             out_q, out_i, out_s = [], [], []
             for qi in range(len(qids)):
                 sel = top[qi]
                 out_q.extend([int(qids[qi])] * len(sel))
                 out_i.extend(ids[sel].tolist())
-                out_s.extend(np.round(scores[qi, sel], 6).tolist())
+                out_s.extend(scores[qi, sel].tolist())
             yield pd.DataFrame(
                 {"query_id": out_q, id_col: out_i, "approx_score": out_s}
             )

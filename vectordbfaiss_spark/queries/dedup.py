@@ -81,7 +81,12 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     plants near-dup document pairs; this is the exact baseline the
     LSH variants are validated against."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    # df cap = 10k: far above any fixture shingle frequency (result
+    # unchanged at test SF) while bounding every candidate-join bucket at
+    # 10k^2 rows at corpus scale
+    return D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=10_000
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -224,7 +229,9 @@ def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     e = (
-        ngram_jaccard_pairs(fan_out(docs), "doc_id", "text", n=3, threshold=0.6)
+        ngram_jaccard_pairs(
+            fan_out(docs), "doc_id", "text", n=3, threshold=0.6, max_shingle_df=10_000
+        )
         .select("id_a", "id_b")
     )
     ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")

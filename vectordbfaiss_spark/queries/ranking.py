@@ -319,15 +319,70 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mmr_rerank_topk", rows_only=True)
+_MMR_ORACLE = """
+WITH RECURSIVE q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 5
+), s AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(q.qv, e.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+           6) AS rel
+  FROM q CROSS JOIN embeddings e
+), cand AS (
+  SELECT query_id, vec_id, rel FROM (
+    SELECT s.*, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rel DESC, vec_id) rn FROM s
+  ) WHERE rn <= 20
+), cvec AS (
+  SELECT c.query_id, c.vec_id, e.embedding::DOUBLE[] AS v
+  FROM cand c JOIN embeddings e USING (vec_id)
+), pairsim AS (
+  SELECT a.query_id, a.vec_id AS ida, b.vec_id AS idb,
+         round(list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+  FROM cvec a JOIN cvec b ON a.query_id = b.query_id
+), sel AS (
+  (SELECT query_id, CAST(1 AS BIGINT) AS sel_rank, vec_id, rel,
+          round(0.7 * rel, 6) AS mmr_score, [vec_id] AS chosen
+   FROM (SELECT c.*, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY round(0.7 * rel, 6) DESC,
+                                                 vec_id) rn
+         FROM cand c)
+   WHERE rn = 1)
+  UNION ALL
+  SELECT s.query_id, s.sel_rank + 1, p.vec_id, p.rel, p.mmr_score,
+         list_append(s.chosen, p.vec_id)
+  FROM sel s, LATERAL (
+    SELECT c.vec_id, c.rel,
+           round(0.7 * c.rel - (1.0 - 0.7) * (
+             SELECT max(ps.sim) FROM pairsim ps
+             WHERE ps.query_id = s.query_id AND ps.ida = c.vec_id
+               AND list_contains(s.chosen, ps.idb)), 6) AS mmr_score
+    FROM cand c
+    WHERE c.query_id = s.query_id AND NOT list_contains(s.chosen, c.vec_id)
+    ORDER BY mmr_score DESC, c.vec_id
+    LIMIT 1) p
+  WHERE s.sel_rank < 5
+)
+SELECT query_id, vec_id, rel, mmr_score, sel_rank FROM sel
+"""
+
+
+@register("mmr_rerank_topk", _MMR_ORACLE)
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR-diversified top-5 from each query's cosine top-20 (lam=0.7).
     Greedy selection is sequential per query but bounded (20 candidates),
     so it runs as applyInPandas per query_id — the candidate generation
-    is the same vectorized brute-force kernel as topk_search. rows-only:
-    the greedy argmax-with-state recursion isn't SQL-expressible; exact
-    semantics are pinned against an independent numpy reference in
-    tests/test_mmr.py."""
+    is the same vectorized brute-force kernel as topk_search. The oracle
+    replays the greedy argmax-with-state recursion as a DuckDB recursive
+    CTE (seed = best lam*rel pick; each step a LATERAL argmax over the
+    remaining candidates with max-similarity-to-chosen), with the same
+    6dp rounding discipline at every step, so the full selection sequence
+    is hash-checked; tests/test_mmr.py additionally pins the kernel
+    against an independent numpy reference."""
     from vectordbfaiss_spark.operators.rerank import mmr_rerank
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -606,16 +606,35 @@ def q_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_sketch", rows_only=True)
+_APPROX_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       count(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS within_rsd
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("approx_distinct_sketch", _APPROX_DISTINCT_ORACLE)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct counts (rows-only: sketch values
-    are engine-specific by nature; the error bound vs exact is asserted in
-    tests/test_approx.py). The 100 TB cardinality-estimation workhorse —
-    mergeable partial sketches, no expand+exact-distinct shuffle."""
+    """HyperLogLog++ approximate distinct counts — the 100 TB cardinality
+    workhorse (mergeable partials, no expand+exact-distinct shuffle).
+    Sketch estimates are engine-specific, so the estimate itself can't be
+    hash-compared; instead the error-bound CLAIM is materialized as a
+    boolean the oracle checks (|approx-exact| <= 5*rsd*exact must be TRUE,
+    with exact computed on both engines), per-group. Tighter bound
+    distributions are asserted in tests/test_approx.py."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.count("*").alias("n_rows"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", rsd=0.02)
+                - F.countDistinct("l_partkey")
+            )
+            <= 0.1 * F.countDistinct("l_partkey")
+        ).alias("within_rsd"),
     )
 
 

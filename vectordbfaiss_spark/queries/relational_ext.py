@@ -617,21 +617,42 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("approx_percentiles_order_value", rows_only=True)
+_APPROX_PCT_ORACLE = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+       round(quantile_cont(o_totalprice, 0.95), 4) AS p95_exact,
+       TRUE AS p50_ok, TRUE AS p95_ok
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("approx_percentiles_order_value", _APPROX_PCT_ORACLE)
 def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-style mergeable sketch): single-pass grouped
     quantiles — the 100 TB path where the exact sort-based percentile
-    (`percentiles_order_value`) is too expensive. Rows-only by design:
-    sketch outputs are accuracy-bounded, not value-exact; the bound vs the
-    exact result is asserted in tests/test_approx.py."""
+    (`percentiles_order_value`) is too expensive. The sketch output is a
+    real data element with bounded RANK error (1/accuracy = 1e-4), not a
+    hashable exact value — so the oracle checks the exact interpolated
+    percentiles plus the materialized rank-error claim: each approx value
+    must lie inside the exact [p-0.02, p+0.02] interpolation bracket."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.approx_percentile("o_totalprice", F.array(F.lit(0.5), F.lit(0.95)), 10_000)
-        .alias("pcts")
-    ).select(
+    agg = o.groupBy("o_orderpriority").agg(
+        F.approx_percentile(
+            "o_totalprice", F.array(F.lit(0.5), F.lit(0.95)), 10_000
+        ).alias("pcts"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("e50"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("e95"),
+        F.percentile("o_totalprice", F.lit(0.48)).alias("lo50"),
+        F.percentile("o_totalprice", F.lit(0.52)).alias("hi50"),
+        F.percentile("o_totalprice", F.lit(0.93)).alias("lo95"),
+        F.percentile("o_totalprice", F.lit(0.97)).alias("hi95"),
+    )
+    return agg.select(
         "o_orderpriority",
-        F.round(F.element_at("pcts", 1), 4).alias("p50_approx"),
-        F.round(F.element_at("pcts", 2), 4).alias("p95_approx"),
+        F.round("e50", 4).alias("p50_exact"),
+        F.round("e95", 4).alias("p95_exact"),
+        F.element_at("pcts", 1).between(F.col("lo50"), F.col("hi50")).alias("p50_ok"),
+        F.element_at("pcts", 2).between(F.col("lo95"), F.col("hi95")).alias("p95_ok"),
     )
 
 

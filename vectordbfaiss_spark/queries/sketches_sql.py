@@ -26,12 +26,23 @@ from vectordbfaiss_spark.session import load_table
 # ---------------------------------------------------------------------------
 
 
-@register("hll_distinct_users_daily_merge", rows_only=True)
+_HLL_MERGE_ORACLE = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS merge_within_bound
+FROM events GROUP BY event_type
+"""
+
+
+@register("hll_distinct_users_daily_merge", _HLL_MERGE_ORACLE)
 def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event type via two-level HLL merge: sketch per
     (event_type, day) partial, then union-merge across days — the
-    re-aggregatable rollup pattern. `exact` is computed alongside so the
-    result itself documents the estimate quality.
+    re-aggregatable rollup pattern. The merged estimate is engine-specific
+    (Datasketches HLL), so the oracle checks the exact count plus the
+    materialized error-bound claim: the two-level MERGED estimate must
+    land within 15% of exact (default lgConfigK=12 sketches are ~2-3%
+    rsd; the margin covers merge inflation).
 
     Scale plan: raw user_ids leave the mappers already sketched (fixed
     ~KB per group instead of a distinct shuffle of every id); day-level
@@ -41,20 +52,29 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sketch"),
-        F.countDistinct("user_id").alias("daily_exact"),
     )
-    return (
+    merged = (
         daily.groupBy("event_type")
         .agg(F.hll_union_agg("sketch").alias("merged"))
         .select(
             "event_type",
             F.hll_sketch_estimate("merged").alias("est_users"),
         )
-        .join(
+    )
+    return (
+        merged.join(
             e.groupBy("event_type").agg(
                 F.countDistinct("user_id").alias("exact_users")
             ),
             "event_type",
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                <= 0.15 * F.col("exact_users")
+            ).alias("merge_within_bound"),
         )
     )
 

@@ -97,10 +97,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     """
     _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) parquet surfaced as nanos-long via the
+            # nanosAsLong conf: truncate to micros (what DuckDB does)
+            from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet reads as NTZ;
+            # with the UTC session timezone the cast is value-identical and
+            # restores TIMESTAMP semantics (unix_micros etc. reject NTZ)
+            df = df.withColumn("ts", df["ts"].cast("timestamp"))
     return df
 
 

@@ -35,12 +35,18 @@ _VDIR = re.compile(r"^v=(\d+)$")
 
 
 def _versions(table_path: str) -> list[int]:
+    """Published versions only: a version directory counts iff it carries
+    Spark's ``_SUCCESS`` marker. A writer that crashes mid-write leaves a
+    partial ``v=n`` directory with no marker — without this check,
+    ``snapshot_write`` would skip over it (fine) but ``snapshot_rollback``
+    could point ``_CURRENT`` at unpublished partial data."""
     if not os.path.isdir(table_path):
         return []
     return sorted(
         int(m.group(1))
         for d in os.listdir(table_path)
-        if (m := _VDIR.match(d)) and os.path.isdir(os.path.join(table_path, d))
+        if (m := _VDIR.match(d))
+        and os.path.isfile(os.path.join(table_path, d, "_SUCCESS"))
     )
 
 
@@ -52,10 +58,22 @@ def current_version(table_path: str) -> int | None:
         return int(fh.read().strip())
 
 
+def _all_version_dirs(table_path: str) -> list[int]:
+    """Every ``v=n`` directory, published or not — used only for numbering
+    the next write so it never collides with a crashed writer's partial."""
+    if not os.path.isdir(table_path):
+        return []
+    return sorted(
+        int(m.group(1))
+        for d in os.listdir(table_path)
+        if (m := _VDIR.match(d)) and os.path.isdir(os.path.join(table_path, d))
+    )
+
+
 def snapshot_write(df: DataFrame, table_path: str) -> int:
     """Publish ``df`` as the next version; returns the version number.
     Data is fully materialized before the pointer swaps."""
-    vs = _versions(table_path)
+    vs = _all_version_dirs(table_path)
     new_v = (vs[-1] + 1) if vs else 1
     df.write.mode("errorifexists").parquet(
         os.path.join(table_path, f"v={new_v}")
