@@ -1,0 +1,80 @@
+"""SQL routing onto the IVF layout: exactness at full probe, partition
+pruning at low nprobe, transparent fallback for unmatched SQL."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from vectordbfaiss_spark.plans.ivf import build_ivf_index
+from vectordbfaiss_spark.plans.sql_router import (
+    IVF_TABLES,
+    ensure_sql_functions,
+    register_ivf_table,
+    route_topk_sql,
+)
+from vectordbfaiss_spark.session import load_table
+
+_QV = [round(((i * 37) % 19 - 9) / 10.0, 2) for i in range(64)]
+_LITS = ", ".join(repr(x) for x in _QV)
+
+
+def _ivf(spark, tmp_path, name="t_router"):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "ivf")
+    centroids = build_ivf_index(emb, path, n_clusters=4, seed=42)
+    register_ivf_table(name, path, centroids)
+    return name
+
+
+def test_full_probe_routed_matches_exact_sql(spark, tmp_path):
+    name = _ivf(spark, tmp_path)
+    sql = (
+        f"SELECT * FROM {name} ORDER BY "
+        f"cosine_similarity(embedding, array({_LITS})) DESC LIMIT 10"
+    )
+    routed = route_topk_sql(spark, sql, nprobe=4).collect()
+
+    # exact reference: same cosine over the same stored (normalized) table
+    ensure_sql_functions(spark)
+    spark.read.parquet(IVF_TABLES[name].path).createOrReplaceTempView("t_exact")
+    exact = spark.sql(
+        f"SELECT vec_id, cosine_similarity(embedding, array({_LITS})) AS score "
+        "FROM t_exact ORDER BY score DESC, vec_id LIMIT 10"
+    ).collect()
+
+    assert [r.vec_id for r in routed] == [r.vec_id for r in exact]
+    for r, e in zip(routed, exact):
+        assert abs(r.score - e.score) < 1e-5
+
+
+def test_low_nprobe_prunes_partitions(spark, tmp_path):
+    name = _ivf(spark, tmp_path, "t_router_prune")
+    sql = (
+        f"SELECT * FROM {name} ORDER BY "
+        f"cosine_similarity(embedding, array({_LITS})) DESC LIMIT 5"
+    )
+    routed = route_topk_sql(spark, sql, nprobe=1)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    # the cluster_id equi-join over the partitioned read must surface as a
+    # partition-level filter, and never a cartesian
+    assert "cluster_id" in plan
+    assert "CartesianProduct" not in plan
+    assert routed.count() == 5
+
+
+def test_unmatched_sql_falls_back_verbatim(spark, tmp_path):
+    _ivf(spark, tmp_path, "t_router_fb")
+    out = route_topk_sql(spark, "SELECT 1 + 1 AS two")
+    assert out.collect()[0].two == 2
+
+
+def test_unregistered_table_falls_back_to_exact_udf(spark, tmp_path):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    emb.createOrReplaceTempView("plain_emb")
+    sql = (
+        "SELECT vec_id FROM plain_emb ORDER BY "
+        f"cosine_similarity(embedding, array({_LITS})) DESC LIMIT 3"
+    )
+    out = route_topk_sql(spark, sql)
+    assert out.count() == 3

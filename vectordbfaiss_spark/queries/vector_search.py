@@ -335,3 +335,68 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("c") * F.col("i")), 6).alias("checksum"),
         F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL front door routed onto the IVF layout (plans.sql_router; SURVEY §4.3)
+# ---------------------------------------------------------------------------
+
+def _routed_query_vec(dim: int = 64) -> list[float]:
+    """Fixed pseudo-random query vector, embedded as literals in BOTH the
+    SQL statement and the DuckDB oracle (seeded, engine-independent)."""
+    import random
+
+    rng = random.Random(7)
+    return [round(rng.uniform(-1.0, 1.0), 4) for _ in range(dim)]
+
+
+_ROUTED_LITS = ", ".join(repr(x) for x in _routed_query_vec())
+
+# Bit-replication of the routed plan's arithmetic: literals land as
+# ARRAY<FLOAT> (::REAL[]), normalization is double math cast back to REAL
+# (exactly functions.vector.l2_normalize + the array<float> storage cast),
+# scores are double dots of the float32 unit vectors rounded 6dp.
+_SQL_ROUTED_ORACLE = f"""
+WITH qr AS (SELECT [{_ROUTED_LITS}]::REAL[]::DOUBLE[] AS q),
+nq AS (
+  SELECT list_transform(q, x -> CAST(x / sqrt(list_dot_product(q, q)) AS REAL))::DOUBLE[] AS qv
+  FROM qr
+),
+nv AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+            x -> CAST(x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS REAL))::DOUBLE[] AS v
+  FROM embeddings
+),
+s AS (SELECT vec_id, round(list_dot_product(nq.qv, nv.v), 6) AS score FROM nv, nq)
+SELECT vec_id, score FROM s ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
+@register("sql_routed_topk", _SQL_ROUTED_ORACLE)
+def q_sql_routed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ORDER BY cosine_similarity(...) DESC LIMIT k` SQL auto-routed onto
+    the cluster-partitioned IVF table (plans.sql_router.route_topk_sql) —
+    the SQL surface of the reference's /search path served by the layout
+    index instead of a scan (server.js:217-265 vs SURVEY §4.3). Full probe
+    (nprobe = n_clusters) here, so the routed answer is EXACT and the
+    oracle can hash-check it; production sets nprobe < n_clusters and the
+    same plan prunes partitions (see ivf_disk_search + tests/test_ivf.py
+    for the recall-bounded pruned path)."""
+    import pathlib
+
+    from vectordbfaiss_spark.plans.ivf import build_ivf_index
+    from vectordbfaiss_spark.plans.sql_router import (
+        register_ivf_table,
+        route_topk_sql,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = f"/root/repo/spark-warehouse/ivf_index_{pathlib.Path(sf_dir).name}"
+    centroids = build_ivf_index(emb, out, n_clusters=8, seed=42, corpus_key=sf_dir)
+    register_ivf_table("emb_ivf", out, centroids)
+    sql = (
+        "SELECT * FROM emb_ivf ORDER BY "
+        f"cosine_similarity(embedding, array({_ROUTED_LITS})) DESC LIMIT 10"
+    )
+    return route_topk_sql(spark, sql, nprobe=8)

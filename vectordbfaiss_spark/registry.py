@@ -116,11 +116,11 @@ _PRIORITY: tuple[str, ...] = (
     "text_fingerprint",
     "text_bpe_token_count",
     "tfidf_top_terms",
-    # curation + sketches
+    # curation + sketches + SQL-routed IVF
     "curation_pipeline",
     "benchmark_decontamination",
-    "unigram_logprob_quality",
     "approx_distinct_sketch",
+    "sql_routed_topk",
 )
 
 
