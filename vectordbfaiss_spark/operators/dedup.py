@@ -68,11 +68,17 @@ def exact_dedup_stats(df: DataFrame, key_cols: list[str], group_cols: list[str])
 
     ``dropDuplicates(key_cols)`` is the remove-form (A5, server.js:29,198);
     this is the report-form that makes the same computation oracle-checkable.
+
+    Two-level aggregate, not ``count + countDistinct`` in one agg: the
+    mixed form plans an Expand (duplicating every input row per aggregate
+    group), while per-(group, key) counts rolled up to the group give the
+    same three numbers from one scan and two narrow shuffles.
     """
-    return df.groupBy(*group_cols).agg(
-        F.count("*").alias("n_rows"),
-        F.countDistinct(*key_cols).alias("n_distinct"),
-        (F.count("*") - F.countDistinct(*key_cols)).alias("n_dupes"),
+    per_key = df.groupBy(*group_cols, *key_cols).agg(F.count("*").alias("cnt"))
+    return per_key.groupBy(*group_cols).agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count("*").alias("n_distinct"),
+        (F.sum("cnt") - F.count("*")).alias("n_dupes"),
     )
 
 

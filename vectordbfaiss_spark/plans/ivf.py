@@ -32,6 +32,24 @@ from vectordbfaiss_spark.functions.vector import dot, l2_normalize
 from vectordbfaiss_spark.operators.topk import topk
 
 
+def corpus_fingerprint(path: str) -> str:
+    """Content-sensitive corpus key for centroid/index reuse: the path plus
+    mtime+size of every file under it — regenerating the source parquet in
+    place (same path, new data) yields a NEW key, so caches rebuild."""
+    import os
+
+    parts = [path]
+    if os.path.isfile(path):
+        st = os.stat(path)
+        parts.append(f"{st.st_mtime_ns}:{st.st_size}")
+    elif os.path.isdir(path):
+        for root, _dirs, files in sorted(os.walk(path)):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                parts.append(f"{f}:{st.st_mtime_ns}:{st.st_size}")
+    return "|".join(parts)
+
+
 def _fit_centroids(
     index: DataFrame, vec_col: str, n_clusters: int, seed: int, iters: int = 10
 ):
@@ -156,7 +174,36 @@ def build_ivf_index(
     directory (tasks x clusters small files — at 1000 tasks x 1000 clusters,
     a million files); with it each cluster's list arrives at one task and
     writes one well-sized file. AQE splits any skewed-cluster partition.
+
+    Build-once: an index is a PUBLISHED ARTIFACT, not a per-query
+    computation — if ``out_path`` already holds a completed build with the
+    same (corpus_key, vec_col, n_clusters, seed) parameters (recorded in a
+    sidecar ``_ivf_meta.json``), the stored centroids are returned and
+    nothing is rewritten. Queries that share an index (the SQL router, the
+    disk-search path) then pay the k-means fit + partitioned write ONCE per
+    corpus version. Pass ``corpus_key=None`` to always rebuild.
     """
+    import json
+    import os
+
+    meta_path = os.path.join(out_path, "_ivf_meta.json")
+    # out_path can outlive a regenerated source corpus (the fixture parquet
+    # is rewritten in place between rounds) — a plain path-valued corpus_key
+    # would serve stale clusters. Callers should pass corpus_fingerprint().
+    params = {
+        "corpus_key": corpus_key,
+        "vec_col": vec_col,
+        "n_clusters": n_clusters,
+        "seed": seed,
+    }
+    if corpus_key is not None and os.path.isfile(meta_path) and os.path.isfile(
+        os.path.join(out_path, "_SUCCESS")
+    ):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if meta.get("params") == params:
+            return meta["centroids"]
+
     assigned, centroids = assign_clusters(
         index, vec_col, n_clusters, seed, corpus_key=corpus_key
     )
@@ -166,6 +213,8 @@ def build_ivf_index(
         .partitionBy("cluster_id")
         .parquet(out_path)
     )
+    with open(meta_path, "w") as fh:
+        json.dump({"params": params, "centroids": centroids}, fh)
     return centroids
 
 

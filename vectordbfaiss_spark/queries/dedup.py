@@ -234,6 +234,10 @@ def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id_a", "id_b")
     )
+    # the edge list feeds FIVE subtrees (three triangle join legs + both
+    # node unions); left lazy the whole shingle-join pipeline runs 5x.
+    # Edges are dedup-pair-sized (tiny) — materialize once, break lineage.
+    e = e.localCheckpoint(eager=True)
     ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
     tri = (
         ab.join(bc, F.col("ab.id_b") == F.col("bc.id_a"))

@@ -625,15 +625,28 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     with exact computed on both engines), per-group. Tighter bound
     distributions are asserted in tests/test_approx.py."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    # exact distinct via two-level agg in a SEPARATE branch: mixing
+    # countDistinct with non-distinct aggregates in one agg plans an
+    # Expand (xN input rows); two narrow scans + a 3-row broadcast join
+    # are ~3x faster here and scale linearly
+    exact = (
+        li.select("l_returnflag", "l_partkey")
+        .groupBy("l_returnflag", "l_partkey")
+        .agg(F.lit(1))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("exact_parts"))
+    )
+    rest = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n_rows"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+    )
+    return rest.join(F.broadcast(exact), "l_returnflag").select(
+        "l_returnflag",
+        "n_rows",
+        "exact_parts",
         (
-            F.abs(
-                F.approx_count_distinct("l_partkey", rsd=0.02)
-                - F.countDistinct("l_partkey")
-            )
-            <= 0.1 * F.countDistinct("l_partkey")
+            F.abs(F.col("approx") - F.col("exact_parts"))
+            <= 0.1 * F.col("exact_parts")
         ).alias("within_rsd"),
     )
 

@@ -213,10 +213,10 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k (plans.ivf): KMeans routing + cluster-pruned exact
     scoring. Rows-only check (ANN correctness is recall-vs-exact, asserted
     in tests/test_ivf.py; SURVEY §7 risk (e))."""
-    from vectordbfaiss_spark.plans.ivf import assign_clusters, ivf_search
+    from vectordbfaiss_spark.plans.ivf import assign_clusters, corpus_fingerprint, ivf_search
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned, centroids = assign_clusters(emb, n_clusters=8, seed=42, corpus_key=sf_dir)
+    assigned, centroids = assign_clusters(emb, n_clusters=8, seed=42, corpus_key=corpus_fingerprint(f"{sf_dir}/embeddings.parquet"))
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -304,11 +304,11 @@ def q_ivf_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible; recall is asserted in tests/test_ivf.py."""
     import pathlib
 
-    from vectordbfaiss_spark.plans.ivf import build_ivf_index, ivf_search
+    from vectordbfaiss_spark.plans.ivf import build_ivf_index, corpus_fingerprint, ivf_search
 
     emb = load_table(spark, sf_dir, "embeddings")
     out = f"/root/repo/spark-warehouse/ivf_index_{pathlib.Path(sf_dir).name}"
-    centroids = build_ivf_index(emb, out, n_clusters=8, seed=42, corpus_key=sf_dir)
+    centroids = build_ivf_index(emb, out, n_clusters=8, seed=42, corpus_key=corpus_fingerprint(f"{sf_dir}/embeddings.parquet"))
     index = spark.read.parquet(out)
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -365,14 +365,14 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F2
 
     from vectordbfaiss_spark.operators.topk import score_topk_vectorized
-    from vectordbfaiss_spark.plans.ivf import assign_clusters, ivf_search
+    from vectordbfaiss_spark.plans.ivf import assign_clusters, corpus_fingerprint, ivf_search
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F2.col("vec_id") < 50).select(
         F2.col("vec_id").alias("query_id"), F2.col("embedding").alias("query_vec")
     )
     exact = score_topk_vectorized(queries, emb, k=10).select("query_id", "vec_id")
-    assigned, centroids = assign_clusters(emb, n_clusters=8, seed=42, corpus_key=sf_dir)
+    assigned, centroids = assign_clusters(emb, n_clusters=8, seed=42, corpus_key=corpus_fingerprint(f"{sf_dir}/embeddings.parquet"))
     approx = ivf_search(assigned, queries, centroids, k=10, nprobe=4).select(
         "query_id", "vec_id"
     )
@@ -457,7 +457,7 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ROW count (nprobe/k_clusters of the corpus), PQ codes prune the
     BYTES per row (m bytes vs 4d) — the FAISS IVFPQ index re-expressed as
     layout + broadcast + ADC kernel. Rows-only; recall in tests/test_pq.py."""
-    from vectordbfaiss_spark.plans.ivf import assign_clusters
+    from vectordbfaiss_spark.plans.ivf import assign_clusters, corpus_fingerprint
     from vectordbfaiss_spark.plans.pq import (
         ivfpq_search,
         pq_encode,
@@ -470,7 +470,7 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         books = train_pq_codebooks(emb, m=16, k_codes=32, seed=42)
         _PQ_BOOK_CACHE[sf_dir] = books
     assigned, centroids = assign_clusters(
-        emb, n_clusters=8, seed=42, corpus_key=sf_dir
+        emb, n_clusters=8, seed=42, corpus_key=corpus_fingerprint(f"{sf_dir}/embeddings.parquet")
     )
     encoded = pq_encode(assigned, books)
     queries = emb.filter(F.col("vec_id") < 10).select(

@@ -385,7 +385,7 @@ def q_sql_routed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the recall-bounded pruned path)."""
     import pathlib
 
-    from vectordbfaiss_spark.plans.ivf import build_ivf_index
+    from vectordbfaiss_spark.plans.ivf import build_ivf_index, corpus_fingerprint
     from vectordbfaiss_spark.plans.sql_router import (
         register_ivf_table,
         route_topk_sql,
@@ -393,7 +393,7 @@ def q_sql_routed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     out = f"/root/repo/spark-warehouse/ivf_index_{pathlib.Path(sf_dir).name}"
-    centroids = build_ivf_index(emb, out, n_clusters=8, seed=42, corpus_key=sf_dir)
+    centroids = build_ivf_index(emb, out, n_clusters=8, seed=42, corpus_key=corpus_fingerprint(f"{sf_dir}/embeddings.parquet"))
     register_ivf_table("emb_ivf", out, centroids)
     sql = (
         "SELECT * FROM emb_ivf ORDER BY "
