@@ -62,3 +62,26 @@ def test_ivf_recall_against_exact(spark):
     full = ivf_search(assigned, queries, centroids, k=10, nprobe=8)
     full_set = {(r["query_id"], r["vec_id"]) for r in full.collect()}
     assert full_set == exact_set, "full-probe IVF must equal exact search"
+
+
+def test_build_ivf_index_is_build_once(spark, tmp_path):
+    """A completed build with matching (corpus fingerprint, params) must be
+    reused — no k-means refit, no rewrite; changed params must rebuild."""
+    import os
+
+    from vectordbfaiss_spark.plans.ivf import build_ivf_index, corpus_fingerprint
+    from vectordbfaiss_spark.session import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = str(tmp_path / "ivf")
+    key = corpus_fingerprint(f"{SF_DIR}/embeddings.parquet")
+
+    c1 = build_ivf_index(emb, out, n_clusters=4, seed=42, corpus_key=key)
+    stamp = os.path.getmtime(os.path.join(out, "_SUCCESS"))
+    c2 = build_ivf_index(emb, out, n_clusters=4, seed=42, corpus_key=key)
+    assert c2 == c1  # same centroids returned from the meta sidecar
+    assert os.path.getmtime(os.path.join(out, "_SUCCESS")) == stamp  # no rewrite
+
+    c3 = build_ivf_index(emb, out, n_clusters=8, seed=42, corpus_key=key)
+    assert len(c3) == 8  # param change invalidates the artifact
+    assert os.path.getmtime(os.path.join(out, "_SUCCESS")) != stamp

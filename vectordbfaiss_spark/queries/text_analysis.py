@@ -415,3 +415,138 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filtering (Rae et al. 2021 §A1.1 repetition rules)
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(rtrim(text), '\\s+') AS words FROM documents
+), g AS (
+  SELECT doc_id, words,
+         list_transform(generate_series(0, len(words) - 3),
+                        i -> array_to_string(list_slice(words, i + 1, i + 3), ' ')) AS grams
+  FROM w
+), tw AS (
+  SELECT doc_id, unnest(words) AS word FROM w
+), pw AS (
+  SELECT doc_id, word, count(*) AS cnt FROM tw GROUP BY doc_id, word
+), agg AS (
+  SELECT doc_id, sum(cnt) AS n_words, count(*) AS n_distinct, max(cnt) AS top_cnt
+  FROM pw GROUP BY doc_id
+), gm AS (
+  SELECT doc_id,
+         greatest(len(grams), 1) AS n_grams,
+         len(list_distinct(grams)) AS n_distinct_grams
+  FROM g
+)
+SELECT a.doc_id,
+       CAST(a.n_words AS BIGINT) AS n_words,
+       round(1.0 - a.n_distinct / a.n_words, 6) AS dup_word_frac,
+       round(a.top_cnt / a.n_words, 6) AS top_word_frac,
+       round(1.0 - gm.n_distinct_grams / gm.n_grams, 6) AS dup_3gram_frac,
+       (1.0 - gm.n_distinct_grams / gm.n_grams) <= 0.6
+         AND a.top_cnt / a.n_words <= 0.2 AS keep
+FROM agg a JOIN gm ON a.doc_id = gm.doc_id
+"""
+
+
+@register("text_repetition_filter", _REPETITION_ORACLE)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filtering (the Gopher rules, Rae et al.
+    2021: duplicate word fraction, most-frequent-word fraction, duplicate
+    n-gram fraction -> keep/drop flag) — the standard pre-training pass
+    that catches boilerplate and degenerate repetition that perplexity
+    and stopword heuristics miss.
+
+    Plan shape: ONE explode feeds a per-(doc, word) count and its rollup
+    (two narrow shuffles on doc_id — no Expand, no countDistinct mix);
+    the 3-gram uniqueness ratio is computed entirely expression-side
+    (array arithmetic, no second explode). Thresholds are Gopher's,
+    loosened to the synthetic corpus' natural repetition."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.rtrim("text"), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - 3),
+        lambda i: F.array_join(F.slice(words, i + 1, 3), " "),
+    )
+    gm = docs.select(
+        "doc_id",
+        F.greatest(F.size(grams), F.lit(1)).alias("n_grams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct_grams"),
+    )
+    tw = docs.select("doc_id", F.explode(words).alias("word"))
+    pw = tw.groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+    agg = pw.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    j = agg.join(gm, "doc_id")
+    dup3 = 1.0 - F.col("n_distinct_grams") / F.col("n_grams")
+    topf = F.col("top_cnt") / F.col("n_words")
+    return j.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round(1.0 - F.col("n_distinct") / F.col("n_words"), 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(topf, 6).alias("top_word_frac"),
+        F.round(dup3, 6).alias("dup_3gram_frac"),
+        ((dup3 <= 0.6) & (topf <= 0.2)).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4-style cross-document span dedup (Raffel et al. 2020 §2.2: drop any
+# span that occurs verbatim in more than one document)
+# ---------------------------------------------------------------------------
+
+_XDOC_SPAN = 8  # span length in words (C4 used 3 sentences; fixture has no
+# sentence punctuation, so fixed-width word windows carry the semantics)
+
+_XDOC_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(rtrim(text), '\\s+') AS words FROM documents
+), s AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(0, greatest(len(words) - {_XDOC_SPAN}, 0)),
+             i -> array_to_string(list_slice(words, i + 1, i + {_XDOC_SPAN}), ' ')))) AS span
+  FROM w
+), df AS (
+  SELECT span, count(*) AS n_docs FROM s GROUP BY span
+)
+SELECT span, CAST(n_docs AS BIGINT) AS n_docs
+FROM df WHERE n_docs >= 2
+"""
+
+
+@register("crossdoc_span_dedup", _XDOC_ORACLE)
+def q_crossdoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document verbatim span detection — the C4 dedup rule (any
+    8-word span occurring in 2+ documents is boilerplate/duplication to
+    scrub). Output: the offending spans with their document frequency;
+    the scrub step is a semi-join of exploded spans against this set.
+
+    Plan shape: per-doc DISTINCT spans come from array_distinct inside the
+    explode expression (no per-doc shuffle), then ONE hash-agg on the span
+    — at corpus scale this is the same single-shuffle profile as exact
+    dedup, and the span strings can be md5'd down to 16 bytes if the raw
+    text is wide."""
+    from vectordbfaiss_spark.operators.dedup import word_shingles
+    from vectordbfaiss_spark.session import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = fan_out(docs).select(
+        "doc_id",
+        F.explode(word_shingles("text", _XDOC_SPAN)).alias("span"),
+    )
+    return (
+        spans.groupBy("span")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("span", F.col("n_docs").cast("long").alias("n_docs"))
+    )

@@ -145,6 +145,18 @@ class _WriteDone(WriterCommitMessage):
 
 
 class _SQLiteWriter(DataSourceWriter):
+    """Append-only writer for the reference's documents.db format.
+
+    Commit semantics: each TASK commits its own transaction inside
+    ``write()`` — there is no driver-side two-phase commit, so a job that
+    fails after some tasks finished leaves those tasks' rows visible
+    (partial append). That is accepted for this documented small-export
+    escape hatch because INSERT OR IGNORE on the UNIQUE content key makes
+    re-running the whole write idempotent: the retry converges to exactly
+    the full result, the same recovery model as the reference's own ingest
+    (server.js:196-213). Not a 100 TB path — parquet sinks are.
+    """
+
     def __init__(self, options: dict):
         self.path = options["path"]
         self.table = options.get("table", "documents")
