@@ -231,3 +231,24 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     )
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:3000]
+
+
+def test_repetition_filter_has_no_expand(spark):
+    q = registry.queries()["text_repetition_filter"](spark, SF_DIR)
+    plan = _plan(q)
+    # the Gopher metrics must come from the two-level agg, never the
+    # Expand that a mixed count+countDistinct agg would plan
+    assert "Expand" not in plan
+
+
+def test_crossdoc_span_dedup_single_agg_no_join(spark):
+    q = registry.queries()["crossdoc_span_dedup"](spark, SF_DIR)
+    plan = _plan(q)
+    assert plan.count("Exchange") <= 2  # fan_out repartition + span hash-agg
+    assert "Join" not in plan
+
+
+def test_distinct_stats_queries_have_no_expand(spark):
+    for name in ["approx_distinct_sketch", "dedup_exact_stats"]:
+        plan = _plan(registry.queries()[name](spark, SF_DIR))
+        assert "Expand" not in plan, name
