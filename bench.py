@@ -85,7 +85,10 @@ def main() -> None:
     # the (single, small) stdout JSON line, and a ~4 KB line with 140+ query
     # timings overflowed its capture in round 1 (BENCH_r01.json parsed:null).
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "bench_queries.json"), "w") as f:
+    side_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", os.path.join(here, "bench_queries.json")
+    )
+    with open(side_path, "w") as f:
         json.dump(
             {"sf": sf, "n_queries": len(timings), "queries": timings}, f, indent=1
         )
@@ -98,7 +101,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
-                "queries_file": "bench_queries.json",
+                "queries_file": os.path.basename(side_path),
                 "slowest5": slowest,
             }
         )

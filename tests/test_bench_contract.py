@@ -7,12 +7,15 @@ import subprocess
 import sys
 
 
-def test_bench_emits_driver_contract_json():
+def test_bench_emits_driver_contract_json(tmp_path):
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_CPUS="4",
         SPARK_GRAFT_BENCH_QUERIES="q1_pricing_summary,topk_search",
+        # keep the test's 2-query sidecar from clobbering a real bench run's
+        # bench_queries.json in the repo root
+        SPARK_GRAFT_BENCH_OUT=str(tmp_path / "bench_queries.json"),
     )
     out = subprocess.run(
         [sys.executable, "bench.py"],
@@ -30,7 +33,6 @@ def test_bench_emits_driver_contract_json():
     d = json.loads(line)
     assert d["unit"] == "sec" and d["sf"] == 0.001
     assert d["value"] > 0 and isinstance(d["metric"], str)
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, d["queries_file"])) as f:
+    with open(env["SPARK_GRAFT_BENCH_OUT"]) as f:
         side = json.load(f)
     assert set(side["queries"]) == {"q1_pricing_summary", "topk_search"}

@@ -149,7 +149,9 @@ def term_frequencies(
     explode -> count -> rank, embed.js:51-98's LLM call made exact).
     Tie-break: count DESC then token ASC.
     """
-    toks = df.select(F.explode(_words(text_col)).alias("tok"))
+    from vectordbfaiss_spark.session import fan_out
+
+    toks = fan_out(df).select(F.explode(_words(text_col)).alias("tok"))
     counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
     return (
         counts.orderBy(F.desc("n"), F.asc("tok"))

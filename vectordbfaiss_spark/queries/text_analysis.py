@@ -466,7 +466,11 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 3-gram uniqueness ratio is computed entirely expression-side
     (array arithmetic, no second explode). Thresholds are Gopher's,
     loosened to the synthetic corpus' natural repetition."""
-    docs = load_table(spark, sf_dir, "documents")
+    from vectordbfaiss_spark.session import fan_out
+
+    # single-file fixture parquet is unsplittable — spread rows before the
+    # explode and the per-row n-gram array work (no-op on real tables)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     words = F.split(F.rtrim("text"), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(words) - 3),
