@@ -41,7 +41,10 @@ _SCRIPT = textwrap.dedent(
                  "zscore_outlier_events", "incremental_daily_agg",
                  "profile_orders_table", "variant_json_extract_events",
                  "sqlite_roundtrip_docs", "ewma_daily_counts",
-                 "udtf_chunk_spans", "snapshot_pinned_read_docs"]:
+                 "udtf_chunk_spans", "snapshot_pinned_read_docs",
+                 "ingest_index_build", "sql_routed_topk", "mmr_rerank_topk",
+                 "range_window_last_hour", "text_repetition_filter",
+                 "crossdoc_span_dedup"]:
         mine = mod.queries()[name](spark, sf).toPandas()
         orc = con.sql(mod.oracle_sql()[name]).df()
         assert len(mine) == len(orc), (name, len(mine), len(orc))
