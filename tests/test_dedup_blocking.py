@@ -98,3 +98,29 @@ def test_ngram_capped_jaccard_values_unchanged_for_survivors(spark):
     ).filter((F.col("id_a") == 1) & (F.col("id_b") == 2))
     assert _pairs(capped) == _pairs(exact)
     assert len(_pairs(exact)) == 1
+
+
+def test_ngram_cap_keeps_numerator_and_denominator_consistent(spark):
+    # a pair sharing one boilerplate shingle plus rare ones: the capped
+    # metric must equal exact Jaccard computed over the below-cap shingle
+    # universe (NOT full-set denominators with a filtered numerator, which
+    # silently deflates J)
+    rows = [
+        (1, "boiler r1 r2"),
+        (2, "boiler r1 r3"),
+        (3, "boiler z1"),
+        (4, "boiler z2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    capped = D.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=1, threshold=0.3, max_shingle_df=3
+    )
+    # below-cap universe: doc1={r1,r2}, doc2={r1,r3} -> J = 1/3
+    scrubbed = spark.createDataFrame(
+        [(1, "r1 r2"), (2, "r1 r3"), (3, "z1"), (4, "z2")],
+        "doc_id LONG, text STRING",
+    )
+    expected = D.ngram_jaccard_pairs(scrubbed, "doc_id", "text", n=1, threshold=0.3)
+    assert _pairs(capped) == _pairs(expected)
+    got = {(r.id_a, r.id_b): r.jaccard for r in capped.collect()}
+    assert got == {(1, 2): 0.333333}

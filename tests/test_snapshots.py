@@ -78,3 +78,17 @@ def test_partial_version_not_published_but_numbering_skips_it(spark, tmp_path):
     v = snapshot_write(docs.filter(F.col("doc_id") < 20), table)
     assert v == 3
     assert snapshot_read(spark, table).count() == 20
+
+
+def test_pinned_read_refuses_partial_version(spark, tmp_path):
+    import os
+
+    from vectordbfaiss_spark.sources.snapshots import snapshot_write
+
+    table = str(tmp_path / "corpus")
+    docs = load_table(spark, SF_DIR, "documents")
+    snapshot_write(docs.limit(5), table)
+    partial = os.path.join(table, "v=2")
+    os.makedirs(partial)
+    with pytest.raises(ValueError):
+        snapshot_read(spark, table, version=2)

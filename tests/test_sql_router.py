@@ -78,3 +78,18 @@ def test_unregistered_table_falls_back_to_exact_udf(spark, tmp_path):
     )
     out = route_topk_sql(spark, sql)
     assert out.count() == 3
+
+
+def test_other_column_projection_falls_back_not_routed(spark, tmp_path):
+    name = _ivf(spark, tmp_path, "t_router_proj")
+    # 'label' is a real table column but not the routed contract — must run
+    # verbatim via spark.sql and return exactly that column
+    sql = (
+        f"SELECT label FROM {name} ORDER BY "
+        f"cosine_similarity(embedding, array({_LITS})) DESC LIMIT 3"
+    )
+    ensure_sql_functions(spark)
+    spark.read.parquet(IVF_TABLES[name].path).createOrReplaceTempView(name)
+    out = route_topk_sql(spark, sql)
+    assert out.columns == ["label"]
+    assert out.count() == 3

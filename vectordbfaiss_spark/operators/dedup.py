@@ -72,13 +72,20 @@ def exact_dedup_stats(df: DataFrame, key_cols: list[str], group_cols: list[str])
     Two-level aggregate, not ``count + countDistinct`` in one agg: the
     mixed form plans an Expand (duplicating every input row per aggregate
     group), while per-(group, key) counts rolled up to the group give the
-    same three numbers from one scan and two narrow shuffles.
+    same three numbers from one scan and two narrow shuffles. NULL-key
+    semantics match ``count(DISTINCT ...)``: a group whose key columns
+    contain a NULL is excluded from n_distinct (but its rows still count
+    in n_rows, hence as duplicates) — SQL's COUNT(DISTINCT) rule.
     """
+    key_not_null = F.lit(True)
+    for k in key_cols:
+        key_not_null = key_not_null & F.col(k).isNotNull()
     per_key = df.groupBy(*group_cols, *key_cols).agg(F.count("*").alias("cnt"))
+    n_distinct = F.sum(F.when(key_not_null, 1).otherwise(0))
     return per_key.groupBy(*group_cols).agg(
         F.sum("cnt").alias("n_rows"),
-        F.count("*").alias("n_distinct"),
-        (F.sum("cnt") - F.count("*")).alias("n_dupes"),
+        n_distinct.alias("n_distinct"),
+        (F.sum("cnt") - n_distinct).alias("n_dupes"),
     )
 
 
@@ -116,15 +123,18 @@ def ngram_jaccard_pairs(
     exact-Jaccard join runs only over banding candidates, not the corpus.
 
     ``max_shingle_df`` (standalone-scale guard): drop shingles whose
-    document frequency exceeds the cap BEFORE the self-join. A shingle
+    document frequency exceeds the cap BEFORE any other work. A shingle
     shared by f documents contributes f^2/2 join rows, so one boilerplate
     trigram ("terms of service …") at f=10^6 produces a 5*10^11-row bucket
     — the quadratic skew that kills the unrestricted join at 100 TB.
-    Capping changes the exact result only for pairs whose EVERY shared
-    shingle is above the cap (standard in the dedup literature; those pairs
-    are boilerplate-only matches). Pick the cap above the corpus' plausible
-    non-boilerplate df; the LSH verify path leaves it None because
-    ``restrict_ids`` already bounds the join input.
+    With a cap, the metric becomes the exact Jaccard over the BELOW-CAP
+    shingle universe: numerator AND denominators are computed from the
+    same filtered sets (above-cap boilerplate shingles simply don't exist
+    for this metric — filtering only the join side would silently deflate
+    J for every pair sharing one boilerplate shingle). Pick the cap above
+    the corpus' plausible non-boilerplate df and the result is unchanged;
+    the LSH verify path leaves it None because ``restrict_ids`` already
+    bounds the join input.
     """
     if restrict_ids is not None:
         # restrict BEFORE the explode: the shingle explode multiplies rows
@@ -137,12 +147,13 @@ def ngram_jaccard_pairs(
             "left_semi",
         )
     sh = exploded_shingles(df, id_col, text_col, n)
-    counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     hashed = sh.select(F.col(id_col), F.xxhash64("shingle").alias("sh_key"))
     if max_shingle_df is not None:
         # one extra agg on the SAME key the join shuffles on (the exchange
         # is reusable); emits only below-cap keys, bounding every join
-        # bucket at max_shingle_df^2 rows
+        # bucket at max_shingle_df^2 rows. Applied before the per-doc
+        # counts so |A| and |B| live in the same filtered universe as the
+        # intersection.
         keep = (
             hashed.groupBy("sh_key")
             .agg(F.count("*").alias("sh_df"))
@@ -150,6 +161,7 @@ def ngram_jaccard_pairs(
             .select("sh_key")
         )
         hashed = hashed.join(keep, "sh_key", "left_semi")
+    counts = hashed.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = hashed.select(F.col(id_col).alias("id_a"), "sh_key")
     b = hashed.select(F.col(id_col).alias("id_b"), "sh_key")
     inter = (

@@ -202,6 +202,11 @@ def build_ivf_index(
         with open(meta_path) as fh:
             meta = json.load(fh)
         if meta.get("params") == params:
+            # seed the in-process centroid cache too, so assign_clusters
+            # callers with the same key skip the k-means fit as well
+            _CENTROID_CACHE[(corpus_key, vec_col, n_clusters, seed)] = meta[
+                "centroids"
+            ]
             return meta["centroids"]
 
     assigned, centroids = assign_clusters(

@@ -106,7 +106,15 @@ def route_topk_sql(spark: SparkSession, sql: str, nprobe: int = 4) -> DataFrame:
         ensure_sql_functions(spark)
         return spark.sql(sql)
     tbl = IVF_TABLES.get(m.group("tbl"))
-    if tbl is None or m.group("col") != tbl.vec_col:
+    proj = m.group("proj")
+    if (
+        tbl is None
+        or m.group("col") != tbl.vec_col
+        # only projections whose routed shape is well-defined are served
+        # from the layout; anything else (some other column name) must run
+        # verbatim so it returns exactly what the SQL says
+        or proj not in ("*", tbl.id_col)
+    ):
         ensure_sql_functions(spark)
         return spark.sql(sql)
     qvec = [float(x) for x in m.group("vec").split(",") if x.strip()]

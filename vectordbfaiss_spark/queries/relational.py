@@ -631,6 +631,7 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are ~3x faster here and scale linearly
     exact = (
         li.select("l_returnflag", "l_partkey")
+        .filter(F.col("l_partkey").isNotNull())  # count(DISTINCT) semantics
         .groupBy("l_returnflag", "l_partkey")
         .agg(F.lit(1))
         .groupBy("l_returnflag")
@@ -640,13 +641,13 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
     )
-    return rest.join(F.broadcast(exact), "l_returnflag").select(
+    return rest.join(F.broadcast(exact), "l_returnflag", "left").select(
         "l_returnflag",
         "n_rows",
-        "exact_parts",
+        F.coalesce("exact_parts", F.lit(0)).alias("exact_parts"),
         (
-            F.abs(F.col("approx") - F.col("exact_parts"))
-            <= 0.1 * F.col("exact_parts")
+            F.abs(F.col("approx") - F.coalesce("exact_parts", F.lit(0)))
+            <= 0.1 * F.coalesce("exact_parts", F.lit(0))
         ).alias("within_rsd"),
     )
 

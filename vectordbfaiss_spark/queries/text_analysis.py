@@ -426,7 +426,7 @@ WITH w AS (
   SELECT doc_id, string_split_regex(rtrim(text), '\\s+') AS words FROM documents
 ), g AS (
   SELECT doc_id, words,
-         list_transform(generate_series(0, len(words) - 3),
+         list_transform(generate_series(0, greatest(1, len(words) - 2) - 1),
                         i -> array_to_string(list_slice(words, i + 1, i + 3), ' ')) AS grams
   FROM w
 ), tw AS (
@@ -472,8 +472,12 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode and the per-row n-gram array work (no-op on real tables)
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     words = F.split(F.rtrim("text"), r"\s+")
+    # clamp like operators.dedup.word_shingles: a doc shorter than 3 words
+    # yields its full text as the single gram instead of a negative-length
+    # sequence (which crashes slice with start=0)
+    n_g = F.greatest(F.lit(1), F.size(words) - 2)
     grams = F.transform(
-        F.sequence(F.lit(0), F.size(words) - 3),
+        F.sequence(F.lit(0), n_g - 1),
         lambda i: F.array_join(F.slice(words, i + 1, 3), " "),
     )
     gm = docs.select(

@@ -92,6 +92,10 @@ def snapshot_read(
     v = current_version(table_path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no published version at {table_path}")
+    if version is not None and version not in _versions(table_path):
+        # a pinned read must never serve a crashed writer's partial v=n
+        # directory — same publication rule as rollback
+        raise ValueError(f"version {version} is not published at {table_path}")
     return spark.read.parquet(os.path.join(table_path, f"v={v}"))
 
 
