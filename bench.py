@@ -93,6 +93,15 @@ def main() -> None:
             {"sf": sf, "n_queries": len(timings), "queries": timings}, f, indent=1
         )
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    import statistics
+
+    median = round(statistics.median(timings.values()), 3) if timings else 0.0
+    try:
+        qf = os.path.relpath(side_path, here)
+        if qf.startswith(".."):
+            qf = side_path
+    except ValueError:  # different drive (not on this platform, but cheap)
+        qf = side_path
     print(
         json.dumps(
             {
@@ -101,7 +110,10 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
-                "queries_file": os.path.basename(side_path),
+                # total grows with registry coverage; median is the
+                # coverage-independent number to track across rounds
+                "median_sec": median,
+                "queries_file": qf,
                 "slowest5": slowest,
             }
         )

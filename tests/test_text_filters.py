@@ -11,8 +11,6 @@ def test_repetition_filter_handles_short_docs(spark, tmp_path):
     score as non-repetitive single-gram docs."""
     import os
 
-    from pyspark.sql import functions as F
-
     rows = [(1, "only two"), (2, "one"), (3, "a full length document here now")]
     p = os.path.join(str(tmp_path), "documents.parquet")
     spark.createDataFrame(rows, "doc_id LONG, text STRING").write.parquet(p)

@@ -33,22 +33,28 @@ from pyspark.sql import DataFrame, functions as F
 from vectordbfaiss_spark.session import fan_out
 
 
+def gram_array(text_col, n: int = 3):
+    """ALL n-word grams (with repeats) of a whitespace-tokenized text
+    column, in order. Texts shorter than n words yield their full text as
+    the only gram (the sequence length clamps to 1 — a negative-length
+    sequence would crash slice with start=0)."""
+    text_col = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.split(F.rtrim(text_col), r"\s+")
+    n_sh = F.greatest(F.lit(1), F.size(words) - F.lit(n - 1))
+    return F.transform(
+        F.sequence(F.lit(0), n_sh - 1),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+
+
 def word_shingles(text_col, n: int = 3):
     """Distinct n-word shingles of a whitespace-tokenized text column.
 
     Column expression: ARRAY<STRING>, each element n words joined by a
     single space. Texts shorter than n words yield their full text as the
-    only shingle (slice is clamped), matching the intuitive semantics.
+    only shingle (see :func:`gram_array`).
     """
-    text_col = F.col(text_col) if isinstance(text_col, str) else text_col
-    words = F.split(F.rtrim(text_col), r"\s+")
-    n_sh = F.greatest(F.lit(1), F.size(words) - F.lit(n - 1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), n_sh - 1),
-            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
-        )
-    )
+    return F.array_distinct(gram_array(text_col, n))
 
 
 def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:

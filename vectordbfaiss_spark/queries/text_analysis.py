@@ -270,13 +270,19 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()
-    scored = tf.join(F.broadcast(df), "tok").select(
-        "doc_id",
-        "tok",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
-            "tfidf"
-        ),
+    # corpus size as a broadcast 1-row aggregate inside the SAME plan — a
+    # driver-side .count() here would be an extra eager job per invocation
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     from pyspark.sql import Window as W2
 
@@ -424,6 +430,7 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REPETITION_ORACLE = """
 WITH w AS (
   SELECT doc_id, string_split_regex(rtrim(text), '\\s+') AS words FROM documents
+  WHERE text IS NOT NULL
 ), g AS (
   SELECT doc_id, words,
          list_transform(generate_series(0, greatest(1, len(words) - 2) - 1),
@@ -466,20 +473,17 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 3-gram uniqueness ratio is computed entirely expression-side
     (array arithmetic, no second explode). Thresholds are Gopher's,
     loosened to the synthetic corpus' natural repetition."""
+    from vectordbfaiss_spark.operators.dedup import gram_array
     from vectordbfaiss_spark.session import fan_out
 
     # single-file fixture parquet is unsplittable — spread rows before the
-    # explode and the per-row n-gram array work (no-op on real tables)
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    words = F.split(F.rtrim("text"), r"\s+")
-    # clamp like operators.dedup.word_shingles: a doc shorter than 3 words
-    # yields its full text as the single gram instead of a negative-length
-    # sequence (which crashes slice with start=0)
-    n_g = F.greatest(F.lit(1), F.size(words) - 2)
-    grams = F.transform(
-        F.sequence(F.lit(0), n_g - 1),
-        lambda i: F.array_join(F.slice(words, i + 1, 3), " "),
+    # explode and the per-row n-gram array work (no-op on real tables).
+    # NULL texts are excluded up front (both engines) — see the oracle.
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     )
+    words = F.split(F.rtrim("text"), r"\s+")
+    grams = gram_array(F.col("text"), 3)
     gm = docs.select(
         "doc_id",
         F.greatest(F.size(grams), F.lit(1)).alias("n_grams"),
@@ -518,6 +522,7 @@ _XDOC_SPAN = 8  # span length in words (C4 used 3 sentences; fixture has no
 _XDOC_ORACLE = f"""
 WITH w AS (
   SELECT doc_id, string_split_regex(rtrim(text), '\\s+') AS words FROM documents
+  WHERE text IS NOT NULL
 ), s AS (
   SELECT doc_id,
          unnest(list_distinct(list_transform(
@@ -547,7 +552,9 @@ def q_crossdoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordbfaiss_spark.operators.dedup import word_shingles
     from vectordbfaiss_spark.session import fan_out
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     spans = fan_out(docs).select(
         "doc_id",
         F.explode(word_shingles("text", _XDOC_SPAN)).alias("span"),
