@@ -877,3 +877,62 @@ def q_bool_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_rows"),
         F.count(F.when(F.col("o_orderstatus") == "O", 1)).cast("long").alias("n_open"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (pipeline data-quality gate)
+# ---------------------------------------------------------------------------
+
+_FK_AUDIT_ORACLE = """
+SELECT 'orders.o_custkey -> customer' AS fk,
+       count(*) AS n_rows,
+       count(*) FILTER (WHERE c.c_custkey IS NULL) AS n_orphans
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'lineitem.l_orderkey -> orders', count(*),
+       count(*) FILTER (WHERE oo.o_orderkey IS NULL)
+FROM lineitem l LEFT JOIN orders oo ON l.l_orderkey = oo.o_orderkey
+UNION ALL
+SELECT 'lineitem.l_partkey -> part', count(*),
+       count(*) FILTER (WHERE p.p_partkey IS NULL)
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+UNION ALL
+SELECT 'embeddings.vec_id -> documents', count(*),
+       count(*) FILTER (WHERE d.doc_id IS NULL)
+FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id
+"""
+
+
+@register("fk_integrity_audit", _FK_AUDIT_ORACLE)
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: per foreign key,
+    total rows and orphans (fact rows whose dimension key is missing) — the
+    standard pre-training/pre-join data-quality gate. Plan: each check is a
+    broadcast-dim left-anti-style count folded into one left join + filtered
+    count; the four audits union into one small result. At 100 TB each
+    audit is one fact scan with a broadcast (or shuffled-hash for big dims)
+    join — no orphan rows are ever collected, only counted."""
+
+    def audit(fact, fkey, dim, dkey, label):
+        d = dim.select(F.col(dkey).alias("_dk")).distinct()
+        joined = fact.select(F.col(fkey).alias("_fk")).join(
+            d, F.col("_fk") == F.col("_dk"), "left"
+        )
+        return joined.agg(
+            F.lit(label).alias("fk"),
+            F.count("*").alias("n_rows"),
+            F.count(F.when(F.col("_dk").isNull(), 1)).alias("n_orphans"),
+        ).select("fk", "n_rows", "n_orphans")
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        audit(o, "o_custkey", c, "c_custkey", "orders.o_custkey -> customer")
+        .unionAll(audit(li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey -> orders"))
+        .unionAll(audit(li, "l_partkey", p, "p_partkey", "lineitem.l_partkey -> part"))
+        .unionAll(audit(e, "vec_id", d, "doc_id", "embeddings.vec_id -> documents"))
+    )
