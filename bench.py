@@ -56,13 +56,17 @@ def main() -> None:
         "CREATE TABLE documents (id INTEGER PRIMARY KEY, "
         "content TEXT UNIQUE, vector BLOB)"
     )
-    _con.execute(
-        "INSERT INTO documents (content, vector) VALUES ('w', ?)",
-        (struct.pack("<2f", 1.0, 2.0),),
+    _con.executemany(
+        "INSERT INTO documents (content, vector) VALUES (?, ?)",
+        [(f"w{i}", struct.pack("<2f", 1.0, 2.0)) for i in range(16)],
     )
     _con.commit()
     _con.close()
-    spark.read.format("sqlite_documents").option("path", _db).load().count()
+    # 16 rows / 8 partitions: forks the same size of Python-runner pool the
+    # real partitioned read uses, so those one-time forks aren't billed
+    spark.read.format("sqlite_documents").option("path", _db).option(
+        "numPartitions", "8"
+    ).load().count()
     spark.createDataFrame(
         [(None, "w2", [1.0])], "id LONG, content STRING, vector ARRAY<FLOAT>"
     ).coalesce(1).write.format("sqlite_documents").option("path", _db).mode(
