@@ -75,3 +75,62 @@ def test_topk_is_prefix_of_topk_plus_one(spark):
     k5 = {(r["query_id"], r["vec_id"]) for r in topk(scored, 5).collect()}
     k6 = {(r["query_id"], r["vec_id"]) for r in topk(scored, 6).collect()}
     assert k5 <= k6 and len(k6 - k5) == 5
+
+
+# ---------------------------------------------------------------------------
+# Dedup candidate-generation properties (round-2 additions)
+# ---------------------------------------------------------------------------
+
+
+def _gram_reference(text: str, n: int) -> list[str]:
+    words = re.split(r"\s+", text.rstrip())
+    k = max(1, len(words) - n + 1)
+    return [" ".join(words[i : i + n]) for i in range(k)]
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n_words=st.integers(min_value=0, max_value=40),
+    n=st.integers(min_value=1, max_value=9),
+)
+def test_gram_array_equals_reference_loop(spark, n_words, n):
+    from vectordbfaiss_spark.operators.dedup import gram_array
+
+    text = " ".join(f"w{i % 7}" for i in range(n_words))
+    got = (
+        spark.createDataFrame([(text,)], "text STRING")
+        .select(gram_array(F.col("text"), n).alias("g"))
+        .collect()[0]["g"]
+    )
+    assert got == _gram_reference(text, n)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    max_hamming=st.integers(min_value=0, max_value=8),
+)
+def test_simhash_blocked_equals_allpairs_random(spark, seed, max_hamming):
+    """Pigeonhole blocking must be lossless for ANY corpus/threshold."""
+    import random
+
+    from vectordbfaiss_spark.operators import dedup as D
+
+    rng = random.Random(seed)
+    vocab = [f"t{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(1, 15))))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    blocked = sorted(
+        tuple(r)
+        for r in D.simhash_pairs(df, "doc_id", "text", max_hamming=max_hamming).collect()
+    )
+    exact = sorted(
+        tuple(r)
+        for r in D.simhash_pairs_allpairs(
+            df, "doc_id", "text", max_hamming=max_hamming
+        ).collect()
+    )
+    assert blocked == exact
