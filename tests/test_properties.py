@@ -83,7 +83,7 @@ def test_topk_is_prefix_of_topk_plus_one(spark):
 
 
 def _gram_reference(text: str, n: int) -> list[str]:
-    words = re.split(r"\s+", text.rstrip())
+    words = re.split(r"\s+", text.rstrip(" "))  # rtrim = spaces only
     k = max(1, len(words) - n + 1)
     return [" ".join(words[i : i + n]) for i in range(k)]
 

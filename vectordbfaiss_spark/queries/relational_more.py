@@ -887,19 +887,19 @@ _FK_AUDIT_ORACLE = """
 SELECT 'orders.o_custkey -> customer' AS fk,
        count(*) AS n_rows,
        count(*) FILTER (WHERE c.c_custkey IS NULL) AS n_orphans
-FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON o.o_custkey = c.c_custkey
 UNION ALL
 SELECT 'lineitem.l_orderkey -> orders', count(*),
        count(*) FILTER (WHERE oo.o_orderkey IS NULL)
-FROM lineitem l LEFT JOIN orders oo ON l.l_orderkey = oo.o_orderkey
+FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) oo ON l.l_orderkey = oo.o_orderkey
 UNION ALL
 SELECT 'lineitem.l_partkey -> part', count(*),
        count(*) FILTER (WHERE p.p_partkey IS NULL)
-FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p ON l.l_partkey = p.p_partkey
 UNION ALL
 SELECT 'embeddings.vec_id -> documents', count(*),
        count(*) FILTER (WHERE d.doc_id IS NULL)
-FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id
+FROM embeddings e LEFT JOIN (SELECT DISTINCT doc_id FROM documents) d ON e.vec_id = d.doc_id
 """
 
 
