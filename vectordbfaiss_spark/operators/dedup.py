@@ -289,6 +289,77 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_incremental(
+    existing: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Incremental near-dup: which NEW documents near-duplicate an
+    EXISTING store — the production shape of repeated ingest (daily batch
+    vs published corpus), where the corpus self-join never happens.
+
+    Same banding family as :func:`minhash_lsh_pairs`, but the candidate
+    join is existing-banded x new-banded (an A x B equi-join whose cost is
+    |new|-proportional, since band keys of the store can be precomputed
+    and reused across batches). Verification runs exact Jaccard over the
+    union restricted to candidate docs only. Output:
+    (existing_id, new_id, jaccard).
+    """
+    sig_e = minhash_signatures(existing, id_col, text_col, n, num_hashes)
+    sig_n = minhash_signatures(new, id_col, text_col, n, num_hashes)
+    n_bands = num_hashes // rows_per_band
+
+    def banded(sig):
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    ).alias("key"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return sig.select(F.col(id_col), F.explode(bands).alias("bk")).select(
+            id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        )
+
+    be = banded(sig_e).select(F.col(id_col).alias("existing_id"), "band", "key")
+    bn = banded(sig_n).select(F.col(id_col).alias("new_id"), "band", "key")
+    candidates = (
+        be.join(bn, ["band", "key"]).select("existing_id", "new_id").distinct()
+    )
+    candidates = candidates.localCheckpoint(eager=True)
+    cand_docs = candidates.select(
+        F.explode(F.array("existing_id", "new_id")).alias(id_col)
+    ).distinct()
+    both = existing.select(id_col, text_col).unionAll(new.select(id_col, text_col))
+    verified = ngram_jaccard_pairs(
+        both, id_col, text_col, n, threshold, restrict_ids=cand_docs
+    )
+    # verified pairs are (min_id, max_id); candidates carry role labels —
+    # match on the normalized pair
+    keyed = candidates.select(
+        "existing_id",
+        "new_id",
+        F.least("existing_id", "new_id").alias("id_a"),
+        F.greatest("existing_id", "new_id").alias("id_b"),
+    )
+    return keyed.join(verified, ["id_a", "id_b"]).select(
+        "existing_id", "new_id", "jaccard"
+    )
+
+
 def _hex_bit(hex_col, p: int):
     """Bit p (0..31) of the first 8 hex digits of an md5-hex column —
     portable to the DuckDB oracle as ``(strpos('0123456789abcdef',

@@ -146,6 +146,61 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_incremental_oracle() -> str:
+    mh = ",\n       ".join(
+        f"min(substr(md5('{s // 4}:' || shingle), {(s % 4) * 8 + 1}, 8)) AS mh{s}"
+        for s in range(_NUM_HASHES)
+    )
+    n_bands = _NUM_HASHES // _ROWS_PER_BAND
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, mh{b * _ROWS_PER_BAND} || '|' || "
+        f"mh{b * _ROWS_PER_BAND + 1} AS key FROM sig"
+        for b in range(n_bands)
+    )
+    return (
+        _jaccard_ctes(3)
+        + f""",
+sig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS existing_id, b.doc_id AS new_id
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+)
+SELECT c.existing_id, c.new_id, j.jaccard
+FROM cand c
+JOIN jac j ON least(c.existing_id, c.new_id) = j.id_a
+          AND greatest(c.existing_id, c.new_id) = j.id_b
+WHERE j.jaccard >= 0.4
+"""
+    )
+
+
+@register("dedup_minhash_incremental", _minhash_incremental_oracle())
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup (the production ingest shape): a NEW batch
+    (odd doc_ids) banded against an EXISTING store (even doc_ids), so the
+    candidate join is A x B — |new|-proportional — and the corpus never
+    self-joins. Same MinHash family as dedup_minhash_lsh; output keeps the
+    role labels (existing_id, new_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return D.minhash_lsh_incremental(
+        existing,
+        new,
+        "doc_id",
+        "text",
+        n=3,
+        num_hashes=_NUM_HASHES,
+        rows_per_band=_ROWS_PER_BAND,
+        threshold=0.4,
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
