@@ -53,3 +53,17 @@ def test_no_rows_only_in_first_window():
     window = list(registry.queries())[:50]
     offenders = [n for n in window if n in registry.ROWS_ONLY]
     assert not offenders, offenders
+
+
+def test_queries_manifest_is_current():
+    """QUERIES.md is generated; its headline count must track the registry
+    so the manifest can't silently go stale."""
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    head = open(os.path.join(repo, "QUERIES.md")).read(300)
+    m = re.search(r"(\d+) queries: (\d+) DuckDB-oracle", head)
+    assert m, "QUERIES.md headline missing"
+    assert int(m.group(1)) == len(registry.queries())
+    assert int(m.group(2)) == len(registry.oracle_sql())

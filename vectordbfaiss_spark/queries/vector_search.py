@@ -400,3 +400,79 @@ def q_sql_routed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"cosine_similarity(embedding, array({_ROUTED_LITS})) DESC LIMIT 10"
     )
     return route_topk_sql(spark, sql, nprobe=8)
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift report (distribution-shift monitoring between cohorts)
+# ---------------------------------------------------------------------------
+
+_DRIFT_ORACLE = """
+WITH ex AS (
+  SELECT label, vec_id % 2 AS cohort, i, e[i] AS v
+  FROM (SELECT label, vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       unnest(generate_series(1, 64)) AS t(i)
+), cent AS (
+  SELECT label, cohort, i, avg(v) AS c FROM ex GROUP BY label, cohort, i
+), wide AS (
+  SELECT a.label, a.i, a.c AS c0, b.c AS c1
+  FROM cent a JOIN cent b ON a.label = b.label AND a.i = b.i
+  WHERE a.cohort = 0 AND b.cohort = 1
+), sums AS (
+  SELECT label,
+         sum(c0 * c1) AS dot01,
+         sqrt(sum(c0 * c0)) AS n0,
+         sqrt(sum(c1 * c1)) AS n1
+  FROM wide GROUP BY label
+), counts AS (
+  SELECT label,
+         count(*) FILTER (WHERE vec_id % 2 = 0) AS n_cohort0,
+         count(*) FILTER (WHERE vec_id % 2 = 1) AS n_cohort1
+  FROM embeddings GROUP BY label
+)
+SELECT s.label,
+       c.n_cohort0, c.n_cohort1,
+       round(s.dot01 / (s.n0 * s.n1), 6) AS centroid_cosine,
+       (s.dot01 / (s.n0 * s.n1)) >= 0.5 AS stable
+FROM sums s JOIN counts c ON s.label = c.label
+"""
+
+
+@register("embedding_drift_report", _DRIFT_ORACLE)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding distribution-drift report: split each label's vectors into
+    two cohorts (even/odd vec_id standing in for old/new corpus versions),
+    compare per-label centroids by cosine, and flag labels whose prototype
+    moved — the standard shift monitor between corpus or embedder versions.
+    Plan: one posexplode -> (label, cohort, dim) avg -> per-label fold; all
+    expression-side, two narrow hash-aggs, no Python."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("cohort"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("p", "v"),
+    ).select("label", "cohort", (F.col("p") + 1).alias("i"), "v")
+    cent = ex.groupBy("label", "cohort", "i").agg(F.avg("v").alias("c"))
+    wide = (
+        cent.groupBy("label", "i")
+        .agg(
+            F.max(F.when(F.col("cohort") == 0, F.col("c"))).alias("c0"),
+            F.max(F.when(F.col("cohort") == 1, F.col("c"))).alias("c1"),
+        )
+    )
+    sums = wide.groupBy("label").agg(
+        F.sum(F.col("c0") * F.col("c1")).alias("dot01"),
+        F.sqrt(F.sum(F.col("c0") * F.col("c0"))).alias("n0"),
+        F.sqrt(F.sum(F.col("c1") * F.col("c1"))).alias("n1"),
+    )
+    counts = emb.groupBy("label").agg(
+        F.count(F.when(F.col("vec_id") % 2 == 0, 1)).alias("n_cohort0"),
+        F.count(F.when(F.col("vec_id") % 2 == 1, 1)).alias("n_cohort1"),
+    )
+    cos = F.col("dot01") / (F.col("n0") * F.col("n1"))
+    return sums.join(counts, "label").select(
+        "label",
+        "n_cohort0",
+        "n_cohort1",
+        F.round(cos, 6).alias("centroid_cosine"),
+        (cos >= 0.5).alias("stable"),
+    )
