@@ -93,3 +93,37 @@ def test_other_column_projection_falls_back_not_routed(spark, tmp_path):
     out = route_topk_sql(spark, sql)
     assert out.columns == ["label"]
     assert out.count() == 3
+
+
+def test_filtered_routed_matches_exact_sql(spark, tmp_path):
+    name = _ivf(spark, tmp_path, "t_router_filter")
+    sql = (
+        f"SELECT * FROM {name} WHERE label = 3 ORDER BY "
+        f"cosine_similarity(embedding, array({_LITS})) DESC LIMIT 5"
+    )
+    routed = route_topk_sql(spark, sql, nprobe=4).collect()
+    ensure_sql_functions(spark)
+    spark.read.parquet(IVF_TABLES[name].path).createOrReplaceTempView("t_fexact")
+    exact = spark.sql(
+        "SELECT vec_id, cosine_similarity(embedding, array("
+        + _LITS
+        + ")) AS score FROM t_fexact WHERE label = 3 "
+        "ORDER BY score DESC, vec_id LIMIT 5"
+    ).collect()
+    assert [r.vec_id for r in routed] == [r.vec_id for r in exact]
+    for r, e in zip(routed, exact):
+        assert abs(r.score - e.score) < 1e-5
+
+
+def test_unknown_filter_column_falls_back_with_real_error(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    name = _ivf(spark, tmp_path, "t_router_badcol")
+    spark.read.parquet(IVF_TABLES[name].path).createOrReplaceTempView(name)
+    sql = (
+        f"SELECT * FROM {name} WHERE no_such_col = 1 ORDER BY "
+        f"cosine_similarity(embedding, array({_LITS})) DESC LIMIT 5"
+    )
+    with _pytest.raises(AnalysisException):
+        route_topk_sql(spark, sql).collect()

@@ -7,8 +7,13 @@ string level with a deliberately tight, documented grammar:
 
     SELECT * | <id_col>
     FROM <table>
+    [WHERE <meta_col> = <literal>]
     ORDER BY cosine_similarity(<vec_col>, array(<float literals>)) DESC
     LIMIT <k>
+
+The optional WHERE is the filtered-ANN form: the equality pre-filter
+restricts the corpus BEFORE scoring (k results stay exact over the
+filtered set; parquet pushdown skips the excluded fraction).
 
 - ``cosine_similarity`` is registered as a real Spark SQL function
   (:func:`ensure_sql_functions`), so the SAME statement executes exactly
@@ -84,6 +89,8 @@ def ensure_sql_functions(spark: SparkSession) -> None:
 _PATTERN = re.compile(
     r"""^\s*SELECT\s+(?P<proj>\*|[A-Za-z_]\w*)\s+
         FROM\s+(?P<tbl>[A-Za-z_]\w*)\s+
+        (?:WHERE\s+(?P<fcol>[A-Za-z_]\w*)\s*=\s*
+            (?P<fval>'[^']*'|[-+]?\d+(?:\.\d+)?)\s+)?
         ORDER\s+BY\s+cosine_similarity\(\s*(?P<col>[A-Za-z_]\w*)\s*,\s*
             array\((?P<vec>[-+0-9eE.,\s]*)\)\s*\)\s+DESC\s+
         LIMIT\s+(?P<k>\d+)\s*;?\s*$""",
@@ -120,9 +127,22 @@ def route_topk_sql(spark: SparkSession, sql: str, nprobe: int = 4) -> DataFrame:
     qvec = [float(x) for x in m.group("vec").split(",") if x.strip()]
     k = int(m.group("k"))
     queries = spark.createDataFrame(
-        [(0, qvec)], f"query_id LONG, query_vec ARRAY<FLOAT>"
+        [(0, qvec)], "query_id LONG, query_vec ARRAY<FLOAT>"
     )
     index = spark.read.parquet(tbl.path)
+    if m.group("fcol") is not None:
+        if m.group("fcol") not in index.columns:
+            # unknown filter column: let spark.sql produce the real error
+            ensure_sql_functions(spark)
+            return spark.sql(sql)
+        # metadata equality pre-filter (filtered ANN: restrict BEFORE
+        # scoring so k results stay exact over the filtered corpus and the
+        # excluded fraction is never scored). Parquet pushdown applies.
+        fv = m.group("fval")
+        lit = fv[1:-1] if fv.startswith("'") else (
+            float(fv) if "." in fv else int(fv)
+        )
+        index = index.filter(F.col(m.group("fcol")) == F.lit(lit))
     hits = ivf_search(
         index,
         queries,
