@@ -565,3 +565,73 @@ def q_crossdoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .select("span", F.col("n_docs").cast("long").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken '03 — the rolling-hash
+# document fingerprinting used by MOSS-style near-dup/plagiarism detection)
+# ---------------------------------------------------------------------------
+
+_WIN_K = 8   # k-gram length in characters
+_WIN_W = 16  # winnowing window (positions per selection window)
+
+_WINNOW_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lower(text) AS t FROM documents WHERE text IS NOT NULL
+), h AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(1, length(t) - {_WIN_K} + 1)),
+                        i -> md5(substr(t, i, {_WIN_K}))) AS hashes
+  FROM d
+), sel AS (
+  SELECT doc_id, hashes,
+         list_distinct(list_transform(
+             generate_series(1, greatest(1, len(hashes) - {_WIN_W} + 1)),
+             j -> list_min(list_slice(hashes, j, j + {_WIN_W} - 1)))) AS fps
+  FROM h
+)
+SELECT doc_id,
+       CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       list_min(fps) AS fp_min,
+       md5(array_to_string(list_sort(fps), '')) AS fp_set_digest
+FROM sel
+"""
+
+
+@register("winnowing_fingerprints", _WINNOW_ORACLE)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints: hash every k-char gram, keep the
+    minimum hash of each w-position window, dedup — the rolling-hash
+    fingerprint family (guaranteed to share fingerprints with any document
+    overlapping by >= w+k-1 chars, the winnowing theorem). Output is the
+    fingerprint-set size, its minimum, and an order-insensitive digest so
+    the whole selected set is hash-verified. Expression-side per row (the
+    O(len * w) window-min is fine at document granularity; a mapInPandas
+    kernel with a true rolling deque is the drop-in at book-length docs).
+    """
+    from vectordbfaiss_spark.session import fan_out
+
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    # built via F.expr: substr with a COLUMN start position (the window
+    # index) — the F.substring API only takes literal starts
+    hashes = F.expr(
+        f"transform(sequence(1, greatest(1, length(lower(text)) - {_WIN_K - 1})),"
+        f" i -> md5(substr(lower(text), i, {_WIN_K})))"
+    )
+    sel = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(1, size(h) - {_WIN_W - 1})),"
+            f" j -> array_min(slice(h, j, {_WIN_W})))"
+        )
+    )
+    out = docs.select("doc_id", hashes.alias("h")).select(
+        "doc_id", sel.alias("fps")
+    )
+    return out.select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.array_min("fps").alias("fp_min"),
+        F.md5(F.array_join(F.array_sort("fps"), "")).alias("fp_set_digest"),
+    )
