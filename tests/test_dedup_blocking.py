@@ -124,3 +124,11 @@ def test_ngram_cap_keeps_numerator_and_denominator_consistent(spark):
     assert _pairs(capped) == _pairs(expected)
     got = {(r.id_a, r.id_b): r.jaccard for r in capped.collect()}
     assert got == {(1, 2): 0.333333}
+
+
+def test_minhash_incremental_rejects_overlapping_ids(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id LONG, text STRING"
+    )
+    with pytest.raises(ValueError, match="share document ids"):
+        D.minhash_lsh_incremental(docs, docs, "doc_id", "text")

@@ -56,14 +56,16 @@ def test_no_rows_only_in_first_window():
 
 
 def test_queries_manifest_is_current():
-    """QUERIES.md is generated; its headline count must track the registry
-    so the manifest can't silently go stale."""
+    """QUERIES.md must be byte-identical to the committed generator's
+    output — any registry add/rename without regenerating fails here."""
     import os
-    import re
+    import sys
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    head = open(os.path.join(repo, "QUERIES.md")).read(300)
-    m = re.search(r"(\d+) queries: (\d+) DuckDB-oracle", head)
-    assert m, "QUERIES.md headline missing"
-    assert int(m.group(1)) == len(registry.queries())
-    assert int(m.group(2)) == len(registry.oracle_sql())
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    import gen_queries_md
+
+    current = open(os.path.join(repo, "QUERIES.md")).read()
+    assert current == gen_queries_md.render(), (
+        "QUERIES.md is stale — run `python tools/gen_queries_md.py`"
+    )

@@ -115,15 +115,17 @@ def test_filtered_routed_matches_exact_sql(spark, tmp_path):
         assert abs(r.score - e.score) < 1e-5
 
 
-def test_unknown_filter_column_falls_back_with_real_error(spark, tmp_path):
+def test_unknown_filter_column_raises_unresolved(spark, tmp_path):
     import pytest as _pytest
     from pyspark.errors.exceptions.captured import AnalysisException
 
+    # no temp view registered: the routed path itself must surface the
+    # genuine unresolved-column error, not TABLE_OR_VIEW_NOT_FOUND
     name = _ivf(spark, tmp_path, "t_router_badcol")
-    spark.read.parquet(IVF_TABLES[name].path).createOrReplaceTempView(name)
     sql = (
         f"SELECT * FROM {name} WHERE no_such_col = 1 ORDER BY "
         f"cosine_similarity(embedding, array({_LITS})) DESC LIMIT 5"
     )
-    with _pytest.raises(AnalysisException):
+    with _pytest.raises(AnalysisException) as ei:
         route_topk_sql(spark, sql).collect()
+    assert "UNRESOLVED_COLUMN" in str(ei.value)

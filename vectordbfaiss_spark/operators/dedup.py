@@ -298,6 +298,7 @@ def minhash_lsh_incremental(
     num_hashes: int = 16,
     rows_per_band: int = 2,
     threshold: float = 0.4,
+    check_disjoint: bool = True,
 ) -> DataFrame:
     """Incremental near-dup: which NEW documents near-duplicate an
     EXISTING store — the production shape of repeated ingest (daily batch
@@ -309,7 +310,28 @@ def minhash_lsh_incremental(
     and reused across batches). Verification runs exact Jaccard over the
     union restricted to candidate docs only. Output:
     (existing_id, new_id, jaccard).
+
+    REQUIRES disjoint id spaces: a doc_id present on both sides would
+    merge both texts' shingle sets in the verify union (wrong Jaccard) and
+    its self-pair would be silently dropped by the id_a < id_b
+    convention. ``check_disjoint`` (default on) runs one cheap semi-join
+    count and raises on overlap; callers whose split is disjoint by
+    construction (parity, date partitions) may disable it.
     """
+    if check_disjoint:
+        overlap = (
+            new.select(id_col)
+            .join(existing.select(id_col), id_col, "left_semi")
+            .limit(1)
+            .count()
+        )
+        if overlap:
+            raise ValueError(
+                "minhash_lsh_incremental: existing and new share document "
+                f"ids (column {id_col!r}) — re-keyed or re-ingested docs "
+                "must be deduped exactly (write_dedup_append) before "
+                "near-dup comparison"
+            )
     sig_e = minhash_signatures(existing, id_col, text_col, n, num_hashes)
     sig_n = minhash_signatures(new, id_col, text_col, n, num_hashes)
     n_bands = num_hashes // rows_per_band

@@ -12,8 +12,12 @@ string level with a deliberately tight, documented grammar:
     LIMIT <k>
 
 The optional WHERE is the filtered-ANN form: the equality pre-filter
-restricts the corpus BEFORE scoring (k results stay exact over the
-filtered set; parquet pushdown skips the excluded fraction).
+restricts the corpus BEFORE scoring (the excluded fraction is never
+scored; parquet pushdown applies). Like every routed query, results are
+exact only at ``nprobe >= n_clusters`` — at smaller nprobe the routing is
+approximate (standard IVF recall trade-off), including under a WHERE
+filter; callers needing exact filtered answers pass full probe or run the
+statement verbatim through ``spark.sql``.
 
 - ``cosine_similarity`` is registered as a real Spark SQL function
   (:func:`ensure_sql_functions`), so the SAME statement executes exactly
@@ -131,13 +135,11 @@ def route_topk_sql(spark: SparkSession, sql: str, nprobe: int = 4) -> DataFrame:
     )
     index = spark.read.parquet(tbl.path)
     if m.group("fcol") is not None:
-        if m.group("fcol") not in index.columns:
-            # unknown filter column: let spark.sql produce the real error
-            ensure_sql_functions(spark)
-            return spark.sql(sql)
         # metadata equality pre-filter (filtered ANN: restrict BEFORE
-        # scoring so k results stay exact over the filtered corpus and the
-        # excluded fraction is never scored). Parquet pushdown applies.
+        # scoring — the excluded fraction is never scored, and parquet
+        # pushdown applies). An unknown column raises the genuine
+        # UNRESOLVED_COLUMN analysis error here — no fallback, since the
+        # routed table need not exist as a Spark view.
         fv = m.group("fval")
         lit = fv[1:-1] if fv.startswith("'") else (
             float(fv) if "." in fv else int(fv)

@@ -198,6 +198,7 @@ def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=_NUM_HASHES,
         rows_per_band=_ROWS_PER_BAND,
         threshold=0.4,
+        check_disjoint=False,  # parity split is disjoint by construction
     )
 
 

@@ -614,11 +614,15 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(
         load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     )
-    # built via F.expr: substr with a COLUMN start position (the window
-    # index) — the F.substring API only takes literal starts
+    # lower(text) is projected ONCE per row first: referencing it inside
+    # the transform lambda would re-lower the whole string per gram
+    # position (Catalyst does not CSE across lambda invocations — O(len^2)
+    # character work). Built via F.expr: substr with a COLUMN start (the
+    # window index) — the F.substring API only takes literal starts.
+    lowered = docs.select("doc_id", F.lower("text").alias("t"))
     hashes = F.expr(
-        f"transform(sequence(1, greatest(1, length(lower(text)) - {_WIN_K - 1})),"
-        f" i -> md5(substr(lower(text), i, {_WIN_K})))"
+        f"transform(sequence(1, greatest(1, length(t) - {_WIN_K - 1})),"
+        f" i -> md5(substr(t, i, {_WIN_K})))"
     )
     sel = F.array_distinct(
         F.expr(
@@ -626,7 +630,7 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" j -> array_min(slice(h, j, {_WIN_W})))"
         )
     )
-    out = docs.select("doc_id", hashes.alias("h")).select(
+    out = lowered.select("doc_id", hashes.alias("h")).select(
         "doc_id", sel.alias("fps")
     )
     return out.select(

@@ -469,10 +469,16 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("vec_id") % 2 == 1, 1)).alias("n_cohort1"),
     )
     cos = F.col("dot01") / (F.col("n0") * F.col("n1"))
-    return sums.join(counts, "label").select(
-        "label",
-        "n_cohort0",
-        "n_cohort1",
-        F.round(cos, 6).alias("centroid_cosine"),
-        (cos >= 0.5).alias("stable"),
+    return (
+        sums.join(counts, "label")
+        .select(
+            "label",
+            "n_cohort0",
+            "n_cohort1",
+            F.round(cos, 6).alias("centroid_cosine"),
+            (cos >= 0.5).alias("stable"),
+        )
+        # a label present in only one cohort has no drift to measure —
+        # drop it (NULL cosine), matching the oracle's inner cohort join
+        .filter(F.col("centroid_cosine").isNotNull())
     )
