@@ -392,3 +392,82 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 6).alias("raw_mean"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus health rollup (per-source pipeline dashboard)
+# ---------------------------------------------------------------------------
+
+_HEALTH_ORACLE = """
+WITH m AS (
+  SELECT source, lang, text,
+         len(string_split_regex(rtrim(text), '\\s+')) AS n_tokens
+  FROM documents
+), per_source AS (
+  SELECT source,
+         count(*) AS n_docs,
+         count(DISTINCT text) AS n_unique,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         round(avg(n_tokens), 6) AS mean_tokens
+  FROM m GROUP BY source
+), lang_p AS (
+  SELECT source, lang, count(*) / sum(count(*)) OVER (PARTITION BY source) AS p
+  FROM m GROUP BY source, lang
+), ent AS (
+  SELECT source, round(-sum(p * ln(p)), 6) AS lang_entropy FROM lang_p GROUP BY source
+)
+SELECT s.source, s.n_docs,
+       round(1.0 - s.n_unique / s.n_docs, 6) AS dup_rate,
+       s.total_tokens, s.mean_tokens, e.lang_entropy
+FROM per_source s JOIN ent e ON s.source = e.source
+"""
+
+
+@register("corpus_health_report", _HEALTH_ORACLE)
+def q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health dashboard: document counts, exact-duplicate
+    rate, token totals/means, and language-distribution entropy — the
+    one-look report a curation pipeline publishes per snapshot. Plan: one
+    narrow projection feeds three hash-aggs on source(+lang/+text) that
+    join on the tiny source dimension; token counting stays expression-side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "source",
+        "lang",
+        "text",
+        F.size(F.split(F.rtrim("text"), r"\s+")).alias("n_tokens"),
+    )
+    # distinct texts per source via two-level agg (no Expand)
+    uniq = (
+        m.groupBy("source", "text")
+        .agg(F.lit(1))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_unique"))
+    )
+    per_source = m.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
+    )
+    lang_counts = m.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    from pyspark.sql import Window as W2
+
+    p = F.col("c") / F.sum("c").over(W2.partitionBy("source"))
+    ent = (
+        lang_counts.withColumn("p", p)
+        .groupBy("source")
+        .agg(F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 6).alias("lang_entropy"))
+    )
+    return (
+        per_source.join(F.broadcast(uniq), "source")
+        .join(F.broadcast(ent), "source")
+        .select(
+            "source",
+            "n_docs",
+            F.round(1.0 - F.col("n_unique") / F.col("n_docs"), 6).alias("dup_rate"),
+            "total_tokens",
+            "mean_tokens",
+            "lang_entropy",
+        )
+    )
