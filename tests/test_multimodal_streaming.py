@@ -78,3 +78,45 @@ def test_stream_windowed_counts_matches_batch(spark):
     a = sorted(map(tuple, streaming_expr.collect()))
     b = sorted(map(tuple, batch.collect()))
     assert a == b
+
+
+def test_stream_ingest_neardup_suppresses_fuzzy_duplicates(spark, tmp_path):
+    from vectordbfaiss_spark.streaming.ingest_stream import stream_ingest_neardup
+
+    src = tmp_path / "in"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    base = " ".join(f"w{i}" for i in range(30))
+
+    # batch 1: seed the store
+    (src / "a.txt").write_text(base + "\n")
+    q = stream_ingest_neardup(
+        spark, str(src), store, str(tmp_path / "ck"), n=50, m=2, dim=8,
+        jaccard_threshold=0.5,
+    )
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(store).count()
+    assert n1 > 0
+
+    # batch 2: one near-duplicate of a stored chunk (one word changed in a
+    # 10-word window) + one genuinely new doc
+    near = base.replace("w5", "w5x")
+    (src / "b.txt").write_text(near + "\n")
+    fresh = " ".join(f"z{i}" for i in range(30))
+    (src / "c.txt").write_text(fresh + "\n")
+    # n=50 > doc length: one chunk per doc, so the near doc's Jaccard to
+    # its stored original is 25/31 ~ 0.81 — far above threshold and far up
+    # the banding S-curve, so suppression is deterministic
+    q2 = stream_ingest_neardup(
+        spark, str(src), store, str(tmp_path / "ck"), n=50, m=2, dim=8,
+        jaccard_threshold=0.5,
+    )
+    q2.awaitTermination(120)
+    stored = spark.read.parquet(store)
+    n2 = stored.count()
+    # the fresh doc's chunks landed; the near-duplicate's mostly did not
+    fresh_chunks = stored.filter(stored.content.contains("z0")).count()
+    near_chunks = stored.filter(stored.content.contains("w5x")).count()
+    assert fresh_chunks > 0
+    assert near_chunks == 0, "near-duplicate chunks must be suppressed"
+    assert n2 > n1

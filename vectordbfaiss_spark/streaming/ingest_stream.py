@@ -115,3 +115,76 @@ def stream_windowed_event_counts(
             "sum_value",
         )
     )
+
+
+def stream_ingest_neardup(
+    spark: SparkSession,
+    src_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    n: int = 1000,
+    m: int = 50,
+    dim: int = 64,
+    jaccard_threshold: float = 0.7,
+):
+    """Streaming ingest with NEAR-duplicate suppression against the
+    published store: each micro-batch's chunks are banded against the
+    existing corpus (minhash_lsh_incremental — an A x B candidate join
+    proportional to the batch), and chunks near-duplicating a stored chunk
+    above ``jaccard_threshold`` are dropped BEFORE embedding/append. Exact
+    dedup (in-batch + store anti-join) still applies via
+    ``write_dedup_append`` — this adds the fuzzy tier the reference's
+    UNIQUE constraint can't express.
+
+    Chunk ids are content-hashes on both sides (disjointness with the
+    store holds for any chunk that is not an EXACT duplicate; exact dupes
+    are removed by the anti-join regardless, so the near-dup comparison
+    never needs colliding ids).
+    """
+    from vectordbfaiss_spark.operators.dedup import minhash_lsh_incremental
+
+    files = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .load(src_dir)
+        .select(
+            F.input_file_name().alias("file"),
+            filename_stem(F.input_file_name()).alias("stem"),
+            F.col("value").alias("content"),
+        )
+    )
+    chunks = chunk_documents(files, n=n, m=m).dropDuplicates(["content"])
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        batch = batch_df.withColumn("doc_id", F.xxhash64("content"))
+        try:
+            existing = sess.read.parquet(store_path).select("doc_id", "content")
+        except Exception:
+            existing = None  # first batch: no store yet
+        if existing is not None and not existing.isEmpty():
+            near = minhash_lsh_incremental(
+                existing,
+                # exact dupes share the store's doc_id — drop them first so
+                # id spaces are disjoint (they're removed by the anti-join
+                # later anyway)
+                batch.join(existing.select("doc_id"), "doc_id", "left_anti"),
+                "doc_id",
+                "content",
+                threshold=jaccard_threshold,
+                check_disjoint=False,
+            )
+            near_ids = near.select(F.col("new_id").alias("doc_id")).distinct()
+            batch = batch.join(near_ids, "doc_id", "left_anti")
+        write_dedup_append(
+            embed_chunks(batch.drop("doc_id"), dim), store_path, sess
+        )
+
+    return (
+        chunks.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
