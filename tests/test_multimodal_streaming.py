@@ -120,3 +120,30 @@ def test_stream_ingest_neardup_suppresses_fuzzy_duplicates(spark, tmp_path):
     assert fresh_chunks > 0
     assert near_chunks == 0, "near-duplicate chunks must be suppressed"
     assert n2 > n1
+
+
+def test_stream_ingest_neardup_falls_back_without_sidecar(spark, tmp_path):
+    """A legacy store with no signature sidecar must still suppress near
+    dups (signatures recomputed from store text)."""
+    import shutil
+
+    from vectordbfaiss_spark.streaming.ingest_stream import stream_ingest_neardup
+
+    src = tmp_path / "in"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    base = " ".join(f"w{i}" for i in range(30))
+    (src / "a.txt").write_text(base + "\n")
+    stream_ingest_neardup(
+        spark, str(src), store, str(tmp_path / "ck"), n=50, m=2, dim=8,
+        jaccard_threshold=0.5,
+    ).awaitTermination(120)
+    shutil.rmtree(store + "_sigs")  # simulate a pre-sidecar store
+
+    (src / "b.txt").write_text(base.replace("w5", "w5x") + "\n")
+    stream_ingest_neardup(
+        spark, str(src), store, str(tmp_path / "ck"), n=50, m=2, dim=8,
+        jaccard_threshold=0.5,
+    ).awaitTermination(120)
+    stored = spark.read.parquet(store)
+    assert stored.filter(stored.content.contains("w5x")).count() == 0

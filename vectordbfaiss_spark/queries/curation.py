@@ -438,9 +438,11 @@ def q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.size(F.split(F.rtrim("text"), r"\s+")).alias("n_tokens"),
     )
-    # distinct texts per source via two-level agg (no Expand)
+    # distinct texts per source via two-level agg (no Expand); NULL texts
+    # are excluded to reproduce count(DISTINCT text) semantics
     uniq = (
-        m.groupBy("source", "text")
+        m.filter(F.col("text").isNotNull())
+        .groupBy("source", "text")
         .agg(F.lit(1))
         .groupBy("source")
         .agg(F.count("*").alias("n_unique"))
@@ -451,9 +453,7 @@ def q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
     )
     lang_counts = m.groupBy("source", "lang").agg(F.count("*").alias("c"))
-    from pyspark.sql import Window as W2
-
-    p = F.col("c") / F.sum("c").over(W2.partitionBy("source"))
+    p = F.col("c") / F.sum("c").over(W.partitionBy("source"))
     ent = (
         lang_counts.withColumn("p", p)
         .groupBy("source")

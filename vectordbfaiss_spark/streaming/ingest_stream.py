@@ -33,6 +33,44 @@ from vectordbfaiss_spark.sources.ingest import (
 )
 
 
+def _stream_chunks(spark: SparkSession, src_dir: str, n: int, m: int) -> DataFrame:
+    """Shared streaming source stanza: text file source -> (file, stem,
+    content) -> chunk explode. NO streaming-stateful dedup here — plain
+    ``dropDuplicates`` would keep every content ever seen in the state
+    store (unbounded on a long-running stream, the hazard stream_dedup's
+    docstring describes); exact dedup is fully handled per micro-batch by
+    ``write_dedup_append`` (in-batch dropDuplicates + store anti-join)."""
+    files = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .load(src_dir)
+        .select(
+            F.input_file_name().alias("file"),
+            filename_stem(F.input_file_name()).alias("stem"),
+            F.col("value").alias("content"),
+        )
+    )
+    return chunk_documents(files, n=n, m=m)
+
+
+def _read_store_or_none(spark: SparkSession, path: str, columns: list[str]):
+    """Read a parquet store, returning None ONLY when the path does not
+    exist yet (first batch). Any other failure — corrupt footer, IO error,
+    permissions — re-raises, so a transient fault fails the micro-batch
+    (checkpoint retries it) instead of silently skipping dedup tiers and
+    contaminating the append-only store."""
+    import os
+
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        return spark.read.parquet(path).select(*columns)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or not os.path.exists(path):
+            return None
+        raise
+
+
 def stream_ingest_text(
     spark: SparkSession,
     src_dir: str,
@@ -49,17 +87,7 @@ def stream_ingest_text(
     trigger for tests and scheduled incremental runs; swap for
     ``processingTime`` in an always-on deployment.
     """
-    files = (
-        spark.readStream.format("text")
-        .option("wholetext", "true")
-        .load(src_dir)
-        .select(
-            F.input_file_name().alias("file"),
-            filename_stem(F.input_file_name()).alias("stem"),
-            F.col("value").alias("content"),
-        )
-    )
-    chunks = chunk_documents(files, n=n, m=m).dropDuplicates(["content"])
+    chunks = _stream_chunks(spark, src_dir, n, m)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -140,31 +168,33 @@ def stream_ingest_neardup(
     store holds for any chunk that is not an EXACT duplicate; exact dupes
     are removed by the anti-join regardless, so the near-dup comparison
     never needs colliding ids).
-    """
-    from vectordbfaiss_spark.operators.dedup import minhash_lsh_incremental
 
-    files = (
-        spark.readStream.format("text")
-        .option("wholetext", "true")
-        .load(src_dir)
-        .select(
-            F.input_file_name().alias("file"),
-            filename_stem(F.input_file_name()).alias("stem"),
-            F.col("value").alias("content"),
-        )
+    Per-batch cost stays batch-proportional on the banding side: the
+    store's MinHash signatures are PERSISTED in a ``<store>_sigs`` sidecar
+    (appended with each accepted batch), so each micro-batch reads a
+    narrow signature table instead of re-running the shingle explode +
+    hash aggregate over the whole corpus; store TEXT is consulted only for
+    the candidate set during verification. A crash between the chunk
+    append and the sidecar append leaves some chunks unsigned — they stay
+    searchable and exact-deduped, merely invisible to fuzzy banding until
+    a sidecar rebuild (never wrong results).
+    """
+    from vectordbfaiss_spark.operators.dedup import (
+        minhash_lsh_incremental,
+        minhash_signatures,
     )
-    chunks = chunk_documents(files, n=n, m=m).dropDuplicates(["content"])
+
+    sig_path = store_path.rstrip("/") + "_sigs"
+    chunks = _stream_chunks(spark, src_dir, n, m)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         sess = batch_df.sparkSession
         batch = batch_df.withColumn("doc_id", F.xxhash64("content"))
-        try:
-            existing = sess.read.parquet(store_path).select("doc_id", "content")
-        except Exception:
-            existing = None  # first batch: no store yet
-        if existing is not None and not existing.isEmpty():
+        existing = _read_store_or_none(sess, store_path, ["doc_id", "content"])
+        existing_sigs = _read_store_or_none(sess, sig_path, ["*"])
+        if existing is not None:
             near = minhash_lsh_incremental(
                 existing,
                 # exact dupes share the store's doc_id — drop them first so
@@ -175,12 +205,19 @@ def stream_ingest_neardup(
                 "content",
                 threshold=jaccard_threshold,
                 check_disjoint=False,
+                existing_signatures=existing_sigs,
             )
             near_ids = near.select(F.col("new_id").alias("doc_id")).distinct()
             batch = batch.join(near_ids, "doc_id", "left_anti")
-        write_dedup_append(
+        written = write_dedup_append(
             embed_chunks(batch.drop("doc_id"), dim), store_path, sess
         )
+        # sidecar append AFTER the store append (see docstring for the
+        # crash-window semantics); signatures computed on the written rows
+        # only — batch-sized work
+        minhash_signatures(written, "doc_id", "content").write.mode(
+            "append"
+        ).parquet(sig_path)
 
     return (
         chunks.writeStream.foreachBatch(sink)
