@@ -99,3 +99,47 @@ def q_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.max("id").alias("max_doc"),
     )
+
+
+_SURVIVOR_ORACLE = _CC_ORACLE.replace(
+    """comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id)
+SELECT component, count(*) AS n_docs, max(id) AS max_doc
+FROM comp GROUP BY component""",
+    """comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+dropped AS (SELECT id FROM comp WHERE id <> component)
+SELECT d.doc_id,
+       dr.id IS NULL AS kept
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN dropped dr ON d.doc_id = dr.id""",
+)
+
+
+@register("dedup_survivors", _SURVIVOR_ORACLE)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection — the dedup pipeline's END PRODUCT:
+    every document flagged kept/dropped, where each duplicate group
+    (transitive closure over the blocking-key near-dup graph) keeps
+    exactly its min-doc_id representative and singletons keep themselves.
+    Plan: the component labels ARE the representatives (components are
+    min-labeled), so survivors = docs left-anti-joined against members
+    whose id differs from their component label — one broadcastable join
+    on top of dedup_cluster_components' machinery."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    keyed = docs.select(
+        "doc_id",
+        F.array_join(F.slice(words, 1, 5), " ").alias("k1"),
+        F.array_join(F.slice(F.reverse(words), 1, 5), " ").alias("k2"),
+    )
+    edges = (
+        _star_edges(keyed.select("doc_id", "k1"), "k1")
+        .union(_star_edges(keyed.select("doc_id", "k2"), "k2"))
+        .distinct()
+    )
+    comp = connected_components(edges)
+    dropped = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    return docs.select("doc_id").join(
+        F.broadcast(dropped.withColumn("_d", F.lit(1))), "doc_id", "left"
+    ).select("doc_id", F.col("_d").isNull().alias("kept"))
