@@ -460,12 +460,16 @@ def q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 6).alias("lang_entropy"))
     )
     return (
-        per_source.join(F.broadcast(uniq), "source")
+        # LEFT join + coalesce: a source whose texts are all NULL has no
+        # uniq row, but count(DISTINCT)=0 still yields a report line
+        per_source.join(F.broadcast(uniq), "source", "left")
         .join(F.broadcast(ent), "source")
         .select(
             "source",
             "n_docs",
-            F.round(1.0 - F.col("n_unique") / F.col("n_docs"), 6).alias("dup_rate"),
+            F.round(
+                1.0 - F.coalesce("n_unique", F.lit(0)) / F.col("n_docs"), 6
+            ).alias("dup_rate"),
             "total_tokens",
             "mean_tokens",
             "lang_entropy",

@@ -69,6 +69,24 @@ def _star_edges(keyed: DataFrame, key_col: str) -> DataFrame:
     )
 
 
+def _dedup_components(docs: DataFrame) -> DataFrame:
+    """Shared blocking + closure: (first-5 / last-5 word) keys -> star
+    edges per bucket -> connected components. Returns (id, component)
+    with component = min id of the group."""
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    keyed = docs.select(
+        "doc_id",
+        F.array_join(F.slice(words, 1, 5), " ").alias("k1"),
+        F.array_join(F.slice(F.reverse(words), 1, 5), " ").alias("k2"),
+    )
+    edges = (
+        _star_edges(keyed.select("doc_id", "k1"), "k1")
+        .union(_star_edges(keyed.select("doc_id", "k2"), "k2"))
+        .distinct()
+    )
+    return connected_components(edges)
+
+
 @register("dedup_cluster_components", _CC_ORACLE)
 def q_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-group discovery: two blocking keys (first-5 / last-5
@@ -83,18 +101,7 @@ def q_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     of bucket size; the recursive-CTE oracle checks the closure exactly.
     """
     docs = load_table(spark, sf_dir, "documents")
-    words = F.split(F.trim(F.col("text")), r"\s+")
-    keyed = docs.select(
-        "doc_id",
-        F.array_join(F.slice(words, 1, 5), " ").alias("k1"),
-        F.array_join(F.slice(F.reverse(words), 1, 5), " ").alias("k2"),
-    )
-    edges = (
-        _star_edges(keyed.select("doc_id", "k1"), "k1")
-        .union(_star_edges(keyed.select("doc_id", "k2"), "k2"))
-        .distinct()
-    )
-    comp = connected_components(edges)
+    comp = _dedup_components(docs)
     return comp.groupBy("component").agg(
         F.count("*").alias("n_docs"),
         F.max("id").alias("max_doc"),
@@ -121,25 +128,15 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     (transitive closure over the blocking-key near-dup graph) keeps
     exactly its min-doc_id representative and singletons keep themselves.
     Plan: the component labels ARE the representatives (components are
-    min-labeled), so survivors = docs left-anti-joined against members
-    whose id differs from their component label — one broadcastable join
-    on top of dedup_cluster_components' machinery."""
+    min-labeled), so survivors = docs left-joined against members whose id
+    differs from their component label. The dropped set grows with the
+    corpus' duplicate fraction (NOT bounded), so it is a plain shuffled
+    equi-join on doc_id — never a broadcast."""
     docs = load_table(spark, sf_dir, "documents")
-    words = F.split(F.trim(F.col("text")), r"\s+")
-    keyed = docs.select(
-        "doc_id",
-        F.array_join(F.slice(words, 1, 5), " ").alias("k1"),
-        F.array_join(F.slice(F.reverse(words), 1, 5), " ").alias("k2"),
-    )
-    edges = (
-        _star_edges(keyed.select("doc_id", "k1"), "k1")
-        .union(_star_edges(keyed.select("doc_id", "k2"), "k2"))
-        .distinct()
-    )
-    comp = connected_components(edges)
+    comp = _dedup_components(docs)
     dropped = comp.filter(F.col("id") != F.col("component")).select(
-        F.col("id").alias("doc_id")
+        F.col("id").alias("doc_id"), F.lit(1).alias("_d")
     )
-    return docs.select("doc_id").join(
-        F.broadcast(dropped.withColumn("_d", F.lit(1))), "doc_id", "left"
-    ).select("doc_id", F.col("_d").isNull().alias("kept"))
+    return docs.select("doc_id").join(dropped, "doc_id", "left").select(
+        "doc_id", F.col("_d").isNull().alias("kept")
+    )

@@ -58,17 +58,33 @@ def _read_store_or_none(spark: SparkSession, path: str, columns: list[str]):
     exist yet (first batch). Any other failure — corrupt footer, IO error,
     permissions — re-raises, so a transient fault fails the micro-batch
     (checkpoint retries it) instead of silently skipping dedup tiers and
-    contaminating the append-only store."""
-    import os
+    contaminating the append-only store.
 
-    from pyspark.errors.exceptions.captured import AnalysisException
+    PATH_NOT_FOUND is matched on the error class alone — an existence
+    probe via ``os.path`` would misclassify every failure on object-store
+    URIs (s3a://...) as "missing". AnalysisException is imported from
+    ``pyspark.errors`` (the base both JVM-captured and Spark Connect
+    subclasses share)."""
+    from pyspark.errors import AnalysisException
 
     try:
         return spark.read.parquet(path).select(*columns)
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or not os.path.exists(path):
+        if "PATH_NOT_FOUND" in str(e):
             return None
         raise
+
+
+def _read_derived_or_none(spark: SparkSession, path: str):
+    """Read a DERIVED artifact (e.g. the signature sidecar): any read
+    failure returns None — derived data is rebuilt from the source of
+    truth, so unreadable/absent/empty all mean 'rebuild', never 'fail'."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return None
 
 
 def stream_ingest_text(
@@ -92,7 +108,13 @@ def stream_ingest_text(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        write_dedup_append(embed_chunks(batch_df, dim), store_path, batch_df.sparkSession)
+        # batch-local (bounded) content dedup BEFORE embedding — never
+        # embed a chunk write_dedup_append is about to drop
+        write_dedup_append(
+            embed_chunks(batch_df.dropDuplicates(["content"]), dim),
+            store_path,
+            batch_df.sparkSession,
+        )
 
     return (
         chunks.writeStream.foreachBatch(sink)
@@ -191,16 +213,32 @@ def stream_ingest_neardup(
         if batch_df.isEmpty():
             return
         sess = batch_df.sparkSession
-        batch = batch_df.withColumn("doc_id", F.xxhash64("content"))
+        # batch-local content dedup FIRST: a re-delivered file would put
+        # the same (doc_id, content) row in twice, double-counting every
+        # (id, shingle) pair in the verify step and inflating Jaccard —
+        # falsely suppressing all copies of genuinely fresh content
+        batch = (
+            batch_df.dropDuplicates(["content"])
+            .withColumn("doc_id", F.xxhash64("content"))
+        )
         existing = _read_store_or_none(sess, store_path, ["doc_id", "content"])
-        existing_sigs = _read_store_or_none(sess, sig_path, ["*"])
         if existing is not None:
+            # exact dupes share the store's doc_id — drop them BEFORE both
+            # the near-dup comparison (disjoint id spaces) and the
+            # embedder (never embed a chunk about to be dropped)
+            batch = batch.join(existing.select("doc_id"), "doc_id", "left_anti")
+            existing_sigs = _read_derived_or_none(sess, sig_path)
+            if existing_sigs is None:
+                # legacy store without a sidecar (or unreadable sidecar):
+                # rebuild it ONCE from store text so every stored row is
+                # visible to banding from this batch onward
+                existing_sigs = minhash_signatures(
+                    existing, "doc_id", "content"
+                ).localCheckpoint(eager=True)
+                existing_sigs.write.mode("overwrite").parquet(sig_path)
             near = minhash_lsh_incremental(
                 existing,
-                # exact dupes share the store's doc_id — drop them first so
-                # id spaces are disjoint (they're removed by the anti-join
-                # later anyway)
-                batch.join(existing.select("doc_id"), "doc_id", "left_anti"),
+                batch,
                 "doc_id",
                 "content",
                 threshold=jaccard_threshold,
@@ -214,10 +252,12 @@ def stream_ingest_neardup(
         )
         # sidecar append AFTER the store append (see docstring for the
         # crash-window semantics); signatures computed on the written rows
-        # only — batch-sized work
-        minhash_signatures(written, "doc_id", "content").write.mode(
-            "append"
-        ).parquet(sig_path)
+        # only — batch-sized work. A fully-suppressed batch appends
+        # nothing (an empty parquet append would leave a schemaless dir).
+        if not written.isEmpty():
+            minhash_signatures(written, "doc_id", "content").write.mode(
+                "append"
+            ).parquet(sig_path)
 
     return (
         chunks.writeStream.foreachBatch(sink)
