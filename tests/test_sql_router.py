@@ -129,3 +129,17 @@ def test_unknown_filter_column_raises_unresolved(spark, tmp_path):
     with _pytest.raises(AnalysisException) as ei:
         route_topk_sql(spark, sql).collect()
     assert "UNRESOLVED_COLUMN" in str(ei.value)
+
+
+def test_filtered_routing_pushes_metadata_filter_to_scan(spark, tmp_path):
+    name = _ivf(spark, tmp_path, "t_router_push")
+    sql = (
+        f"SELECT * FROM {name} WHERE label = 3 ORDER BY "
+        f"cosine_similarity(embedding, array({_LITS})) DESC LIMIT 5"
+    )
+    routed = route_topk_sql(spark, sql, nprobe=2)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    # the metadata equality must reach the parquet reader as a pushed
+    # filter — scoring never sees the excluded fraction
+    assert "PushedFilters" in plan and "label" in plan.split("PushedFilters", 1)[1][:200]
+    assert "CartesianProduct" not in plan
