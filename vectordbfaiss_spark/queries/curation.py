@@ -475,3 +475,67 @@ def q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang_entropy",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture sampling plan (pre-training data mixing)
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET_FRAC = 0.5  # token budget = 50% of corpus tokens
+
+_MIXTURE_ORACLE = f"""
+WITH m AS (
+  SELECT source,
+         CAST(sum(len(string_split_regex(rtrim(text), '\\s+'))) AS BIGINT)
+           AS available_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(available_tokens) AS corpus_tokens,
+         count(*) AS n_sources
+  FROM m
+)
+SELECT m.source,
+       m.available_tokens,
+       round({_MIX_BUDGET_FRAC} * t.corpus_tokens / t.n_sources, 6)
+         AS target_tokens,
+       round(least(1.0, ({_MIX_BUDGET_FRAC} * t.corpus_tokens / t.n_sources)
+                        / m.available_tokens), 6) AS sampling_rate,
+       round(least(m.available_tokens,
+                   {_MIX_BUDGET_FRAC} * t.corpus_tokens / t.n_sources), 6)
+         AS expected_tokens
+FROM m, tot t
+"""
+
+
+@register("mixture_sampling_plan", _MIXTURE_ORACLE)
+def q_mixture_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training data-mixing plan: given a token budget (here 50% of
+    corpus tokens, split uniformly across sources — swap in any target
+    share vector), compute each source's sampling rate and expected token
+    yield, capped at availability. This is the planning step that turns
+    "we want equal representation" into per-source rates the deterministic
+    hash samplers (deterministic_sample_docs) execute. Plan: one per-source
+    agg + a broadcast 1-row total; all arithmetic, no data movement beyond
+    the count shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.rtrim("text"), r"\s+")))
+        .cast("long")
+        .alias("available_tokens")
+    )
+    tot = m.agg(
+        F.sum("available_tokens").cast("double").alias("corpus_tokens"),
+        F.count("*").cast("double").alias("n_sources"),
+    )
+    target = _MIX_BUDGET_FRAC * F.col("corpus_tokens") / F.col("n_sources")
+    return m.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "available_tokens",
+        F.round(target, 6).alias("target_tokens"),
+        F.round(
+            F.least(F.lit(1.0), target / F.col("available_tokens")), 6
+        ).alias("sampling_rate"),
+        F.round(
+            F.least(F.col("available_tokens").cast("double"), target), 6
+        ).alias("expected_tokens"),
+    )
