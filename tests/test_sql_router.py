@@ -139,7 +139,11 @@ def test_filtered_routing_pushes_metadata_filter_to_scan(spark, tmp_path):
     )
     routed = route_topk_sql(spark, sql, nprobe=2)
     plan = routed._jdf.queryExecution().executedPlan().toString()
-    # the metadata equality must reach the parquet reader as a pushed
-    # filter — scoring never sees the excluded fraction
-    assert "PushedFilters" in plan and "label" in plan.split("PushedFilters", 1)[1][:200]
+    # the metadata equality must reach the parquet reader INSIDE the
+    # pushed-filter list (ReadSchema also mentions the column, so the
+    # match must stay within the brackets) — scoring never sees the
+    # excluded fraction
+    import re
+
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(label", plan), plan[:2000]
     assert "CartesianProduct" not in plan
