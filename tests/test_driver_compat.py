@@ -69,3 +69,30 @@ def test_queries_work_on_vanilla_driver_session():
     )
     assert out.returncode == 0, out.stderr[-3000:]
     assert "DRIVER-SIM-OK" in out.stdout
+
+
+def test_entry_schema_is_stable():
+    """The driver smoke-checks entry() for >=0 rows and a STABLE schema —
+    pin the exact columns/types so a refactor can't silently change the
+    contract surface."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry___schema", os.path.join(repo, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from vectordbfaiss_spark.session import get_spark
+
+    spark = get_spark(app_name="entry-schema", master="local[4]", shuffle_partitions=4)
+    df = mod.entry(spark)
+    assert [(f.name, f.dataType.simpleString()) for f in df.schema.fields] == [
+        ("query_id", "bigint"),
+        ("vec_id", "bigint"),
+        ("score", "double"),
+        ("rnk", "bigint"),
+        ("text", "string"),
+    ]
+    assert df.count() > 0
