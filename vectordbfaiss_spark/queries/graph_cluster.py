@@ -140,3 +140,59 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id").join(dropped, "doc_id", "left").select(
         "doc_id", F.col("_d").isNull().alias("kept")
     )
+
+
+def _leakage_safe_oracle() -> str:
+    from vectordbfaiss_spark.queries.curation import _HEX_SPAN, _sql_hash_bucket
+
+    bucket = _sql_hash_bucket("rep")
+    closure = _CC_ORACLE[: _CC_ORACLE.index(
+        "SELECT component, count(*) AS n_docs, max(id) AS max_doc"
+    )].rstrip().rstrip(",")  # reuse the CTE chain up to (and incl.) comp
+    return f"""{closure},
+rep AS (
+  SELECT d.doc_id, d.lang, coalesce(c.component, d.doc_id) AS rep
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+),
+assigned AS (
+  SELECT lang,
+         CASE WHEN {bucket} < {int(0.8 * _HEX_SPAN)} THEN 'train'
+              WHEN {bucket} < {int(0.9 * _HEX_SPAN)} THEN 'val'
+              ELSE 'test' END AS split
+  FROM rep
+)
+SELECT lang, split, count(*) AS n_docs
+FROM assigned GROUP BY lang, split
+"""
+
+
+@register("leakage_safe_split_assign", _leakage_safe_oracle())
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test assignment: a document's split is
+    hashed from its duplicate-GROUP representative (the component label;
+    singletons represent themselves), so near-duplicate documents can
+    never straddle train and test — the leakage hole a per-document hash
+    split (train_test_split_assign) leaves open. Plan: the closure's
+    (id, component) table left-joins onto docs (dup members only —
+    typically a small fraction), then the same md5-bucket arithmetic as
+    every other deterministic sampler."""
+    from vectordbfaiss_spark.queries.curation import _HEX_SPAN, _hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = _dedup_components(docs)
+    rep = docs.select("doc_id", "lang").join(
+        comp.select(F.col("id").alias("doc_id"), "component"), "doc_id", "left"
+    ).select(
+        "lang", F.coalesce("component", "doc_id").alias("rep")
+    )
+    bucket = _hash_bucket(F.col("rep"))
+    split = (
+        F.when(bucket < int(0.8 * _HEX_SPAN), "train")
+        .when(bucket < int(0.9 * _HEX_SPAN), "val")
+        .otherwise("test")
+    )
+    return (
+        rep.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
