@@ -82,3 +82,31 @@ def test_random_graphs_match_union_find(spark):
         expect = {n: comp_min[r] for n, r in expect.items()}
         got = _cc_map(spark, edges)
         assert got == expect, (seed, sorted(edges))
+
+
+def test_leakage_safe_split_keeps_groups_together(spark):
+    """Every member of a duplicate group must land in the SAME split —
+    the property the per-document hash split cannot guarantee."""
+    from vectordbfaiss_spark.queries.curation import _HEX_SPAN, _hash_bucket
+    from vectordbfaiss_spark.queries.graph_cluster import _dedup_components
+    from vectordbfaiss_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    comp = _dedup_components(docs)
+    rep = docs.select("doc_id").join(
+        comp.select(F.col("id").alias("doc_id"), "component"), "doc_id", "left"
+    ).select("doc_id", F.coalesce("component", "doc_id").alias("rep"))
+    bucket = _hash_bucket(F.col("rep"))
+    split = (
+        F.when(bucket < int(0.8 * _HEX_SPAN), "train")
+        .when(bucket < int(0.9 * _HEX_SPAN), "val")
+        .otherwise("test")
+    )
+    assigned = rep.select("doc_id", "rep", split.alias("split"))
+    # groups with >1 member must have exactly one distinct split
+    per_group = assigned.groupBy("rep").agg(
+        F.countDistinct("split").alias("n_splits"), F.count("*").alias("n")
+    )
+    multi = per_group.filter(F.col("n") > 1)
+    assert multi.count() > 0  # fixture actually has duplicate groups
+    assert multi.filter(F.col("n_splits") > 1).count() == 0
