@@ -85,28 +85,42 @@ def test_random_graphs_match_union_find(spark):
 
 
 def test_leakage_safe_split_keeps_groups_together(spark):
-    """Every member of a duplicate group must land in the SAME split —
-    the property the per-document hash split cannot guarantee."""
-    from vectordbfaiss_spark.queries.curation import _HEX_SPAN, _hash_bucket
+    """Every pair of documents sharing a blocking key (the INDEPENDENT
+    ground truth for 'near-duplicate', derived without the closure code
+    under test) must land in the SAME split."""
+    from tests.conftest import SF_SMOKE
+    from vectordbfaiss_spark.queries.curation import _hash_bucket, _split_expr
     from vectordbfaiss_spark.queries.graph_cluster import _dedup_components
     from vectordbfaiss_spark.session import load_table
 
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs = load_table(spark, SF_SMOKE, "documents")
     comp = _dedup_components(docs)
     rep = docs.select("doc_id").join(
         comp.select(F.col("id").alias("doc_id"), "component"), "doc_id", "left"
     ).select("doc_id", F.coalesce("component", "doc_id").alias("rep"))
-    bucket = _hash_bucket(F.col("rep"))
-    split = (
-        F.when(bucket < int(0.8 * _HEX_SPAN), "train")
-        .when(bucket < int(0.9 * _HEX_SPAN), "val")
-        .otherwise("test")
+    assigned = rep.select(
+        "doc_id", _split_expr(_hash_bucket(F.col("rep"))).alias("split")
     )
-    assigned = rep.select("doc_id", "rep", split.alias("split"))
-    # groups with >1 member must have exactly one distinct split
-    per_group = assigned.groupBy("rep").agg(
-        F.countDistinct("split").alias("n_splits"), F.count("*").alias("n")
+
+    # ground truth recomputed from raw text, NOT via _dedup_components:
+    # any two docs agreeing on the first-5-word key are near-dups
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    keyed = docs.select("doc_id", F.array_join(F.slice(words, 1, 5), " ").alias("k1"))
+    a = keyed.select(F.col("doc_id").alias("id_a"), "k1")
+    b = keyed.select(F.col("doc_id").alias("id_b"), "k1")
+    pairs = a.join(b, "k1").filter(F.col("id_a") < F.col("id_b"))
+    sa = assigned.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    sb = assigned.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    checked = pairs.join(sa, "id_a").join(sb, "id_b")
+    assert checked.count() > 0  # fixture actually has shared-key pairs
+    assert checked.filter(F.col("sa") != F.col("sb")).count() == 0
+
+    # and the naive per-document split DOES split some of these pairs —
+    # i.e. the leakage hole this query exists to close is real here
+    naive = docs.select(
+        "doc_id", _split_expr(_hash_bucket(F.col("doc_id"))).alias("split")
     )
-    multi = per_group.filter(F.col("n") > 1)
-    assert multi.count() > 0  # fixture actually has duplicate groups
-    assert multi.filter(F.col("n_splits") > 1).count() == 0
+    na = naive.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    nb = naive.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    leaked = pairs.join(na, "id_a").join(nb, "id_b").filter(F.col("sa") != F.col("sb"))
+    assert leaked.count() > 0

@@ -42,6 +42,25 @@ def _sql_hash_bucket(expr: str) -> str:
     return f"({terms})"
 
 
+def _split_expr(bucket) -> "F.Column":
+    """80/10/10 train/val/test CASE over a hash bucket — THE split rule,
+    shared by every split-assigning query (and its SQL twin below)."""
+    return (
+        F.when(bucket < int(0.8 * _HEX_SPAN), "train")
+        .when(bucket < int(0.9 * _HEX_SPAN), "val")
+        .otherwise("test")
+    )
+
+
+def _sql_split_case(bucket_expr: str) -> str:
+    """DuckDB replica of :func:`_split_expr`."""
+    return (
+        f"CASE WHEN {bucket_expr} < {int(0.8 * _HEX_SPAN)} THEN 'train' "
+        f"WHEN {bucket_expr} < {int(0.9 * _HEX_SPAN)} THEN 'val' "
+        f"ELSE 'test' END"
+    )
+
+
 _SAMPLE_ORACLE = f"""
 SELECT lang, count(*) AS n_sampled,
        CAST(min(doc_id) AS BIGINT) AS min_id,
@@ -69,9 +88,7 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPLIT_ORACLE = f"""
 WITH assigned AS (
   SELECT lang,
-         CASE WHEN {_sql_hash_bucket('doc_id')} < {int(0.8 * _HEX_SPAN)} THEN 'train'
-              WHEN {_sql_hash_bucket('doc_id')} < {int(0.9 * _HEX_SPAN)} THEN 'val'
-              ELSE 'test' END AS split
+         {_sql_split_case(_sql_hash_bucket('doc_id'))} AS split
   FROM documents
 )
 SELECT lang, split, count(*) AS n_docs
@@ -86,12 +103,7 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the property that prevents train/test leakage across dataset
     versions."""
     d = load_table(spark, sf_dir, "documents")
-    bucket = _hash_bucket(F.col("doc_id"))
-    split = (
-        F.when(bucket < int(0.8 * _HEX_SPAN), "train")
-        .when(bucket < int(0.9 * _HEX_SPAN), "val")
-        .otherwise("test")
-    )
+    split = _split_expr(_hash_bucket(F.col("doc_id")))
     return (
         d.select("lang", split.alias("split"))
         .groupBy("lang", "split")

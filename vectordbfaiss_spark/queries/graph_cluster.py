@@ -143,7 +143,10 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _leakage_safe_oracle() -> str:
-    from vectordbfaiss_spark.queries.curation import _HEX_SPAN, _sql_hash_bucket
+    from vectordbfaiss_spark.queries.curation import (
+        _sql_hash_bucket,
+        _sql_split_case,
+    )
 
     bucket = _sql_hash_bucket("rep")
     closure = _CC_ORACLE[: _CC_ORACLE.index(
@@ -156,9 +159,7 @@ rep AS (
 ),
 assigned AS (
   SELECT lang,
-         CASE WHEN {bucket} < {int(0.8 * _HEX_SPAN)} THEN 'train'
-              WHEN {bucket} < {int(0.9 * _HEX_SPAN)} THEN 'val'
-              ELSE 'test' END AS split
+         {_sql_split_case(bucket)} AS split
   FROM rep
 )
 SELECT lang, split, count(*) AS n_docs
@@ -176,7 +177,7 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (id, component) table left-joins onto docs (dup members only —
     typically a small fraction), then the same md5-bucket arithmetic as
     every other deterministic sampler."""
-    from vectordbfaiss_spark.queries.curation import _HEX_SPAN, _hash_bucket
+    from vectordbfaiss_spark.queries.curation import _hash_bucket, _split_expr
 
     docs = load_table(spark, sf_dir, "documents")
     comp = _dedup_components(docs)
@@ -185,12 +186,7 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "lang", F.coalesce("component", "doc_id").alias("rep")
     )
-    bucket = _hash_bucket(F.col("rep"))
-    split = (
-        F.when(bucket < int(0.8 * _HEX_SPAN), "train")
-        .when(bucket < int(0.9 * _HEX_SPAN), "val")
-        .otherwise("test")
-    )
+    split = _split_expr(_hash_bucket(F.col("rep")))
     return (
         rep.select("lang", split.alias("split"))
         .groupBy("lang", "split")
