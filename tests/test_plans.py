@@ -252,3 +252,29 @@ def test_distinct_stats_queries_have_no_expand(spark):
     for name in ["approx_distinct_sketch", "dedup_exact_stats"]:
         plan = _plan(registry.queries()[name](spark, SF_DIR))
         assert "Expand" not in plan, name
+
+
+def test_ngram_jaccard_standalone_does_not_force_broadcast_counts(spark):
+    """Standalone n-gram Jaccard must NOT hint-broadcast the per-doc shingle
+    counts (one row per corpus document — corpus-sized at 100 TB). With the
+    auto threshold forced tiny, a hint-free plan falls back to shuffle joins;
+    a lingering F.broadcast hint would still plan BroadcastExchange."""
+    from vectordbfaiss_spark.operators import dedup as D
+
+    docs = load_table(spark, SF_DIR, "documents")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        standalone = D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=10_000
+        )
+        assert "BroadcastExchange" not in _plan(standalone)
+        # candidate-bounded path keeps the hint: counts side is as small as
+        # the candidate list, broadcast is always right there
+        cand = docs.select("doc_id").limit(5)
+        restricted = D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.8, restrict_ids=cand
+        )
+        assert "BroadcastExchange" in _plan(restricted)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

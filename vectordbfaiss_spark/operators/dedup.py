@@ -178,9 +178,16 @@ def ngram_jaccard_pairs(
     )
     ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    if restrict_ids is not None:
+        # candidate-bounded (the LSH verify path): the per-doc count side is
+        # as small as the candidate list — broadcast is always right.
+        # Standalone, counts is one row PER CORPUS DOCUMENT; a forced
+        # broadcast of 10^9 rows OOMs every executor, so leave the hint off
+        # and let AQE pick the strategy from the observed size.
+        ca, cb = F.broadcast(ca), F.broadcast(cb)
     return (
-        inter.join(F.broadcast(ca), "id_a")
-        .join(F.broadcast(cb), "id_b")
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
         .select(
             "id_a",
             "id_b",

@@ -26,12 +26,22 @@ sh AS (
 )"""
 
 
-def _jaccard_ctes(n: int) -> str:
-    return f"""WITH {_shingle_cte(n)},
-cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+def _jaccard_ctes(n: int, max_df: int | None = None) -> str:
+    """``max_df`` mirrors ngram_jaccard_pairs(max_shingle_df=...): above-cap
+    shingles are dropped from BOTH the intersection and the per-doc counts,
+    so the oracle computes the identical capped metric (a fixture with a
+    boilerplate shingle over the cap would otherwise silently hash-mismatch)."""
+    cap = ""
+    if max_df is not None:
+        cap = f""",
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {max_df}),
+shc AS (SELECT sh.* FROM sh JOIN keep USING (shingle))"""
+    src = "shc" if max_df is not None else "sh"
+    return f"""WITH {_shingle_cte(n)}{cap},
+cnt AS (SELECT doc_id, count(*) AS n_sh FROM {src} GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM {src} a JOIN {src} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 jac AS (
@@ -68,7 +78,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _NGRAM_ORACLE = (
-    _jaccard_ctes(3)
+    _jaccard_ctes(3, max_df=10_000)
     + """
 SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8
 """
