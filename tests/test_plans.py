@@ -278,3 +278,17 @@ def test_ngram_jaccard_standalone_does_not_force_broadcast_counts(spark):
         assert "BroadcastExchange" in _plan(restricted)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_sequence_packing_window_is_sharded(spark):
+    """The packing cumsum must carry a partition key — an empty window
+    partition spec funnels the entire corpus through ONE task. The sharded
+    registry form partitions on `shard`; the global form (kept only as a
+    cross-check) is the shape being guarded against."""
+    from vectordbfaiss_spark.queries.curation import packing_binned
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sharded = _plan(packing_binned(docs))
+    assert re.search(r"windowspecdefinition\(shard", sharded), sharded[:3000]
+    global_form = _plan(packing_binned(docs, shards=None))
+    assert not re.search(r"windowspecdefinition\(shard", global_form)

@@ -134,3 +134,49 @@ def test_simhash_blocked_equals_allpairs_random(spark, seed, max_hamming):
         ).collect()
     )
     assert blocked == exact
+
+
+def test_sequence_packing_sharded_vs_global_invariants(spark):
+    """Cross-check the sharded streaming-pack against the global form:
+    both must partition the corpus exactly (every doc in exactly one bin,
+    token totals preserved) and every non-final bin in a stream must have
+    crossed the budget boundary (bin total + next doc > budget)."""
+    from pyspark.sql import functions as F
+
+    from vectordbfaiss_spark.queries.curation import (
+        _PACK_BUDGET,
+        packing_binned,
+    )
+    from vectordbfaiss_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    n_docs = docs.count()
+    total_tokens = None
+    for shards in (None, 16):
+        b = packing_binned(docs, shards=shards).cache()
+        try:
+            assert b.count() == n_docs  # exact partition of the corpus
+            assert b.select("doc_id").distinct().count() == n_docs
+            tt = b.agg(F.sum("n_tokens")).collect()[0][0]
+            if total_tokens is None:
+                total_tokens = tt
+            else:
+                assert tt == total_tokens  # same per-doc tokenization
+            # a bin is closed exactly when the stream's running total
+            # crosses its upper boundary (docs may straddle boundaries, so
+            # per-bin totals can be under OR over budget — the boundary
+            # condition is on the cumulative sum)
+            bins = (
+                b.groupBy("shard", "bin_id")
+                .agg(F.sum("n_tokens").alias("tot"))
+                .toPandas()
+                .sort_values(["shard", "bin_id"])
+            )
+            bins["cum"] = bins.groupby("shard")["tot"].cumsum()
+            non_final = bins.groupby("shard", group_keys=False).apply(
+                lambda g: g.iloc[:-1]
+            )
+            bad = non_final[non_final["cum"] < _PACK_BUDGET * (non_final["bin_id"] + 1)]
+            assert bad.empty, bad.head()
+        finally:
+            b.unpersist()

@@ -143,6 +143,7 @@ def q_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PACK_BUDGET = 2048
+_PACK_SHARDS = 16
 
 _PACKING_ORACLE = f"""
 WITH toks AS (
@@ -151,44 +152,74 @@ WITH toks AS (
          {_sql_hash_bucket('doc_id')} AS hkey
   FROM documents
 ), ordered AS (
-  SELECT doc_id, n_tokens,
-         sum(n_tokens) OVER (ORDER BY hkey, doc_id
+  SELECT doc_id, n_tokens, hkey % {_PACK_SHARDS} AS shard,
+         sum(n_tokens) OVER (PARTITION BY hkey % {_PACK_SHARDS}
+                             ORDER BY hkey, doc_id
                              ROWS UNBOUNDED PRECEDING) AS cum
   FROM toks
 ), binned AS (
-  SELECT doc_id, n_tokens, (cum - n_tokens) // {_PACK_BUDGET} AS bin_id
+  SELECT doc_id, n_tokens, shard, (cum - n_tokens) // {_PACK_BUDGET} AS bin_id
   FROM ordered
 )
-SELECT CAST(bin_id AS BIGINT) AS bin_id,
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(bin_id AS BIGINT) AS bin_id,
        count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        CAST(min(doc_id) AS BIGINT) AS first_doc
-FROM binned GROUP BY bin_id
+FROM binned GROUP BY shard, bin_id
 """
 
 
-@register("sequence_packing_bins", _PACKING_ORACLE)
-def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing: stream documents in deterministic hash order and
-    cut a new bin whenever the running token count crosses the budget —
-    the standard streaming-pack that turns a corpus into near-budget-sized
-    training sequences. Pure window cumsum; at scale the same shape runs
-    per-shard (partitionBy on a shard key) so the global sort disappears."""
-    d = load_table(spark, sf_dir, "documents")
+def packing_binned(d: DataFrame, shards: int | None = _PACK_SHARDS) -> DataFrame:
+    """(doc_id, n_tokens, shard, bin_id) streaming-pack assignment.
+
+    ``shards=N``: docs are hashed into N independent streams and the
+    running-token cumsum is computed per shard (``partitionBy("shard")``)
+    — N parallel windows, each holding 1/N of the corpus, so no single
+    partition ever sees the whole dataset. Bin keys are ``(shard,
+    bin_id)``; each bin still packs to ~budget tokens, and determinism is
+    preserved because shard and intra-shard order are both hash-derived.
+
+    ``shards=None``: the single-stream global form (one total order, one
+    partition — the textbook shape, kept as the small-data cross-check;
+    its WindowExec funnels the whole corpus through one task, which is
+    exactly what the sharded form exists to avoid at 100 TB).
+    """
     toks = d.select(
         "doc_id",
         F.size(F.split(F.rtrim("text"), r"\s+")).alias("n_tokens"),
         _hash_bucket(F.col("doc_id")).alias("hkey"),
     )
-    w = W.orderBy("hkey", "doc_id").rowsBetween(W.unboundedPreceding, 0)
-    binned = toks.select(
+    if shards is None:
+        toks = toks.withColumn("shard", F.lit(0).cast("long"))
+        w = W.orderBy("hkey", "doc_id").rowsBetween(W.unboundedPreceding, 0)
+    else:
+        toks = toks.withColumn("shard", F.col("hkey") % shards)
+        w = (
+            W.partitionBy("shard")
+            .orderBy("hkey", "doc_id")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+    return toks.select(
         "doc_id",
         "n_tokens",
+        "shard",
         F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_BUDGET).alias(
             "bin_id"
         ),
     )
-    return binned.groupBy("bin_id").agg(
+
+
+@register("sequence_packing_bins", _PACKING_ORACLE)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, shard-parallel: hash documents into independent
+    streams, run the running-token cumsum per shard, and cut a new bin
+    whenever the stream crosses the budget — near-budget-sized training
+    sequences with no global sort and no single-partition window (the
+    global form survives only as a test cross-check in
+    :func:`packing_binned`)."""
+    d = load_table(spark, sf_dir, "documents")
+    return packing_binned(d).groupBy("shard", "bin_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.min("doc_id").alias("first_doc"),
