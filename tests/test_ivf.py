@@ -85,3 +85,26 @@ def test_build_ivf_index_is_build_once(spark, tmp_path):
     c3 = build_ivf_index(emb, out, n_clusters=8, seed=42, corpus_key=key)
     assert len(c3) == 8  # param change invalidates the artifact
     assert os.path.getmtime(os.path.join(out, "_SUCCESS")) != stamp
+
+
+def test_ivf_corrupt_meta_sidecar_rebuilds(spark, tmp_path):
+    """A truncated _ivf_meta.json next to a valid _SUCCESS (crash mid-
+    publish) must trigger a rebuild, not raise forever; the rebuild
+    republishes a readable sidecar atomically."""
+    import json
+    import os
+
+    from vectordbfaiss_spark.plans.ivf import build_ivf_index
+    from vectordbfaiss_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = str(tmp_path / "ivf_idx")
+    c1 = build_ivf_index(emb, out, n_clusters=4, corpus_key="k1")
+    meta_path = os.path.join(out, "_ivf_meta.json")
+    with open(meta_path, "w") as fh:
+        fh.write('{"params": {"corpus_key"')  # truncated mid-dump
+    c2 = build_ivf_index(emb, out, n_clusters=4, corpus_key="k1")
+    assert len(c2) == len(c1)
+    with open(meta_path) as fh:
+        meta = json.load(fh)  # readable again
+    assert meta["params"]["corpus_key"] == "k1"

@@ -147,3 +147,67 @@ def test_stream_ingest_neardup_falls_back_without_sidecar(spark, tmp_path):
     ).awaitTermination(120)
     stored = spark.read.parquet(store)
     assert stored.filter(stored.content.contains("w5x")).count() == 0
+
+
+def test_stream_ingest_neardup_in_batch_burst(spark, tmp_path):
+    """Two near-duplicates arriving in the SAME micro-batch: neither is in
+    the store yet, so store-comparison alone would admit both. The in-batch
+    fuzzy tier must keep exactly one representative of the pair."""
+    from vectordbfaiss_spark.streaming.ingest_stream import stream_ingest_neardup
+
+    src = tmp_path / "in"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    base = " ".join(f"w{i}" for i in range(30))
+    near = base.replace("w5", "w5x")
+    fresh = " ".join(f"z{i}" for i in range(30))
+    (src / "a.txt").write_text(base + "\n")
+    (src / "b.txt").write_text(near + "\n")
+    (src / "c.txt").write_text(fresh + "\n")
+    stream_ingest_neardup(
+        spark, str(src), store, str(tmp_path / "ck"), n=50, m=2, dim=8,
+        jaccard_threshold=0.5,
+    ).awaitTermination(120)
+    stored = spark.read.parquet(store)
+    assert stored.filter(stored.content.contains("z0")).count() > 0
+    base_n = stored.filter(
+        stored.content.contains("w5 ") & ~stored.content.contains("w5x")
+    ).count()
+    near_n = stored.filter(stored.content.contains("w5x")).count()
+    assert base_n + near_n == 1, (
+        f"exactly one of the near-dup pair must survive, got base={base_n} near={near_n}"
+    )
+
+
+def test_stream_ingest_neardup_survives_corrupt_sidecar(spark, tmp_path):
+    """A corrupt signature sidecar (bad parquet footer) is DERIVED data:
+    the micro-batch must rebuild it from store text and keep suppressing,
+    not fail schema inference forever."""
+    import pathlib
+    import shutil
+
+    from vectordbfaiss_spark.streaming.ingest_stream import stream_ingest_neardup
+
+    src = tmp_path / "in"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    base = " ".join(f"w{i}" for i in range(30))
+    (src / "a.txt").write_text(base + "\n")
+    stream_ingest_neardup(
+        spark, str(src), store, str(tmp_path / "ck"), n=50, m=2, dim=8,
+        jaccard_threshold=0.5,
+    ).awaitTermination(120)
+    sig_dir = pathlib.Path(store + "_sigs")
+    shutil.rmtree(sig_dir)
+    sig_dir.mkdir()
+    (sig_dir / "part-00000.parquet").write_bytes(b"not a parquet file")
+
+    (src / "b.txt").write_text(base.replace("w5", "w5x") + "\n")
+    stream_ingest_neardup(
+        spark, str(src), store, str(tmp_path / "ck"), n=50, m=2, dim=8,
+        jaccard_threshold=0.5,
+    ).awaitTermination(120)
+    stored = spark.read.parquet(store)
+    assert stored.filter(stored.content.contains("w5x")).count() == 0
+    # and the sidecar was republished readable
+    assert spark.read.parquet(store + "_sigs").count() > 0

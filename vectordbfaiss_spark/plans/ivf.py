@@ -199,8 +199,15 @@ def build_ivf_index(
     if corpus_key is not None and os.path.isfile(meta_path) and os.path.isfile(
         os.path.join(out_path, "_SUCCESS")
     ):
-        with open(meta_path) as fh:
-            meta = json.load(fh)
+        try:
+            with open(meta_path) as fh:
+                meta = json.load(fh)
+            meta["centroids"]  # a sidecar missing its payload is corrupt
+        except (json.JSONDecodeError, KeyError, OSError):
+            # a crash mid-publish can leave a truncated sidecar next to a
+            # valid _SUCCESS — treat any unreadable meta as "no index" and
+            # fall through to a rebuild rather than erroring forever
+            meta = {}
         if meta.get("params") == params:
             # seed the in-process centroid cache too, so assign_clusters
             # callers with the same key skip the k-means fit as well
@@ -218,8 +225,12 @@ def build_ivf_index(
         .partitionBy("cluster_id")
         .parquet(out_path)
     )
-    with open(meta_path, "w") as fh:
+    # publish the sidecar atomically: write-then-rename so a crash mid-dump
+    # can never leave a truncated _ivf_meta.json next to a valid _SUCCESS
+    tmp_path = meta_path + ".tmp"
+    with open(tmp_path, "w") as fh:
         json.dump({"params": params, "centroids": centroids}, fh)
+    os.replace(tmp_path, meta_path)
     return centroids
 
 

@@ -78,12 +78,18 @@ def _read_store_or_none(spark: SparkSession, path: str, columns: list[str]):
 def _read_derived_or_none(spark: SparkSession, path: str):
     """Read a DERIVED artifact (e.g. the signature sidecar): any read
     failure returns None — derived data is rebuilt from the source of
-    truth, so unreadable/absent/empty all mean 'rebuild', never 'fail'."""
-    from pyspark.errors import AnalysisException
+    truth, so unreadable/absent/empty all mean 'rebuild', never 'fail'.
 
+    Catches Exception, not just AnalysisException: a corrupt sidecar footer
+    surfaces as a SparkException/Py4JJavaError at schema inference, and a
+    narrow catch would fail the micro-batch forever instead of rebuilding
+    (the strict any-failure-raises handling is reserved for the
+    source-of-truth store read above)."""
     try:
-        return spark.read.parquet(path)
-    except AnalysisException:
+        df = spark.read.parquet(path)
+        df.schema  # force footer/schema resolution now, not at action time
+        return df
+    except Exception:
         return None
 
 
@@ -203,6 +209,7 @@ def stream_ingest_neardup(
     """
     from vectordbfaiss_spark.operators.dedup import (
         minhash_lsh_incremental,
+        minhash_lsh_pairs,
         minhash_signatures,
     )
 
@@ -221,6 +228,19 @@ def stream_ingest_neardup(
             batch_df.dropDuplicates(["content"])
             .withColumn("doc_id", F.xxhash64("content"))
         )
+        # in-batch FUZZY tier: a burst of near-identical (but not
+        # byte-identical) files in one micro-batch would all pass the
+        # store comparison — none is in the store yet. Band the batch
+        # against itself (batch-sized work) and keep one representative
+        # per near-dup group: drop any chunk with a smaller-id near-dup
+        # neighbor, so exactly the group's minimum survives (chains
+        # collapse to their least id — deterministic under re-delivery
+        # because ids are content hashes).
+        in_batch = minhash_lsh_pairs(
+            batch, "doc_id", "content", threshold=jaccard_threshold
+        )
+        dropped = in_batch.select(F.col("id_b").alias("doc_id")).distinct()
+        batch = batch.join(dropped, "doc_id", "left_anti")
         existing = _read_store_or_none(sess, store_path, ["doc_id", "content"])
         if existing is not None:
             # exact dupes share the store's doc_id — drop them BEFORE both
