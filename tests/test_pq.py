@@ -85,3 +85,42 @@ def test_ivfpq_recall_and_pruning(spark):
     assert sum(recalls) / len(recalls) >= 0.4, recalls
     # every query produced k results even with pruned candidates
     assert all(len(v) == k for v in ap.values())
+
+
+def test_rerank_recall_improves_over_plain_pq(spark):
+    """Exact re-rank of the ADC shortlist (IndexRefineFlat shape): recall
+    must improve on plain PQ and approach the exact scan. With refine=8 the
+    only recall loss left is a true neighbor missing the top-80 ADC list
+    (measured here: plain ~0.57, refined ~0.99 at sf0.001)."""
+    from vectordbfaiss_spark.plans.pq import pq_search_rerank
+
+    emb, books = _setup(spark)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    k = 10
+    exact = topk_search(queries, emb, k=k)
+    encoded = pq_encode(emb, books)
+    plain = pq_search(encoded, queries, books, k=k)
+    refined = pq_search_rerank(encoded, queries, books, k=k, refine=8)
+
+    def recall(df):
+        ex, ap = {}, {}
+        for r in exact.select("query_id", "vec_id").collect():
+            ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+        for r in df.select("query_id", "vec_id").collect():
+            ap.setdefault(r["query_id"], set()).add(r["vec_id"])
+        assert all(len(v) == k for v in ap.values())
+        return sum(len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex) / len(ex)
+
+    r_plain, r_refined = recall(plain), recall(refined)
+    assert r_refined >= r_plain, (r_plain, r_refined)
+    assert r_refined >= 0.9, (r_plain, r_refined)
+    # exact re-scoring restores true scores: the refined top-1 for a query
+    # vector drawn from the corpus is the vector itself at score 1.0
+    top1 = {
+        r["query_id"]: (r["vec_id"], r["score"])
+        for r in refined.filter(F.col("rank") == 1).collect()
+    }
+    for q, (vid, score) in top1.items():
+        assert vid == q and abs(score - 1.0) < 1e-6, (q, vid, score)

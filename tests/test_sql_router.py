@@ -147,3 +147,54 @@ def test_filtered_routing_pushes_metadata_filter_to_scan(spark, tmp_path):
 
     assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(label", plan), plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_multi_predicate_where_routes_and_pushes_down(spark, tmp_path):
+    """ANDed IN-list + range predicates must route, filter BEFORE scoring,
+    and reach the parquet scan as pushed filters."""
+    name = _ivf(spark, tmp_path, "t_router_multi")
+    sql = (
+        f"SELECT * FROM {name} WHERE label IN (2, 4, 7) AND vec_id >= 50 "
+        f"ORDER BY cosine_similarity(embedding, array({_LITS})) DESC LIMIT 10"
+    )
+    routed = route_topk_sql(spark, sql, nprobe=4)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "In(label" in plan and "GreaterThanOrEqual(vec_id,50" in plan, plan[:3000]
+    rows = routed.collect()
+    assert rows and all(r.vec_id >= 50 for r in rows)
+
+    ensure_sql_functions(spark)
+    spark.read.parquet(IVF_TABLES[name].path).createOrReplaceTempView("t_multi_exact")
+    exact = spark.sql(
+        "SELECT vec_id FROM t_multi_exact WHERE label IN (2, 4, 7) AND vec_id >= 50 "
+        f"ORDER BY cosine_similarity(embedding, array({_LITS})) DESC, vec_id LIMIT 10"
+    ).collect()
+    assert [r.vec_id for r in rows] == [r.vec_id for r in exact]
+
+
+def test_string_literal_and_quoted_and_predicates(spark, tmp_path):
+    """String literals parse (including one containing the word AND), and
+    !=/<> negative predicates filter correctly."""
+    from vectordbfaiss_spark.plans.sql_router import _parse_where
+
+    filters = _parse_where("src = 'this AND that' AND label != 3")
+    assert filters is not None and len(filters) == 2
+    # an IN list with strings
+    filters = _parse_where("lang IN ('en', 'fr') AND n >= 10 AND n < 20")
+    assert filters is not None and len(filters) == 3
+
+
+def test_unsupported_where_falls_back_verbatim(spark, tmp_path):
+    """OR / LIKE / IS NULL are outside the routed grammar: the statement
+    must run verbatim through spark.sql (correct answer, no routing)."""
+    name = _ivf(spark, tmp_path, "t_router_fb2")
+    spark.read.parquet(IVF_TABLES[name].path).createOrReplaceTempView(name)
+    for where in ("label = 2 OR label = 4", "label IS NOT NULL"):
+        sql = (
+            f"SELECT vec_id FROM {name} WHERE {where} ORDER BY "
+            f"cosine_similarity(embedding, array({_LITS})) DESC LIMIT 3"
+        )
+        out = route_topk_sql(spark, sql, nprobe=4)
+        assert out.count() == 3
+        # verbatim result has only the projected column (routed adds score)
+        assert out.columns == ["vec_id"]

@@ -194,6 +194,67 @@ def pq_search(
     )
 
 
+def pq_search_rerank(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 10,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    index_vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """ADC shortlist -> exact re-rank: the FAISS ``IndexRefineFlat`` shape.
+
+    Stage 1 runs :func:`pq_search` for ``refine * k`` candidates per query
+    (compressed-domain scan — the cheap, bytes-pruned pass). Stage 2
+    hydrates ONLY the shortlist's exact vectors (a broadcast of Q·r·k ids
+    into the index scan — never a corpus shuffle) and re-scores them in
+    full precision, keeping the final top-k. Quantization error then only
+    costs recall when a true neighbor falls outside the top r·k ADC
+    candidates, so r trades a linear amount of exact work for most of the
+    recall gap to the reference's flat scan (server.js:53-60).
+
+    ``encoded`` must carry both ``codes`` (pq_encode) and the exact
+    ``index_vec_col`` — pq_encode preserves input columns, so any encoded
+    index qualifies. Returns (query_id, vec_id, score, rank): exact cosine
+    rounded 6dp, ties by id — identical contract to operators/topk, so the
+    refined path is drop-in for the exact kernel.
+    """
+    from pyspark.sql import Window as W
+
+    from vectordbfaiss_spark.functions.vector import dot as vdot
+
+    cand = pq_search(
+        encoded,
+        queries,
+        codebooks,
+        k=refine * k,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    ).select("query_id", id_col)
+    exact = encoded.select(id_col, index_vec_col).join(F.broadcast(cand), id_col)
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        l2_normalize(F.col(query_vec_col)).alias("_qv"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        exact.join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            F.round(vdot(l2_normalize(F.col(index_vec_col)), F.col("_qv")), 6).alias(
+                "score"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ivfpq_search(
     encoded_index: DataFrame,
     queries: DataFrame,

@@ -7,13 +7,18 @@ string level with a deliberately tight, documented grammar:
 
     SELECT * | <id_col>
     FROM <table>
-    [WHERE <meta_col> = <literal>]
+    [WHERE <pred> [AND <pred>]*]          -- pred: <col> {=,!=,<>,<,<=,>,>=} <literal>
+                                          --     | <col> IN (<literal>, ...)
     ORDER BY cosine_similarity(<vec_col>, array(<float literals>)) DESC
     LIMIT <k>
 
-The optional WHERE is the filtered-ANN form: the equality pre-filter
-restricts the corpus BEFORE scoring (the excluded fraction is never
-scored; parquet pushdown applies). Like every routed query, results are
+The optional WHERE is the filtered-ANN form — the conjunctive predicate
+shapes real metadata filters take (equality, comparisons, IN-lists, ANDed
+together). The pre-filter restricts the corpus BEFORE scoring (the
+excluded fraction is never scored; parquet pushdown applies). Any WHERE
+that doesn't parse into supported conjuncts (OR, functions, subqueries,
+NULL tests, ...) falls back verbatim to ``spark.sql`` — never a silently
+wrong routed answer. Like every routed query, results are
 exact only at ``nprobe >= n_clusters`` — at smaller nprobe the routing is
 approximate (standard IVF recall trade-off), including under a WHERE
 filter; callers needing exact filtered answers pass full probe or run the
@@ -93,13 +98,68 @@ def ensure_sql_functions(spark: SparkSession) -> None:
 _PATTERN = re.compile(
     r"""^\s*SELECT\s+(?P<proj>\*|[A-Za-z_]\w*)\s+
         FROM\s+(?P<tbl>[A-Za-z_]\w*)\s+
-        (?:WHERE\s+(?P<fcol>[A-Za-z_]\w*)\s*=\s*
-            (?P<fval>'[^']*'|[-+]?\d+(?:\.\d+)?)\s+)?
+        (?:WHERE\s+(?P<where>.+?)\s+)?
         ORDER\s+BY\s+cosine_similarity\(\s*(?P<col>[A-Za-z_]\w*)\s*,\s*
             array\((?P<vec>[-+0-9eE.,\s]*)\)\s*\)\s+DESC\s+
         LIMIT\s+(?P<k>\d+)\s*;?\s*$""",
-    re.IGNORECASE | re.VERBOSE,
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
 )
+
+_LITERAL = r"'[^']*'|[-+]?\d+(?:\.\d+)?"
+_PRED_IN = re.compile(
+    rf"(?P<col>[A-Za-z_]\w*)\s+IN\s*\(\s*(?P<vals>(?:{_LITERAL})"
+    rf"(?:\s*,\s*(?:{_LITERAL}))*)\s*\)\s*",
+    re.IGNORECASE,
+)
+_PRED_CMP = re.compile(
+    rf"(?P<col>[A-Za-z_]\w*)\s*(?P<op><=|>=|<>|!=|=|<|>)\s*(?P<val>{_LITERAL})\s*",
+    re.IGNORECASE,
+)
+_AND = re.compile(r"AND\s+", re.IGNORECASE)
+_LIT_SPLIT = re.compile(_LITERAL)
+
+
+def _literal(tok: str):
+    if tok.startswith("'"):
+        return tok[1:-1]
+    return float(tok) if "." in tok else int(tok)
+
+
+def _parse_where(clause: str) -> list | None:
+    """Parse a conjunction of simple predicates into Column filters; None
+    when ANY part is outside the grammar (the caller then runs the whole
+    statement verbatim). Sequential tokenization, not a split on "AND" —
+    string literals may contain the word AND."""
+    filters = []
+    pos, n = 0, len(clause)
+    while pos < n:
+        if m := _PRED_IN.match(clause, pos):
+            vals = [_literal(t.group(0)) for t in _LIT_SPLIT.finditer(m.group("vals"))]
+            filters.append(F.col(m.group("col")).isin(vals))
+        elif m := _PRED_CMP.match(clause, pos):
+            c, lit = F.col(m.group("col")), F.lit(_literal(m.group("val")))
+            op = m.group("op")
+            filters.append(
+                {
+                    "=": c == lit,
+                    "!=": c != lit,
+                    "<>": c != lit,
+                    "<": c < lit,
+                    "<=": c <= lit,
+                    ">": c > lit,
+                    ">=": c >= lit,
+                }[op]
+            )
+        else:
+            return None
+        pos = m.end()
+        if pos >= n:
+            break
+        ma = _AND.match(clause, pos)
+        if not ma:
+            return None
+        pos = ma.end()
+    return filters or None
 
 
 def route_topk_sql(spark: SparkSession, sql: str, nprobe: int = 4) -> DataFrame:
@@ -116,6 +176,8 @@ def route_topk_sql(spark: SparkSession, sql: str, nprobe: int = 4) -> DataFrame:
     if not m:
         ensure_sql_functions(spark)
         return spark.sql(sql)
+    where = m.group("where")
+    filters = _parse_where(where) if where is not None else []
     tbl = IVF_TABLES.get(m.group("tbl"))
     proj = m.group("proj")
     if (
@@ -125,6 +187,9 @@ def route_topk_sql(spark: SparkSession, sql: str, nprobe: int = 4) -> DataFrame:
         # from the layout; anything else (some other column name) must run
         # verbatim so it returns exactly what the SQL says
         or proj not in ("*", tbl.id_col)
+        # a WHERE outside the conjunctive =/!=/range/IN grammar must run
+        # verbatim too — routing may only ever be a transparent speedup
+        or filters is None
     ):
         ensure_sql_functions(spark)
         return spark.sql(sql)
@@ -134,17 +199,13 @@ def route_topk_sql(spark: SparkSession, sql: str, nprobe: int = 4) -> DataFrame:
         [(0, qvec)], "query_id LONG, query_vec ARRAY<FLOAT>"
     )
     index = spark.read.parquet(tbl.path)
-    if m.group("fcol") is not None:
-        # metadata equality pre-filter (filtered ANN: restrict BEFORE
-        # scoring — the excluded fraction is never scored, and parquet
-        # pushdown applies). An unknown column raises the genuine
-        # UNRESOLVED_COLUMN analysis error here — no fallback, since the
-        # routed table need not exist as a Spark view.
-        fv = m.group("fval")
-        lit = fv[1:-1] if fv.startswith("'") else (
-            float(fv) if "." in fv else int(fv)
-        )
-        index = index.filter(F.col(m.group("fcol")) == F.lit(lit))
+    for flt in filters:
+        # metadata pre-filters (filtered ANN: restrict BEFORE scoring —
+        # the excluded fraction is never scored, and parquet pushdown
+        # applies). An unknown column raises the genuine UNRESOLVED_COLUMN
+        # analysis error here — no fallback, since the routed table need
+        # not exist as a Spark view.
+        index = index.filter(flt)
     hits = ivf_search(
         index,
         queries,

@@ -388,6 +388,66 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_RECALL_BOUND_ORACLE = """
+SELECT vec_id AS query_id, TRUE AS self_found, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 50
+"""
+
+
+@register("ivf_recall_bound", _IVF_RECALL_BOUND_ORACLE)
+def q_ivf_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked companion to ivf_recall_report: per-query BOOLEAN
+    bounds the driver can verify (the sketch error-bound pattern — the
+    oracle asserts the bound holds, Spark computes whether it does).
+
+    Two pins per query at nprobe=4 of 8: (a) ``self_found`` — a query
+    drawn from the corpus must retrieve its own vector (its top-1 probe IS
+    its assigned cluster, so this is structurally guaranteed at any
+    nprobe >= 1; a routing bug breaks it instantly); (b) ``recall_ok`` —
+    recall@10 vs the exact in-plan scan >= 0.2, far below the observed
+    floor (0.4 at sf0.001, 0.5 at sf0.01; means ~0.75-0.8) so it only
+    fires on genuine routing/assignment regressions, not fixture noise."""
+    from pyspark.sql import functions as F2
+
+    from vectordbfaiss_spark.operators.topk import score_topk_vectorized
+    from vectordbfaiss_spark.plans.ivf import (
+        assign_clusters,
+        corpus_fingerprint,
+        ivf_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F2.col("vec_id") < 50).select(
+        F2.col("vec_id").alias("query_id"), F2.col("embedding").alias("query_vec")
+    )
+    exact = score_topk_vectorized(queries, emb, k=10).select("query_id", "vec_id")
+    assigned, centroids = assign_clusters(
+        emb, n_clusters=8, seed=42,
+        corpus_key=corpus_fingerprint(f"{sf_dir}/embeddings.parquet"),
+    )
+    approx = ivf_search(assigned, queries, centroids, k=10, nprobe=4).select(
+        "query_id", "vec_id"
+    )
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F2.count("*").alias("n_hits"))
+    )
+    self_found = approx.filter(F2.col("query_id") == F2.col("vec_id")).select(
+        "query_id", F2.lit(True).alias("self_found")
+    )
+    return (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .join(self_found, "query_id", "left")
+        .select(
+            "query_id",
+            F2.coalesce("self_found", F2.lit(False)).alias("self_found"),
+            (F2.coalesce("n_hits", F2.lit(0)) >= F2.lit(2)).alias("recall_ok"),
+        )
+    )
+
+
 _AUDIO_ORACLE = """
 WITH d AS (
   SELECT doc_id, text, CAST(length(text) // 2 AS BIGINT) AS n_samples
@@ -449,6 +509,32 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return pq_search(encoded, queries, books, k=10)
+
+
+@register("pq_rerank_topk", rows_only=True)
+def q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ + exact re-rank (plans.pq.pq_search_rerank): ADC shortlist of
+    refine*k candidates per query, then full-precision re-scoring of ONLY
+    the shortlist (broadcast of Q*r*k ids — no corpus shuffle). The FAISS
+    IndexRefineFlat refinement step that closes most of the recall gap to
+    the reference's flat scan (server.js:53-60) at r*k exact scores per
+    query. Rows-only; recall pinned in tests/test_pq.py."""
+    from vectordbfaiss_spark.plans.pq import (
+        pq_encode,
+        pq_search_rerank,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = _PQ_BOOK_CACHE.get(sf_dir)
+    if books is None:
+        books = train_pq_codebooks(emb, m=16, k_codes=32, seed=42)
+        _PQ_BOOK_CACHE[sf_dir] = books
+    encoded = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return pq_search_rerank(encoded, queries, books, k=10, refine=8)
 
 
 @register("ivfpq_topk_search", rows_only=True)

@@ -402,6 +402,56 @@ def q_sql_routed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return route_topk_sql(spark, sql, nprobe=8)
 
 
+_SQL_ROUTED_MULTI_ORACLE = f"""
+WITH qr AS (SELECT [{_ROUTED_LITS}]::REAL[]::DOUBLE[] AS q),
+nq AS (
+  SELECT list_transform(q, x -> CAST(x / sqrt(list_dot_product(q, q)) AS REAL))::DOUBLE[] AS qv
+  FROM qr
+),
+nv AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+            x -> CAST(x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS REAL))::DOUBLE[] AS v
+  FROM embeddings
+  WHERE label IN (2, 4, 7) AND vec_id >= 50
+),
+s AS (SELECT vec_id, round(list_dot_product(nq.qv, nv.v), 6) AS score FROM nv, nq)
+SELECT vec_id, score FROM s ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
+@register("sql_routed_topk_multi", _SQL_ROUTED_MULTI_ORACLE)
+def q_sql_routed_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered-ANN SQL routing with a MULTI-predicate WHERE (IN-list +
+    range, ANDed) — the conjunctive metadata-filter form real retrieval
+    queries take. The router parses the conjunction, applies every
+    predicate BEFORE scoring (parquet pushdown carries them to the scan;
+    pinned in tests/test_sql_router.py), then serves the top-k from the
+    IVF layout. Full probe, so the routed answer is exact and
+    hash-checkable; anything outside the grammar falls back verbatim."""
+    import pathlib
+
+    from vectordbfaiss_spark.plans.ivf import build_ivf_index, corpus_fingerprint
+    from vectordbfaiss_spark.plans.sql_router import (
+        register_ivf_table,
+        route_topk_sql,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = f"/root/repo/spark-warehouse/ivf_index_{pathlib.Path(sf_dir).name}"
+    centroids = build_ivf_index(
+        emb, out, n_clusters=8, seed=42,
+        corpus_key=corpus_fingerprint(f"{sf_dir}/embeddings.parquet"),
+    )
+    register_ivf_table("emb_ivf", out, centroids)
+    sql = (
+        "SELECT * FROM emb_ivf WHERE label IN (2, 4, 7) AND vec_id >= 50 "
+        "ORDER BY "
+        f"cosine_similarity(embedding, array({_ROUTED_LITS})) DESC LIMIT 10"
+    )
+    return route_topk_sql(spark, sql, nprobe=8)
+
+
 # ---------------------------------------------------------------------------
 # Embedding drift report (distribution-shift monitoring between cohorts)
 # ---------------------------------------------------------------------------
