@@ -18,41 +18,32 @@ def test_priority_is_the_registry_prefix():
     assert tuple(order[: len(registry._PRIORITY)]) == registry._PRIORITY
 
 
-def test_first_window_covers_section2_primaries():
-    # one green driver row per SURVEY §2 operator family / pipeline
-    # component depends on these staying inside the sampled prefix
-    must_be_early = {
-        "topk_search",          # flagship (J1/J3/W1/K1)
-        "ingest_index_build",   # S1/S5/F10 end-to-end
-        "text_chunk_documents", # F2
-        "rag_answer_extractive",  # P3/U2
-        "binary_roundtrip_vectors",  # S6/S7
-        "csv_roundtrip_part",   # S8/S9
-        "json_roundtrip_events",  # F12
-        "relevant_tokens_report",  # U4
-        "udtf_chunk_spans",     # F9
-        "text_pipeline_tokenize",  # S11/F1/F3-F6/K2/K3
-        "hash_embedder_checksum",  # A3/U1
-        "dedup_exact_stats",    # A5
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "embedding_near_dup_lsh",
-        "mmr_rerank_topk",
-        "multimodal_decode_meta",
-        "text_language_id",
-        "sql_routed_topk",
-    }
-    window = set(list(registry.queries())[:50])
-    missing = must_be_early - window
-    assert not missing, f"primary queries fell out of the sample window: {missing}"
+def test_first_window_is_round3_rotation():
+    """Round-3 rotation contract: the sampled prefix holds the sentinels
+    plus ONLY queries with no driver-verified row in rounds 1-2 (or ones
+    whose implementation was rewritten this round), so each round's gate
+    extends cumulative verified coverage instead of re-proving the same
+    window. No curation beyond that — rows-only entries are eligible and
+    simply land where natural registration order puts them."""
+    import json
+    import os
 
-
-def test_no_rows_only_in_first_window():
-    # rows-only entries in the sampled prefix would surface as err rows in
-    # the gate; keep them (the recall-tested ANN family) outside it
     window = list(registry.queries())[:50]
-    offenders = [n for n in window if n in registry.ROWS_ONLY]
-    assert not offenders, offenders
+    sentinels = {"topk_search", "ingest_index_build"}
+    rewritten = {"sequence_packing_bins"}  # shard-parallel rework in r3
+    assert sentinels <= set(window[:2])
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    verified: set[str] = set()
+    for rnd in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        with open(os.path.join(repo, rnd)) as fh:
+            for name, row in json.load(fh).items():
+                if isinstance(row, dict) and row.get("rows_match"):
+                    verified.add(name)
+    stale = [
+        n for n in window if n in verified and n not in sentinels | rewritten
+    ]
+    assert not stale, f"already-verified queries occupy sample slots: {stale}"
 
 
 def test_queries_manifest_is_current():

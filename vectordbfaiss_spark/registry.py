@@ -59,68 +59,113 @@ def oracle_sql() -> dict[str, str]:
 
 _loaded = False
 
-# Registry iteration order. The driver's correctness gate checks a prefix
-# sample of ``queries()`` in dict-insertion order (round 1 verified exactly
-# the first 50), so the first entries are deliberately the primary query for
-# every SURVEY §2 operator plus each LLM-data-pipeline component — one green
-# driver row per operator/component. Everything not listed keeps its
-# module-registration order after the priority block.
+# Registry iteration order. The driver's correctness gate samples the FIRST
+# ~50 of ``queries()`` in dict-insertion order, so the order is ROTATED each
+# round to extend cumulative driver-verified coverage rather than re-proving
+# the same window:
+#   round 1 verified the first 50 of the natural module order;
+#   round 2 front-loaded the per-operator primaries (50/50 green);
+#   round 3 (this order): two sentinels that must stay green every round,
+#   then every query with NO driver-verified row in rounds 1-2, in their
+#   natural registration order (per CORRECTNESS_r01/r02: 73 unique queries
+#   verified, 83 never sampled). Rows-only entries are NOT curated out of
+#   the window — the gate sees the registry as it is; new round-3 queries
+#   join their natural position in the never-verified block. The ~35
+#   never-verified queries that still fall past position 50 are the head of
+#   round 4's rotation.
 _PRIORITY: tuple[str, ...] = (
-    # flagship + reference-parity spine
+    # sentinels: flagship operators re-proven every round
     "topk_search",
-    "filtered_topk_search",
     "ingest_index_build",
-    "text_chunk_documents",
-    "rag_answer_extractive",
-    "binary_roundtrip_vectors",
-    "csv_roundtrip_part",
-    "json_roundtrip_events",
-    "relevant_tokens_report",
-    "udtf_chunk_spans",
-    "documents_dump",
-    "in_list_lookup",
-    "text_pipeline_tokenize",
-    "json_extract_events",
-    "semi_join_big_spenders",
-    "q1_pricing_summary",
-    "hash_embedder_checksum",
-    "charcode_mock_embed",
-    "dedup_exact_stats",
-    "topn_orders",
-    "set_operations",
-    "text_normalize_docs",
-    "string_functions_part",
-    "text_term_freq_top20",
-    "tumbling_window_daily",
-    "sliding_window_2h_1h",
-    # dedup / similarity pipeline components
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_cluster_components",
-    "neardup_triangle_count",
-    "embedding_near_dup_lsh",
-    "bm25_doc_ranking",
-    "hybrid_rrf_fusion",
-    "weighted_sample_docs",
-    "mmr_rerank_topk",
-    # multimodal plumbing
-    "multimodal_decode_meta",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "multimodal_audio_windows",
-    # text analysis
-    "text_token_stats",
-    "text_quality_score",
-    "text_language_id",
-    "text_fingerprint",
-    "text_bpe_token_count",
-    "tfidf_top_terms",
-    # curation + sketches + SQL-routed IVF
-    "curation_pipeline",
-    "benchmark_decontamination",
-    "approx_distinct_sketch",
-    "sql_routed_topk",
+    # never-driver-verified queries, natural registration order
+    "corpus_health_report",
+    "mixture_sampling_plan",
+    "dedup_minhash_incremental",
+    "dedup_survivors",
+    "leakage_safe_split_assign",
+    "sequence_packing_bins",  # re-verify: rewritten shard-parallel in r3
+    "stats_summary_lineitem",
+    "q13_customer_distribution",
+    "min_max_by_orders",
+    "ntile_percent_rank_orders",
+    "datetime_functions_orders",
+    "grouping_sets_lineitem",
+    "null_handling_suppliers",
+    "funnel_view_click_purchase",
+    "retention_cohorts_weekly",
+    "null_safe_join_status",
+    "array_set_functions",
+    "higher_order_array_funcs",
+    "q16_supplier_relationship",
+    "exists_not_exists_customers",
+    "unpivot_lineitem_measures",
+    "daily_gapfill_event_counts",
+    "latest_event_per_user",
+    "q6_forecast_revenue",
+    "q12_shipping_priority_split",
+    "q4_order_priority_checking",
+    "q10_returned_item_revenue",
+    "q14_promo_revenue_pct",
+    "q18_large_volume_orders",
+    "range_join_orders_events",
+    "approx_percentiles_order_value",
+    "sessionize_events_batch",
+    "regexp_extract_all_docs",
+    "interval_join_click_purchase",
+    "median_mode_orders",
+    "window_nth_value_events",
+    "scd2_event_intervals",
+    "bitwise_agg_lineitem",
+    "session_window_builtin",
+    "skew_salted_event_totals",  # streaming-twin family: all 4 in-window
+    "trending_types_daily_top2",
+    "map_functions_events",
+    "decimal_exact_revenue",
+    "fuzzy_name_match",
+    "explode_outer_long_words",
+    "zscore_outlier_events",
+    "incremental_daily_agg",
+    "histogram_order_values",
+    # ---- driver's 50-row sample boundary lands here ----
+    "profile_orders_table",
+    "variant_json_extract_events",
+    "ewma_daily_counts",
+    "bool_aggregates_orders",
+    "fk_integrity_audit",
+    "hll_distinct_users_daily_merge",
+    "sql_lateral_view_tokens",
+    "cms_heavy_hitters",
+    "orc_roundtrip_supplier",
+    "ivf_topk_search",
+    "ivf_disk_search",
+    "ivf_recall_report",
+    "ivf_recall_bound",
+    "pq_topk_search",
+    "pq_rerank_topk",
+    "ivfpq_topk_search",
+    "sqlite_roundtrip_docs",
+    "snapshot_pinned_read_docs",
+    "text_repetition_filter",
+    "crossdoc_span_dedup",
+    "winnowing_fingerprints",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_suppliers",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_heavy_shippers",
+    "q21_lone_fault_supplier",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "nn_classify",
+    "cosine_pairs_threshold",
+    "lsh_bucket_histogram",
+    "embedding_int8_quantization",
+    "label_centroids",
+    "embedding_drift_report",
+    "sql_routed_topk_multi",
 )
 
 
