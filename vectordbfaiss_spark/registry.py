@@ -185,6 +185,7 @@ def _load() -> None:
         relational,
         relational_ext,
         relational_more,
+        scrub,
         sketches_sql,
         sources_io,
         text_analysis,
