@@ -532,3 +532,88 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         # drop it (NULL cosine), matching the oracle's inner cohort join
         .filter(F.col("centroid_cosine").isNotNull())
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup via k-means blocking (operators/semdedup.py)
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_K = 8
+_SEMDEDUP_TAU = 0.3  # fixture embeddings are near-random (max pairwise
+# cosine ~0.48), so the production-style 0.95 would never fire; 0.3
+# exercises both keep and remove branches with identical semantics
+
+
+def _semdedup_df(spark: SparkSession, sf_dir: str):
+    from vectordbfaiss_spark.operators.semdedup import semdedup
+    from vectordbfaiss_spark.plans.ivf import corpus_fingerprint
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(
+        emb,
+        n_clusters=_SEMDEDUP_K,
+        threshold=_SEMDEDUP_TAU,
+        corpus_key=corpus_fingerprint(f"{sf_dir}/embeddings.parquet"),
+    )
+
+
+@register("semdedup_prune", rows_only=True)
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means clusters as blocking, then
+    keep-first-by-id removal of within-cluster vectors whose cosine to a
+    smaller-id member exceeds the threshold. Rows-only (k-means is not
+    SQL-expressible); every removal carries a witness_id that
+    ``semdedup_witness_bound`` re-checks from raw embeddings, and
+    tests/test_semdedup.py pins exact behavior on a constructed corpus."""
+    return _semdedup_df(spark, sf_dir)
+
+
+_SEMDEDUP_BOUND_ORACLE = """
+SELECT vec_id, TRUE AS self_consistent, TRUE AS witness_ok
+FROM embeddings
+"""
+
+
+@register("semdedup_witness_bound", _SEMDEDUP_BOUND_ORACLE)
+def q_semdedup_witness_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked companion to semdedup_prune (the sketch error-bound
+    pattern): per vector, (a) self_consistent — keep is exactly
+    "no smaller-id neighbor above threshold"; (b) witness_ok — for every
+    REMOVED vector, the recorded witness pair's cosine is recomputed
+    straight from the raw embeddings (no clustering involved) and must
+    exceed the threshold and agree with the recorded score to 1e-5. A
+    wrong cluster assignment, a broken pair join, or a bogus similarity
+    all flip a boolean the driver hash-checks."""
+    from vectordbfaiss_spark.functions.vector import cosine_similarity
+
+    verdicts = _semdedup_df(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    wa = emb.select(
+        F.col("vec_id").alias("witness_id"), F.col("embedding").alias("w_vec")
+    )
+    wb = emb.select(
+        F.col("vec_id").alias("vec_id"), F.col("embedding").alias("v_vec")
+    )
+    j = (
+        verdicts.join(wa, "witness_id", "left")
+        .join(wb, "vec_id", "left")
+        .withColumn(
+            "re_sim", cosine_similarity(F.col("w_vec"), F.col("v_vec"))
+        )
+    )
+    return j.select(
+        "vec_id",
+        (
+            F.col("keep") == (F.col("n_dup_smaller") == 0)
+        ).alias("self_consistent"),
+        F.when(F.col("keep"), F.lit(True))
+        .otherwise(
+            (F.col("re_sim") > F.lit(_SEMDEDUP_TAU))
+            & (
+                F.abs(F.col("re_sim") - F.col("max_sim_smaller"))
+                < F.lit(1e-5)
+            )
+            & (F.col("witness_id") < F.col("vec_id"))
+        )
+        .alias("witness_ok"),
+    )
