@@ -160,3 +160,20 @@ def test_zorder_compact_prunes_on_both_dimensions(spark, tmp_path):
     a = spark.read.parquet(src).orderBy("o_orderkey").collect()
     b = spark.read.parquet(out).orderBy("o_orderkey").collect()
     assert a == b
+
+
+def test_zorder_audit_buckets_prune_on_both_dimensions(spark):
+    """The registry audit query's zone maps must show real pruning: a
+    10%-wide probe on EITHER dimension touches a strict minority of the
+    16 z-range buckets (observed: 4/16 per dimension at sf0.001/sf0.01;
+    a non-clustered layout would touch nearly all 16)."""
+    from vectordbfaiss_spark.registry import queries
+
+    p = (
+        queries()["zorder_layout_audit"](spark, "/root/testdata/sf0.001")
+        .toPandas()
+    )
+    assert len(p) == 16
+    assert p["cust_probe_hit"].sum() <= 8
+    assert p["price_probe_hit"].sum() <= 8
+    assert p["n_rows"].sum() > 0

@@ -92,3 +92,47 @@ def test_pinned_read_refuses_partial_version(spark, tmp_path):
     os.makedirs(partial)
     with pytest.raises(ValueError):
         snapshot_read(spark, table, version=2)
+
+
+def test_merge_upsert_semantics(spark, tmp_path):
+    from vectordbfaiss_spark.operators.merge import merge_upsert
+
+    table = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "id long, v string"
+    )
+    v1 = snapshot_write(base, table)
+    changes = spark.createDataFrame(
+        [
+            (2, "TWO", False),     # matched update
+            (3, None, True),       # matched delete
+            (4, "four", False),    # unmatched insert
+            (99, None, True),      # unmatched delete -> no-op
+        ],
+        "id long, v string, _delete boolean",
+    )
+    v2 = merge_upsert(spark, table, changes, key_cols=["id"])
+    assert v2 == v1 + 1
+    got = {r["id"]: r["v"] for r in snapshot_read(spark, table).collect()}
+    assert got == {1: "one", 2: "TWO", 4: "four"}
+    # v1 still pinned-readable, bit-identical
+    old = {r["id"]: r["v"] for r in snapshot_read(spark, table, version=v1).collect()}
+    assert old == {1: "one", 2: "two", 3: "three"}
+
+
+def test_merge_upsert_no_broadcast_path(spark, tmp_path):
+    from vectordbfaiss_spark.operators.merge import merge_upsert
+
+    table = str(tmp_path / "t2")
+    snapshot_write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), table
+    )
+    merge_upsert(
+        spark,
+        table,
+        spark.createDataFrame([(2, "B")], "id long, v string"),
+        key_cols=["id"],
+        broadcast_changes=False,
+    )
+    got = {r["id"]: r["v"] for r in snapshot_read(spark, table).collect()}
+    assert got == {1: "a", 2: "B"}

@@ -674,3 +674,197 @@ def q_snapshot_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (CDC upsert+delete) over a snapshot table
+# ---------------------------------------------------------------------------
+
+_MERGE_ORACLE = """
+WITH keep AS (
+  SELECT * FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 17 <> 0
+), upd AS (
+  SELECT doc_id, 'UPDATED ' || substr(text, 1, 40) AS text, lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 0 AND doc_id % 17 <> 0
+), ins AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         'INSERTED doc ' || CAST(doc_id AS VARCHAR) AS text,
+         lang, source, n_chars
+  FROM documents WHERE doc_id % 25 = 0
+), merged AS (
+  SELECT * FROM keep UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins
+)
+SELECT doc_id, md5(text) AS text_md5, lang FROM merged
+"""
+
+
+@register("merge_upsert_docs", _MERGE_ORACLE)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE INTO semantics end-to-end (operators/merge.py): publish
+    the corpus as snapshot v1, apply one CDC batch — updates (doc_id%10),
+    deletes (doc_id%17, delete-wins on overlap), inserts (shifted ids) —
+    as atomic v2, read the current version back. The oracle restates the
+    merge result declaratively, so the hash-match proves matched-update /
+    matched-delete / unmatched-insert / untouched-keep all landed, through
+    the actual parquet write + snapshot pointer swap."""
+    import os
+    import shutil
+    import tempfile
+
+    from vectordbfaiss_spark.operators.merge import merge_upsert
+    from vectordbfaiss_spark.sources.snapshots import snapshot_read, snapshot_write
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    table = os.path.join(
+        tempfile.gettempdir(), f"vdbf_merge_{abs(hash(sf_dir)) % 10**8}"
+    )
+    if os.path.exists(table):
+        shutil.rmtree(table)
+    snapshot_write(docs, table)
+    upd = (
+        docs.filter((did % 10 == 0) & (did % 17 != 0))
+        .withColumn("text", F.concat(F.lit("UPDATED "), F.substring("text", 1, 40)))
+        .withColumn("_delete", F.lit(False))
+    )
+    dele = docs.filter(did % 17 == 0).withColumn("_delete", F.lit(True))
+    ins = docs.filter(did % 25 == 0).select(
+        (did + 1000000).alias("doc_id"),
+        F.concat(F.lit("INSERTED doc "), did.cast("string")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+        F.lit(False).alias("_delete"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    merge_upsert(spark, table, changes, key_cols=["doc_id"])
+    merged = snapshot_read(spark, table)
+    return merged.select("doc_id", F.md5("text").alias("text_md5"), "lang")
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout audit (operators/maintenance.py::zorder_compact)
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8
+_Z_BUCKETS = 16
+
+
+def _sql_interleave(qa: str, qb: str, bits: int = _Z_BITS) -> str:
+    """DuckDB replica of maintenance._interleave_bits — generated from the
+    same Python loop so the bit layout cannot drift."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({qa} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({qb} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_ZQ_A = "CAST(least(floor((CAST(o_custkey AS DOUBLE) - lo_a) / (hi_a - lo_a) * 255), 255) AS BIGINT)"
+_ZQ_B = "CAST(least(floor((o_totalprice - lo_b) / (hi_b - lo_b) * 255), 255) AS BIGINT)"
+
+_ZORDER_ORACLE = f"""
+WITH ext AS (
+  SELECT CAST(min(o_custkey) AS DOUBLE) AS lo_a, CAST(max(o_custkey) AS DOUBLE) AS hi_a,
+         min(o_totalprice) AS lo_b, max(o_totalprice) AS hi_b
+  FROM orders
+), z AS (
+  SELECT o_custkey, o_totalprice,
+         {_sql_interleave(_ZQ_A, _ZQ_B)} AS zval,
+         lo_a, hi_a, lo_b, hi_b
+  FROM orders CROSS JOIN ext
+), zx AS (
+  SELECT min(zval) AS lo_z, max(zval) AS hi_z FROM z
+), b AS (
+  SELECT o_custkey, o_totalprice, lo_a, hi_a, lo_b, hi_b,
+         CAST(floor((zval - lo_z) * {_Z_BUCKETS}.0 / (hi_z - lo_z + 1)) AS BIGINT) AS bucket
+  FROM z CROSS JOIN zx
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(o_custkey) AS BIGINT) AS min_cust,
+       CAST(max(o_custkey) AS BIGINT) AS max_cust,
+       round(min(o_totalprice), 4) AS min_price,
+       round(max(o_totalprice), 4) AS max_price,
+       (min(o_custkey) <= any_value(lo_a) + (any_value(hi_a) - any_value(lo_a)) * 0.2
+        AND max(o_custkey) >= any_value(lo_a) + (any_value(hi_a) - any_value(lo_a)) * 0.1)
+         AS cust_probe_hit,
+       (min(o_totalprice) <= any_value(lo_b) + (any_value(hi_b) - any_value(lo_b)) * 0.2
+        AND max(o_totalprice) >= any_value(lo_b) + (any_value(hi_b) - any_value(lo_b)) * 0.1)
+         AS price_probe_hit
+FROM b
+GROUP BY bucket
+"""
+
+
+@register("zorder_layout_audit", _ZORDER_ORACLE)
+def q_zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering as an auditable computation: quantize
+    (o_custkey, o_totalprice) to an 8-bit grid, interleave to the Morton
+    value (the EXACT expression zorder_compact lays files out by —
+    operators/maintenance.py::_interleave_bits is reused, the oracle SQL
+    is generated from the same loop), split the z range into 16
+    equal-width buckets (= prospective files) and report each bucket's
+    min/max zone map plus whether a 10%-wide probe on EITHER dimension
+    would have to scan it. The hash-check pins the bit layout; the
+    pruning effect itself (few buckets hit per single-dimension probe)
+    is asserted in tests/test_maintenance.py. Entirely map + one
+    hash-agg; extrema come from two broadcast one-row aggregates, no
+    window, no single-partition stage."""
+    from vectordbfaiss_spark.operators.maintenance import _interleave_bits
+
+    orders = load_table(spark, sf_dir, "orders")
+    ext = orders.agg(
+        F.min("o_custkey").cast("double").alias("lo_a"),
+        F.max("o_custkey").cast("double").alias("hi_a"),
+        F.min("o_totalprice").alias("lo_b"),
+        F.max("o_totalprice").alias("hi_b"),
+    )
+    j = orders.crossJoin(F.broadcast(ext))
+
+    def quant(col, lo, hi):
+        return F.least(
+            F.floor(
+                (F.col(col).cast("double") - F.col(lo))
+                / (F.col(hi) - F.col(lo))
+                * 255
+            ),
+            F.lit(255),
+        ).cast("long")
+
+    z = j.withColumn(
+        "zval",
+        _interleave_bits(
+            quant("o_custkey", "lo_a", "hi_a"),
+            quant("o_totalprice", "lo_b", "hi_b"),
+            _Z_BITS,
+        ),
+    )
+    zx = z.agg(F.min("zval").alias("lo_z"), F.max("zval").alias("hi_z"))
+    b = z.crossJoin(F.broadcast(zx)).withColumn(
+        "bucket",
+        F.floor(
+            (F.col("zval") - F.col("lo_z"))
+            * float(_Z_BUCKETS)
+            / (F.col("hi_z") - F.col("lo_z") + 1)
+        ).cast("long"),
+    )
+    probe_a_lo = F.any_value("lo_a") + (F.any_value("hi_a") - F.any_value("lo_a")) * 0.1
+    probe_a_hi = F.any_value("lo_a") + (F.any_value("hi_a") - F.any_value("lo_a")) * 0.2
+    probe_b_lo = F.any_value("lo_b") + (F.any_value("hi_b") - F.any_value("lo_b")) * 0.1
+    probe_b_hi = F.any_value("lo_b") + (F.any_value("hi_b") - F.any_value("lo_b")) * 0.2
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.min("o_custkey").cast("long").alias("min_cust"),
+        F.max("o_custkey").cast("long").alias("max_cust"),
+        F.round(F.min("o_totalprice"), 4).alias("min_price"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        (
+            (F.min("o_custkey") <= probe_a_hi)
+            & (F.max("o_custkey") >= probe_a_lo)
+        ).alias("cust_probe_hit"),
+        (
+            (F.min("o_totalprice") <= probe_b_hi)
+            & (F.max("o_totalprice") >= probe_b_lo)
+        ).alias("price_probe_hit"),
+    )
