@@ -25,9 +25,7 @@ rule gives the same dedup ratio, and id-order is engine-reproducible.)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
-
-from vectordbfaiss_spark.functions.vector import dot
+from pyspark.sql import DataFrame
 
 
 def semdedup(
@@ -48,7 +46,16 @@ def semdedup(
     such neighbor exists. The witness makes every removal independently
     re-checkable from raw embeddings without re-running the clustering
     (see the ``semdedup_witness_bound`` registry query).
+
+    The per-cluster pair scan is an ``applyInPandas`` BLAS kernel: one
+    Gram matrix (m x m matmul) per cluster group instead of m^2/2
+    expression-evaluated dot products — the same Arrow-batched shape as
+    the exact top-k kernel, and the reason cluster size must stay
+    bounded (the Gram matrix is the paper's own per-cluster cost).
     """
+    import numpy as np
+    from pyspark.sql import types as T
+
     from vectordbfaiss_spark.plans.ivf import assign_clusters
 
     assigned, _ = assign_clusters(
@@ -58,48 +65,51 @@ def semdedup(
         seed=seed,
         corpus_key=corpus_key,
     )
-    a = assigned.select(
-        F.col("cluster_id"),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("vec_a"),
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cluster_id", T.IntegerType()),
+            T.StructField("n_dup_smaller", T.LongType()),
+            T.StructField("max_sim_smaller", T.DoubleType()),
+            T.StructField("witness_id", T.LongType()),
+            T.StructField("keep", T.BooleanType()),
+        ]
     )
-    b = assigned.select(
-        F.col("cluster_id"),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vec_b"),
-    )
-    # within-cluster ordered pairs; vectors are unit-norm after
-    # assign_clusters, so dot == cosine
-    pairs = (
-        a.join(b, "cluster_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "cluster_id",
-            "id_a",
-            "id_b",
-            dot(F.col("vec_a"), F.col("vec_b")).alias("sim"),
+
+    def kernel(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        ids = pdf[id_col].to_numpy()
+        V = np.array(list(pdf[vec_col]), dtype=np.float64)
+        # unit-norm after assign_clusters: Gram matrix == cosine matrix
+        S = V @ V.T
+        m = len(ids)
+        n_dup = np.zeros(m, dtype=np.int64)
+        max_sim = np.full(m, np.nan)
+        witness = np.full(m, -1, dtype=np.int64)
+        for j in range(1, m):
+            above = S[:j, j] > threshold
+            n = int(above.sum())
+            if n:
+                n_dup[j] = n
+                # max sim, tie -> smallest id (ids ascending, argmax
+                # returns the first maximal index)
+                i = int(np.argmax(np.where(above, S[:j, j], -np.inf)))
+                max_sim[j] = round(S[i, j], 6)
+                witness[j] = ids[i]
+        w = pd.array(witness, dtype="Int64")
+        w[n_dup == 0] = pd.NA
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster_id": pdf["cluster_id"],
+                "n_dup_smaller": n_dup,
+                "max_sim_smaller": max_sim,
+                "witness_id": w,
+                "keep": n_dup == 0,
+            }
         )
-        .filter(F.col("sim") > threshold)
-    )
-    # tie-break max_by on (sim, -id_a) so the witness is deterministic
-    dup_stats = pairs.groupBy("id_b").agg(
-        F.count("*").alias("n_dup_smaller"),
-        F.round(F.max("sim"), 6).alias("max_sim_smaller"),
-        F.max_by(
-            "id_a", F.struct(F.col("sim"), (-F.col("id_a")).alias("neg"))
-        ).alias("witness_id"),
-    )
-    return (
-        assigned.select(F.col(id_col), "cluster_id")
-        .join(dup_stats, F.col(id_col) == F.col("id_b"), "left")
-        .select(
-            F.col(id_col),
-            "cluster_id",
-            F.coalesce("n_dup_smaller", F.lit(0)).cast("long").alias(
-                "n_dup_smaller"
-            ),
-            "max_sim_smaller",
-            "witness_id",
-            F.col("n_dup_smaller").isNull().alias("keep"),
-        )
-    )
+
+    return assigned.groupBy("cluster_id").applyInPandas(kernel, schema)

@@ -582,3 +582,121 @@ def q_mixture_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.col("available_tokens").cast("double"), target), 6
         ).alias("expected_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection via importance resampling (Xie et al. 2023,
+# arXiv:2302.03169): hashed n-gram importance weights log(p_target/p_raw)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 256  # hashed feature buckets (paper: 10k; fixture vocab is tiny)
+_DSIR_ALPHA = 0.5  # add-alpha smoothing of both bucket distributions
+
+_DSIR_GRAMS_SQL = """
+    list_concat(
+      words,
+      list_transform(generate_series(0, greatest(len(words) - 2, 0)),
+                     i -> array_to_string(list_slice(words, i + 1, i + 2), ' ')))
+"""
+
+_DSIR_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, lang,
+         string_split_regex(rtrim(text), '\\s+') AS words
+  FROM documents WHERE text IS NOT NULL
+), f0 AS (
+  SELECT doc_id, lang, unnest({_DSIR_GRAMS_SQL}) AS g FROM w
+), f AS (
+  SELECT doc_id, lang, {_sql_hash_bucket('g')} % {_DSIR_B} AS bucket FROM f0
+), per_doc AS (
+  SELECT doc_id, bucket, count(*) AS n FROM f GROUP BY doc_id, bucket
+), raw_d AS (
+  SELECT bucket, count(*) AS r FROM f GROUP BY bucket
+), tgt_d AS (
+  SELECT bucket, count(*) AS t FROM f WHERE lang = 'en' GROUP BY bucket
+), tot AS (
+  SELECT (SELECT count(*) FROM f) AS r_total,
+         (SELECT count(*) FROM f WHERE lang = 'en') AS t_total
+), probs AS (
+  SELECT raw_d.bucket,
+         (coalesce(t, 0) + {_DSIR_ALPHA}) / (t_total + {_DSIR_ALPHA} * {_DSIR_B}) AS pt,
+         (r + {_DSIR_ALPHA}) / (r_total + {_DSIR_ALPHA} * {_DSIR_B}) AS pr
+  FROM raw_d LEFT JOIN tgt_d USING (bucket) CROSS JOIN tot
+)
+SELECT per_doc.doc_id,
+       CAST(sum(n) AS BIGINT) AS n_feats,
+       round(sum(n * (ln(pt) - ln(pr))), 6) AS dsir_weight
+FROM per_doc JOIN probs USING (bucket)
+GROUP BY per_doc.doc_id
+"""
+
+
+@register("dsir_importance_weights", _DSIR_ORACLE)
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: every document scored by how much its
+    hashed unigram+bigram feature distribution looks like the TARGET
+    domain (here: the English sub-corpus) versus the raw corpus —
+    weight = sum over feature occurrences of log(p_target/p_raw), with
+    add-alpha smoothing on both bucket distributions. Selection then
+    resamples by weight (``deterministic_sample_docs``/
+    ``weighted_sample_docs`` supply that step).
+
+    Scale shape: one explode over the corpus -> per-(doc, bucket) counts
+    (single shuffle); the two bucket distributions are {_DSIR_B}-row
+    aggregates of the SAME exploded frame, broadcast back onto the
+    per-doc counts; final per-doc sum is map-side-combinable. The hash
+    bucketing (md5-prefix mod B) is the engine-shared rule, so DuckDB
+    replays it exactly."""
+    from vectordbfaiss_spark.operators.dedup import gram_array
+
+    from vectordbfaiss_spark.session import fan_out
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    grams = fan_out(docs).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.concat(gram_array("text", 1), gram_array("text", 2))
+        ).alias("g"),
+    )
+    feats = grams.select(
+        "doc_id", "lang", (_hash_bucket(F.col("g")) % _DSIR_B).alias("bucket")
+    )
+    per_doc = feats.groupBy("doc_id", "bucket").agg(F.count("*").alias("n"))
+    raw_d = feats.groupBy("bucket").agg(F.count("*").alias("r"))
+    tgt_d = (
+        feats.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("t"))
+    )
+    tot = feats.agg(
+        F.count("*").alias("r_total"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("t_total"),
+    )
+    probs = (
+        raw_d.join(tgt_d, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                (F.coalesce("t", F.lit(0)) + F.lit(_DSIR_ALPHA))
+                / (F.col("t_total") + F.lit(_DSIR_ALPHA * _DSIR_B))
+            ).alias("pt"),
+            (
+                (F.col("r") + F.lit(_DSIR_ALPHA))
+                / (F.col("r_total") + F.lit(_DSIR_ALPHA * _DSIR_B))
+            ).alias("pr"),
+        )
+    )
+    return (
+        per_doc.join(F.broadcast(probs), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_feats"),
+            F.round(
+                F.sum(F.col("n") * (F.log("pt") - F.log("pr"))), 6
+            ).alias("dsir_weight"),
+        )
+    )

@@ -617,3 +617,72 @@ def q_semdedup_witness_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("witness_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive training
+# ---------------------------------------------------------------------------
+
+_HARDNEG_ORACLE = """
+WITH a AS (
+  SELECT vec_id AS anchor_id, label AS a_label, embedding::DOUBLE[] AS av
+  FROM embeddings WHERE vec_id < 20
+), c AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), p AS (
+  SELECT anchor_id, c.vec_id,
+         round(list_dot_product(av, v)
+               / (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(v, v))),
+               6) AS sim
+  FROM a JOIN c ON c.label <> a.a_label
+), r AS (
+  SELECT anchor_id, vec_id, sim,
+         row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, vec_id) AS rnk
+  FROM p
+)
+SELECT anchor_id, vec_id AS negative_id, sim, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 5
+"""
+
+
+@register("hard_negative_mining", _HARDNEG_ORACLE)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: for each anchor, the top-5 most-cosine-similar
+    vectors carrying a DIFFERENT label — the negatives that actually teach
+    a contrastive model (SimCLR/DPR training-data prep). Scores are rounded
+    BEFORE ranking with an id tie-break (engine-independent order).
+
+    Scale shape: the anchor set is the broadcast side (queries are always
+    the bounded side in mining jobs), the corpus streams once; the rank
+    window partitions BY ANCHOR so it parallelizes across anchors, and
+    row_number+filter plans a per-partition partial sort of k, not a global
+    one. The label-exclusion predicate rides inside the join condition —
+    no post-hoc filter pass."""
+    from vectordbfaiss_spark.functions.vector import cosine_similarity
+    from pyspark.sql import Window as W2
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("av"),
+    )
+    pairs = load_table(spark, sf_dir, "embeddings").join(
+        F.broadcast(anchors), F.col("label") != F.col("a_label")
+    )
+    scored = pairs.select(
+        "anchor_id",
+        "vec_id",
+        F.round(cosine_similarity("av", "embedding"), 6).alias("sim"),
+    )
+    w = W2.partitionBy("anchor_id").orderBy(F.desc("sim"), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("negative_id"),
+            "sim",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

@@ -77,6 +77,16 @@ _PRIORITY: tuple[str, ...] = (
     # sentinels: flagship operators re-proven every round
     "topk_search",
     "ingest_index_build",
+    # NEW round-3 operators: highest-risk code, driver-proven first
+    "pii_redact_docs",
+    "url_normalize_filter",
+    "crossdoc_span_scrub",
+    "semdedup_prune",
+    "semdedup_witness_bound",
+    "merge_upsert_docs",
+    "zorder_layout_audit",
+    "dsir_importance_weights",
+    "hard_negative_mining",
     # never-driver-verified queries, natural registration order
     "corpus_health_report",
     "mixture_sampling_plan",
@@ -113,11 +123,12 @@ _PRIORITY: tuple[str, ...] = (
     "regexp_extract_all_docs",
     "interval_join_click_purchase",
     "median_mode_orders",
-    "window_nth_value_events",
-    "scd2_event_intervals",
-    "bitwise_agg_lineitem",
     "session_window_builtin",
     "skew_salted_event_totals",  # streaming-twin family: all 4 in-window
+    "window_nth_value_events",
+    "scd2_event_intervals",
+    # ---- driver's 50-row sample boundary lands here ----
+    "bitwise_agg_lineitem",
     "trending_types_daily_top2",
     "map_functions_events",
     "decimal_exact_revenue",
@@ -126,7 +137,6 @@ _PRIORITY: tuple[str, ...] = (
     "zscore_outlier_events",
     "incremental_daily_agg",
     "histogram_order_values",
-    # ---- driver's 50-row sample boundary lands here ----
     "profile_orders_table",
     "variant_json_extract_events",
     "ewma_daily_counts",
