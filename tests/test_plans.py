@@ -292,3 +292,35 @@ def test_sequence_packing_window_is_sharded(spark):
     assert re.search(r"windowspecdefinition\(shard", sharded), sharded[:3000]
     global_form = _plan(packing_binned(docs, shards=None))
     assert not re.search(r"windowspecdefinition\(shard", global_form)
+
+
+def test_pii_redact_prunes_to_referenced_columns(spark):
+    """The scrub map must let Catalyst prune the scan to the columns the
+    derivation actually references — a scrub that drags all columns
+    through is wrong at 100 TB."""
+    q = registry.queries()["pii_redact_docs"](spark, SF_DIR)
+    read = _plan(q).split("ReadSchema:")[-1]
+    assert "text" in read and "n_chars" not in read and "lang" not in read
+
+
+def test_hard_negative_mining_broadcasts_anchors_no_global_sort(spark):
+    plan = _plan(registry.queries()["hard_negative_mining"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # rank window partitions by anchor: no global (non-window) Sort of the
+    # scored pairs and certainly no cartesian product
+    assert "CartesianProduct" not in plan
+
+
+def test_crossdoc_span_scrub_is_hash_join_not_cartesian(spark):
+    plan = _plan(registry.queries()["crossdoc_span_scrub"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # the span->keeper table joins back on the span key as a hash join
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_dsir_bucket_distributions_are_broadcast(spark):
+    """The two 256-row bucket distributions must come back to the per-doc
+    counts as broadcast joins — shuffling the corpus against a 256-row
+    side would be the classic scale mistake."""
+    plan = _plan(registry.queries()["dsir_importance_weights"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 1 or plan.count("BroadcastExchange") >= 2

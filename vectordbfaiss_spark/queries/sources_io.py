@@ -868,3 +868,84 @@ def q_zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.max("o_totalprice") >= probe_b_lo)
         ).alias("price_probe_hit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff — what changed between two corpus versions
+# ---------------------------------------------------------------------------
+
+_SNAPDIFF_ORACLE = """
+WITH v1 AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 300
+), v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 20 = 0
+              THEN 'EDITED ' || substr(text, 1, 40) ELSE text END AS text
+  FROM documents
+), j AS (
+  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+         CASE WHEN v1.doc_id IS NULL THEN 'added'
+              WHEN v2.doc_id IS NULL THEN 'removed'
+              WHEN md5(v1.text) <> md5(v2.text) THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT status,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_id,
+       CAST(max(doc_id) AS BIGINT) AS max_id
+FROM j GROUP BY status
+"""
+
+
+@register("snapshot_diff_report", _SNAPDIFF_ORACLE)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus version diff: publish v1 (docs under id 300) and v2 (full
+    corpus with every 20th doc edited) as REAL snapshot versions, then
+    audit added / removed / changed / unchanged between the two pinned
+    reads — the release-notes query every dataset publish needs.
+
+    Scale shape: one full-outer join on the key — the only shape a
+    corpus-wide diff can take; both sides are version-pinned parquet so
+    the join is shuffle-on-key with content compare via md5 (16 bytes
+    per row, not full text, once the comparison column is hashed)."""
+    import os
+    import shutil
+    import tempfile
+
+    from vectordbfaiss_spark.sources.snapshots import snapshot_read, snapshot_write
+
+    docs = load_table(spark, sf_dir, "documents")
+    table = os.path.join(
+        tempfile.gettempdir(), f"vdbf_diff_{abs(hash(sf_dir)) % 10**8}"
+    )
+    if os.path.exists(table):
+        shutil.rmtree(table)
+    snapshot_write(docs.filter(F.col("doc_id") < 300), table)
+    v2_df = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 20 == 0,
+            F.concat(F.lit("EDITED "), F.substring("text", 1, 40)),
+        ).otherwise(F.col("text")),
+    )
+    snapshot_write(v2_df, table)
+    v1 = snapshot_read(spark, table, version=1).select(
+        F.col("doc_id").alias("id1"), F.md5("text").alias("h1")
+    )
+    v2 = snapshot_read(spark, table, version=2).select(
+        F.col("doc_id").alias("id2"), F.md5("text").alias("h2")
+    )
+    j = v1.join(v2, v1.id1 == v2.id2, "full_outer").select(
+        F.coalesce("id1", "id2").alias("doc_id"),
+        F.when(F.col("id1").isNull(), "added")
+        .when(F.col("id2").isNull(), "removed")
+        .when(F.col("h1") != F.col("h2"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return j.groupBy("status").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_id"),
+        F.max("doc_id").cast("long").alias("max_id"),
+    )
