@@ -98,3 +98,25 @@ def test_span_scrub_keep_first_semantics(spark, tmp_path):
     assert out[2]["n_removed"] == 8
     assert out[2]["clean_text"] == "head tail"
     assert out[3]["n_removed"] == 0
+
+
+def test_selfrep_scrub_removes_second_occurrence_only(spark, tmp_path):
+    rows = [
+        (1, "a b c d x a b c d y", "en", "s", 19),
+        (2, "all words are unique in this one", "en", "s", 32),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path)
+    df.write.parquet(f"{d}/documents.parquet")
+    from vectordbfaiss_spark.registry import queries
+
+    out = {
+        r["doc_id"]: r
+        for r in queries()["selfrep_span_scrub"](spark, d).collect()
+    }
+    assert out[1]["n_removed"] == 4
+    assert out[1]["clean_text"] == "a b c d x y"
+    assert out[2]["n_removed"] == 0
+    assert out[2]["clean_text"] == "all words are unique in this one"

@@ -269,3 +269,87 @@ def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size("words") - F.size(kept)).cast("long").alias("n_removed"),
         F.array_join(kept, " ").alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition SCRUB — the rewrite companion to the Gopher
+# repetition FILTER (text_repetition_filter flags degenerate docs; this
+# removes repeated spans inside a doc, keeping the first occurrence)
+# ---------------------------------------------------------------------------
+
+_SELFREP_SPAN = 4  # words per span
+
+_SELFREP_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(rtrim(text), '\\s+') AS words
+  FROM documents WHERE text IS NOT NULL
+), s AS (
+  SELECT doc_id, words,
+         list_transform(generate_series(0, greatest(len(words) - {_SELFREP_SPAN}, 0)),
+                        i -> array_to_string(list_slice(words, i + 1, i + {_SELFREP_SPAN}), ' ')) AS spans
+  FROM w
+), r AS (
+  SELECT doc_id, words,
+         list_filter(generate_series(0, len(spans) - 1),
+                     i -> coalesce(list_position(list_slice(spans, 1, i), spans[i + 1]), 0) > 0) AS rep_starts
+  FROM s
+), k AS (
+  SELECT doc_id, words,
+         list_filter(words, (x, p) ->
+           len(list_filter(rep_starts,
+                           s -> s <= p - 1 AND p - 1 <= s + {_SELFREP_SPAN - 1})) = 0) AS clean_words
+  FROM r
+)
+SELECT doc_id,
+       CAST(len(words) AS BIGINT) AS n_words,
+       CAST(len(words) - len(clean_words) AS BIGINT) AS n_removed,
+       coalesce(array_to_string(clean_words, ' '), '') AS clean_text
+FROM k
+"""
+
+
+@register("selfrep_span_scrub", _SELFREP_ORACLE)
+def q_selfrep_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition removal, keep-first: any 4-word span that
+    already occurred EARLIER in the same document marks its covered words
+    for removal — degenerate loops ("buy now buy now buy now ...")
+    collapse to one occurrence while legitimate single repetitions of
+    words survive (the span, not the word, must repeat).
+
+    Entirely expression-level: span array, repeat-start detection and the
+    position mask are nested higher-order array functions evaluated
+    per-row — ZERO shuffle, the scrub rides the scan like the PII pass.
+    Per-row cost is O(words^2 / span) worst-case, bounded by document
+    length, not corpus size — the right trade at 100 TB where shuffles,
+    not per-row arithmetic, are the scarce resource."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    from vectordbfaiss_spark.operators.dedup import gram_array
+
+    words = F.split(F.rtrim("text"), r"\s+")
+    spans = gram_array("text", _SELFREP_SPAN)
+    base = docs.select(
+        "doc_id", words.alias("words"), spans.alias("spans")
+    )
+    rep_starts = F.filter(
+        F.sequence(F.lit(0), F.size("spans") - 1),
+        lambda i: F.exists(
+            F.slice(F.col("spans"), 1, i),
+            lambda e: e == F.element_at(F.col("spans"), i + 1),
+        ),
+    )
+    withrep = base.withColumn("rep_starts", rep_starts)
+    kept = F.filter(
+        F.col("words"),
+        lambda x, p: ~F.exists(
+            F.col("rep_starts"),
+            lambda s: (p >= s) & (p <= s + F.lit(_SELFREP_SPAN - 1)),
+        ),
+    )
+    return withrep.select(
+        "doc_id",
+        F.size("words").cast("long").alias("n_words"),
+        (F.size("words") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
