@@ -700,3 +700,64 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dsir_weight"),
         )
     )
+
+
+_PACK_PAYLOAD_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, text,
+         len(string_split_regex(rtrim(text), '\\s+')) AS n_tokens,
+         {_sql_hash_bucket('doc_id')} AS hkey
+  FROM documents
+), ordered AS (
+  SELECT doc_id, text, n_tokens, hkey, hkey % {_PACK_SHARDS} AS shard,
+         sum(n_tokens) OVER (PARTITION BY hkey % {_PACK_SHARDS}
+                             ORDER BY hkey, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks
+), binned AS (
+  SELECT doc_id, text, n_tokens, hkey, shard,
+         (cum - n_tokens) // {_PACK_BUDGET} AS bin_id
+  FROM ordered
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(bin_id AS BIGINT) AS bin_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       md5(string_agg(text, ' <eot> ' ORDER BY hkey, doc_id)) AS packed_md5
+FROM binned GROUP BY shard, bin_id
+"""
+
+
+@register("sequence_packing_payload", _PACK_PAYLOAD_ORACLE)
+def q_sequence_packing_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing step's actual DELIVERABLE: each (shard, bin) emits its
+    documents concatenated in packing order with an end-of-text separator
+    — the training sequence a loader would tokenize. The md5 of the
+    packed payload is what's hash-checked (the full string would bloat
+    the compare; the digest pins every byte and the order).
+
+    Order inside a bin is (hkey, doc_id) — the same hash order that
+    formed the bins, so the payload is reproducible across engines, runs
+    and partitionings. Same shard-parallel shape as
+    ``sequence_packing_bins``: per-shard window, no single-partition
+    stage; the packed-array aggregation is per-bin (budget-bounded), so
+    collect_list holds ~budget tokens, never a corpus slice."""
+    d = load_table(spark, sf_dir, "documents")
+    binned = packing_binned(d)
+    joined = binned.join(d.select("doc_id", "text"), "doc_id").withColumn(
+        "hkey", _hash_bucket(F.col("doc_id"))
+    )
+    packed = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("hkey", "doc_id", "text"))
+            ),
+            lambda s: s["text"],
+        ),
+        " <eot> ",
+    )
+    return joined.groupBy("shard", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.md5(packed).alias("packed_md5"),
+    )
