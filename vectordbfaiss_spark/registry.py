@@ -188,6 +188,7 @@ def _load() -> None:
     from vectordbfaiss_spark.queries import (  # noqa: F401
         curation,
         dedup,
+        embedding_analysis,
         graph_cluster,
         ingest_e2e,
         ranking,
