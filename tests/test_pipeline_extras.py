@@ -1,0 +1,85 @@
+"""Behavioral invariants for the pipeline-extras operators (oracle
+equivalence is covered by the registry sweep)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_ORACLE
+from vectordbfaiss_spark.queries.pipeline_extras import (
+    q_bloom_prefilter_join,
+    q_event_transition_matrix,
+    q_length_bucketed_batches,
+    q_source_temperature_weights,
+)
+
+
+def test_bloom_superset_and_lossless(spark):
+    row = q_bloom_prefilter_join(spark, SF_ORACLE).collect()[0]
+    assert row["no_false_negatives"] is True
+    assert row["n_true"] <= row["n_pass"] <= row["n_probe"]
+    assert row["n_true"] > 0  # build side non-trivial at the fixture
+    assert 0.0 <= row["false_positive_rate"] < 1.0
+
+
+def test_temperature_weights_normalize(spark):
+    rows = q_source_temperature_weights(spark, SF_ORACLE).collect()
+    assert sum(r["weight"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+    # temperature < 1 compresses: rare sources get boost > 1, common < 1
+    by_n = sorted(rows, key=lambda r: r["n_docs"])
+    assert by_n[0]["boost"] >= by_n[-1]["boost"]
+
+
+def test_transition_rows_are_distributions(spark):
+    rows = q_event_transition_matrix(spark, SF_ORACLE).collect()
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for r in rows:
+        assert r["n"] > 0
+        sums[r["prev_type"]] += r["p"]
+    for total in sums.values():
+        assert total == pytest.approx(1.0, abs=1e-4)
+
+
+def test_length_batches_bounded_and_complete(spark):
+    from vectordbfaiss_spark.session import load_table
+
+    out = q_length_bucketed_batches(spark, SF_ORACLE)
+    rows = out.collect()
+    n_docs_total = load_table(spark, SF_ORACLE, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs_total
+    for r in rows:
+        assert 1 <= r["n_docs"] <= 16
+        assert r["padding_tokens"] >= 0
+        assert r["max_tokens"] * r["n_docs"] - r["total_tokens"] == r["padding_tokens"]
+
+
+def test_bloom_probe_prefilter_is_shuffle_free(spark):
+    """The Bloom pass predicate must reach the probe scan as a plain
+    filter — no exchange, no join on the pruning path."""
+    from vectordbfaiss_spark.queries.pipeline_extras import (
+        _BLOOM_BAL,
+        _BLOOM_K,
+        _bloom_pos,
+    )
+    from vectordbfaiss_spark.session import load_table
+
+    cust = load_table(spark, SF_ORACLE, "customer")
+    orders = load_table(spark, SF_ORACLE, "orders")
+    build = cust.filter(F.col("c_acctbal") > _BLOOM_BAL).select("c_custkey")
+    bits_df = build.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("c_custkey"), j) for j in range(_BLOOM_K)])
+        ).alias("p")
+    ).distinct()
+    bits = [r["p"] for r in bits_df.collect()]
+    passed = orders.select("o_orderkey", "o_custkey").filter(
+        _bloom_pos(F.col("o_custkey"), 0).isin(bits)
+        & _bloom_pos(F.col("o_custkey"), 1).isin(bits)
+        & _bloom_pos(F.col("o_custkey"), 2).isin(bits)
+    )
+    plan = passed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan

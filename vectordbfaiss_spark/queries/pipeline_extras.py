@@ -1,0 +1,304 @@
+"""Pipeline extras: a runtime Bloom-filter join prune, temperature-scaled
+mixture weights, an event-transition (Markov) matrix, and length-bucketed
+inference batching.
+
+Each is a pattern a 100 TB training-data pipeline leans on daily: runtime
+filters cut shuffle input before it exists, temperature weights set the
+source mixture an LLM pre-training run samples from (the multinomial
+alpha-sampling of multilingual/multi-source corpora), transition matrices
+summarize behavioral streams, and length-bucketed batches bound padding
+waste for batched inference/scoring jobs.
+
+Hash arithmetic reuses the engine-shared md5-bucket rule from
+``queries/curation.py`` so every DuckDB oracle replays it digit for digit.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from vectordbfaiss_spark.queries.curation import _hash_bucket, _sql_hash_bucket
+from vectordbfaiss_spark.registry import register
+from vectordbfaiss_spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# Bloom-filter runtime join prune
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 8192  # bits
+_BLOOM_K = 3  # hash functions
+_BLOOM_BAL = 9000  # build-side selectivity: high-balance customers
+
+
+def _bloom_pos(key_col, j: int):
+    return _hash_bucket(F.concat(key_col.cast("string"), F.lit(f":{j}"))) % _BLOOM_M
+
+
+def _sql_bloom_pos(expr: str, j: int) -> str:
+    salted = "(CAST({e} AS VARCHAR) || ':{j}')".format(e=expr, j=j)
+    return f"({_sql_hash_bucket(salted)} % {_BLOOM_M})"
+
+
+_BLOOM_ORACLE = f"""
+WITH build AS (
+  SELECT c_custkey FROM customer WHERE c_acctbal > {_BLOOM_BAL}
+), bits AS (
+  SELECT DISTINCT {_sql_bloom_pos('c_custkey', 0)} AS p FROM build
+  UNION SELECT DISTINCT {_sql_bloom_pos('c_custkey', 1)} FROM build
+  UNION SELECT DISTINCT {_sql_bloom_pos('c_custkey', 2)} FROM build
+), probe AS (
+  SELECT o_orderkey, o_custkey FROM orders
+), passed AS (
+  SELECT o_orderkey FROM probe
+  WHERE {_sql_bloom_pos('o_custkey', 0)} IN (SELECT p FROM bits)
+    AND {_sql_bloom_pos('o_custkey', 1)} IN (SELECT p FROM bits)
+    AND {_sql_bloom_pos('o_custkey', 2)} IN (SELECT p FROM bits)
+), trueM AS (
+  SELECT o_orderkey FROM probe WHERE o_custkey IN (SELECT c_custkey FROM build)
+)
+SELECT (SELECT count(*) FROM probe) AS n_probe,
+       (SELECT count(*) FROM passed) AS n_pass,
+       (SELECT count(*) FROM trueM) AS n_true,
+       (SELECT count(*) FROM trueM
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM passed)) = 0
+         AS no_false_negatives,
+       round(((SELECT count(*) FROM passed) - (SELECT count(*) FROM trueM))
+             / greatest((SELECT count(*) FROM probe)
+                        - (SELECT count(*) FROM trueM), 1), 4)
+         AS false_positive_rate
+"""
+
+
+@register("bloom_prefilter_join", _BLOOM_ORACLE)
+def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning, made explicit at the query level.
+
+    The build side (high-balance customers) sets k=3 bit positions in an
+    m=8192-bit filter; the probe side (orders) is pruned by k codegen'd
+    ``isin`` (InSet) predicates BEFORE any join — the same shape Spark's
+    internal runtime bloom filter / DPP injects, here as an operator whose
+    false-positive behavior is measured in-query.
+
+    Why this scales: the collected state is the set of DISTINCT bit
+    positions, bounded by m regardless of build-side row count — that is
+    the Bloom property, and it is why the driver collect here is
+    contract-small at 100 TB where collecting the keys themselves would
+    not be. The probe-side predicate is a zero-shuffle whole-stage-codegen
+    filter; the exact semi-join that follows only verifies (Bloom passes
+    are a superset of true matches — ``no_false_negatives`` proves the
+    lossless direction, ``false_positive_rate`` measures the waste).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    build = cust.filter(F.col("c_acctbal") > _BLOOM_BAL).select("c_custkey")
+    bits_df = build.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("c_custkey"), j) for j in range(_BLOOM_K)])
+        ).alias("p")
+    ).distinct()
+    bits = [r["p"] for r in bits_df.collect()]  # bounded by m bits
+
+    probe = orders.select("o_orderkey", "o_custkey")
+    pass_pred = reduce(
+        lambda a, b: a & b,
+        [_bloom_pos(F.col("o_custkey"), j).isin(bits) for j in range(_BLOOM_K)],
+    )
+    passed = probe.filter(pass_pred).select("o_orderkey")
+    passed = passed.localCheckpoint(eager=True)  # feeds count + FN check
+    true_m = probe.join(
+        F.broadcast(build), probe.o_custkey == build.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    true_m = true_m.localCheckpoint(eager=True)
+
+    missed = true_m.join(passed, "o_orderkey", "left_anti")
+    return (
+        probe.agg(F.count("*").alias("n_probe"))
+        .crossJoin(passed.agg(F.count("*").alias("n_pass")))
+        .crossJoin(true_m.agg(F.count("*").alias("n_true")))
+        .crossJoin(missed.agg((F.count("*") == 0).alias("no_false_negatives")))
+        .select(
+            "n_probe",
+            "n_pass",
+            "n_true",
+            "no_false_negatives",
+            F.round(
+                (F.col("n_pass") - F.col("n_true"))
+                / F.greatest(F.col("n_probe") - F.col("n_true"), F.lit(1)),
+                4,
+            ).alias("false_positive_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixture weights
+# ---------------------------------------------------------------------------
+
+_TEMP_ALPHA = 0.3
+
+_TEMP_ORACLE = f"""
+WITH c AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+), p AS (
+  SELECT source, n_docs, pow(n_docs, {_TEMP_ALPHA}) AS na,
+         sum(pow(n_docs, {_TEMP_ALPHA})) OVER () AS denom,
+         sum(n_docs) OVER () AS total
+  FROM c
+)
+SELECT source, n_docs,
+       round(na / denom, 6) AS weight,
+       round((na / denom) * total / n_docs, 4) AS boost
+FROM p
+"""
+
+
+@register("source_temperature_weights", _TEMP_ORACLE)
+def q_source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.3) multinomial sampling weights per
+    source — the standard rebalancing for multi-source/multilingual
+    pre-training mixtures: w_i = n_i^a / sum_j n_j^a (the corpus-size
+    term cancels, so the weights need only the per-source counts).
+    ``boost`` is each source's up/down-sampling factor vs natural
+    frequency. Plan: one two-phase count agg collapses the corpus to
+    |sources| rows; everything after (power, normalize) runs on that
+    tiny aggregate via one broadcast of the 1-row denominator — the
+    post-agg window in the oracle is |sources|-sized on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    c = c.withColumn("na", F.pow(F.col("n_docs").cast("double"), F.lit(_TEMP_ALPHA)))
+    denom = c.agg(
+        F.sum("na").alias("denom"), F.sum("n_docs").alias("total")
+    )
+    return c.crossJoin(F.broadcast(denom)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("na") / F.col("denom"), 6).alias("weight"),
+        F.round(
+            (F.col("na") / F.col("denom")) * F.col("total") / F.col("n_docs"), 4
+        ).alias("boost"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-transition (Markov) matrix
+# ---------------------------------------------------------------------------
+
+_TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type AS next_type FROM seq WHERE prev_type IS NOT NULL
+), agg AS (
+  SELECT prev_type, next_type, count(*) AS n FROM pairs GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       round(n / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM agg
+"""
+
+
+@register("event_transition_matrix", _TRANSITION_ORACLE)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    lag each user's (ts, event_id)-ordered stream by one, count
+    (prev, next) pairs, normalize rows to probabilities. The sequencing
+    window partitions by user_id (bounded per-user state, scale-safe);
+    the probability window runs on the |types|^2-row aggregate, not the
+    stream."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    agg = pairs.groupBy("prev_type", "next_type").agg(F.count("*").alias("n"))
+    wp = W.partitionBy("prev_type")
+    return agg.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed inference batches
+# ---------------------------------------------------------------------------
+
+_LB_WIDTH = 64  # tokens per length bucket (integer arithmetic, no log2 float)
+_LB_SHARDS = 8
+_LB_BATCH = 16  # docs per batch
+
+_LB_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(string_split_regex(rtrim(text), '\\s+')) AS n_tokens,
+         {_sql_hash_bucket('doc_id')} % {_LB_SHARDS} AS shard
+  FROM documents
+), b AS (
+  SELECT doc_id, n_tokens, shard, n_tokens // {_LB_WIDTH} AS bucket,
+         row_number() OVER (PARTITION BY n_tokens // {_LB_WIDTH}, shard
+                            ORDER BY n_tokens DESC, doc_id) AS rn
+  FROM toks
+), batched AS (
+  SELECT bucket, shard, (rn - 1) // {_LB_BATCH} AS batch_id, n_tokens
+  FROM b
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(shard AS BIGINT) AS shard,
+       CAST(batch_id AS BIGINT) AS batch_id,
+       count(*) AS n_docs,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS padding_tokens
+FROM batched GROUP BY 1, 2, 3
+"""
+
+
+@register("length_bucketed_batches", _LB_ORACLE)
+def q_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assignment for padded batch inference: bucket
+    documents by token count (64-token integer buckets — no float log2,
+    so bucketing is engine-exact), order within bucket by length desc,
+    cut batches of 16, and report each batch's padding waste
+    (batch_size * max_len - sum_len — the tokens a padded forward pass
+    burns for nothing).
+
+    Like sequence packing, the ordering window is sharded: partitionBy
+    (bucket, shard) with a hash-derived shard, so no single partition
+    ever holds a whole bucket at corpus scale; batches are keyed
+    (bucket, shard, batch_id) and stay deterministic because shard and
+    intra-shard order are both content-derived.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.rtrim("text"), r"\s+")).alias("n_tokens"),
+        (_hash_bucket(F.col("doc_id")) % _LB_SHARDS).alias("shard"),
+    ).withColumn("bucket", F.floor(F.col("n_tokens") / _LB_WIDTH))
+    w = W.partitionBy("bucket", "shard").orderBy(F.desc("n_tokens"), "doc_id")
+    batched = toks.withColumn(
+        "batch_id", F.floor((F.row_number().over(w) - 1) / _LB_BATCH)
+    )
+    return batched.groupBy(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("shard").cast("long").alias("shard"),
+        F.col("batch_id").cast("long").alias("batch_id"),
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (F.count("*") * F.max("n_tokens") - F.sum("n_tokens"))
+        .cast("long")
+        .alias("padding_tokens"),
+    )

@@ -191,6 +191,7 @@ def _load() -> None:
         embedding_analysis,
         graph_cluster,
         ingest_e2e,
+        pipeline_extras,
         ranking,
         reference_parity,
         relational,
