@@ -92,3 +92,55 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("id", F.col("label").alias("component"))
+
+
+def pagerank_int(
+    sym_edges: DataFrame,
+    iterations: int = 3,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank in INTEGER arithmetic: (id, pagerank_scaled).
+
+    Ranks are maintained as BIGINTs scaled by ``scale`` and every update is
+    integer-exact — ``contrib = rank div degree``, ``rank' = (100 -
+    damping_pct)% of scale + (damping_pct * sum(contribs)) div 100`` — so
+    the result is bit-identical across engines and partitionings (floating
+    -point PageRank is NOT: cross-partition sum order perturbs ulps, which
+    a hash-compare oracle cannot tolerate; rounding per iteration would
+    compound). Precision loss vs float is bounded by iterations/scale —
+    irrelevant at scale=1e12.
+
+    ``sym_edges`` must be symmetric (both directions present), the same
+    contract as :func:`connected_components` — every node then has
+    out-degree >= 1, so there is no dangling mass to redistribute.
+
+    Scale shape: degree is computed once; each round is one shuffle join
+    (ranks x edges on the source key) plus one hash aggregate on dst —
+    the Pregel step as DataFrames — checkpointed per round like the
+    components loop so lineage stays flat.
+    """
+    sym = sym_edges.select("src", "dst").localCheckpoint(eager=True)
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    base = F.lit((100 - damping_pct) * scale // 100).cast("long")
+    ranks = deg.select(
+        F.col("src").alias("id"), F.lit(scale).cast("long").alias("r")
+    )
+    for _ in range(iterations):
+        contribs = (
+            sym.join(ranks, sym.src == ranks.id)
+            .join(deg, "src")
+            .select(F.col("dst"), F.expr("r div deg").alias("contrib"))
+        )
+        ranks = (
+            contribs.groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("contrib").alias("s"))
+            .select(
+                "id",
+                (base + F.expr(f"({damping_pct} * s) div 100"))
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("id", F.col("r").alias("pagerank_scaled"))

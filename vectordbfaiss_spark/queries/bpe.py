@@ -1,0 +1,73 @@
+"""BPE tokenizer-training registry query: the merge table of a 5-round
+training run over the documents corpus, hash-checked end-to-end against a
+DuckDB oracle that replays every round (pair counts -> argmax pair ->
+left-to-right fold rewrite) with the identical string fold.
+
+Operator + scale rationale: ``operators/bpe.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from vectordbfaiss_spark.registry import register
+from vectordbfaiss_spark.session import load_table
+
+_N_MERGES = 5
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    ctes = [
+        r"""w0 AS (
+  SELECT word, freq, rtrim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seq
+  FROM (
+    SELECT word, count(*) AS freq
+    FROM (SELECT unnest(string_split_regex(rtrim(text), '\s+')) AS word
+          FROM documents)
+    GROUP BY word
+  )
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"w{i - 1}"
+        ctes.append(
+            f"""p{i} AS (
+  SELECT s.syms[t.i] AS pa, s.syms[t.i + 1] AS pb, CAST(sum(s.freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, string_split(seq, ' ') AS syms FROM {prev}) s,
+       unnest(generate_series(1, len(s.syms) - 1)) AS t(i)
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"b{i} AS (SELECT pa, pb, cnt FROM p{i} ORDER BY cnt DESC, pa, pb LIMIT 1)"
+        )
+        if i < n_merges:
+            ctes.append(
+                f"""w{i} AS (
+  SELECT s.word, s.freq,
+         list_reduce(s.syms, (acc, x) -> CASE
+             WHEN x = b.pb AND (acc = b.pa OR ends_with(acc, ' ' || b.pa))
+             THEN substr(acc, 1, length(acc) - length(b.pa)) || b.pa || b.pb
+             ELSE acc || ' ' || x END) AS seq
+  FROM (SELECT word, freq, string_split(seq, ' ') AS syms FROM {prev}) s, b{i} b
+)"""
+            )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS iteration, pa, pb, cnt FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+@register("bpe_train_merges", _bpe_oracle(_N_MERGES))
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 5 BPE merge rules on the documents corpus and emit the merge
+    table (iteration, pa, pb, cnt). Training state is the word-frequency
+    dictionary (corpus collapses to |vocab| rows in one agg); every round
+    is a hash aggregate + k=1 TakeOrdered + broadcast + codegen'd fold —
+    no driver-side data movement, so the identical plan chain runs at
+    cluster scale. The oracle replays all 5 rounds with the same fold."""
+    from vectordbfaiss_spark.operators.bpe import train_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_bpe_merges(docs, _N_MERGES)

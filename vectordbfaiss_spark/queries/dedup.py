@@ -334,3 +334,43 @@ def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("degree").cast("long").alias("degree"),
         F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_triangles"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join via prefix filtering (PPJoin-style)
+# ---------------------------------------------------------------------------
+
+_SETSIM_ORACLE = f"""
+WITH {_shingle_cte(3)}, sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE 5 * c >= 3 * (sa.sz + sb.sz - c)
+"""
+
+
+@register("setsim_prefix_join", _SETSIM_ORACLE)
+def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-shingle-set Jaccard >= 0.6 pairs via prefix filtering
+    (PPJoin) — the lossless scale path the approximate ladder (MinHash
+    banding, SimHash blocks) is benchmarked against, and the exact
+    complement of `dedup_ngram_jaccard`'s df-capped candidate join. The
+    oracle runs the brute all-pairs shingle join; the Spark plan joins
+    only frequency-ascending PREFIXES (|s| - ceil(0.6|s|) + 1 shingles,
+    integer arithmetic) plus cross-multiplied length pruning, then
+    verifies intersections restricted to candidates — identical output,
+    candidate-bounded work (see operators/setsim.py)."""
+    from vectordbfaiss_spark.operators.dedup import exploded_shingles
+    from vectordbfaiss_spark.operators.setsim import prefix_filter_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = exploded_shingles(docs, "doc_id", "text", n=3)
+    return prefix_filter_jaccard_pairs(shingles, "doc_id", "shingle")

@@ -192,3 +192,80 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact PageRank over the near-dup candidate graph
+# ---------------------------------------------------------------------------
+
+def _pagerank_oracle(iterations: int = 3) -> str:
+    head = r"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+keys AS (
+  SELECT doc_id,
+         array_to_string(list_slice(w, 1, 5), ' ') AS k1,
+         array_to_string(list_slice(list_reverse(w), 1, 5), ' ') AS k2
+  FROM d
+),
+b1 AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY k1) AS hub FROM keys
+),
+b2 AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY k2) AS hub FROM keys
+),
+edges AS (
+  SELECT hub AS src, doc_id AS dst FROM b1 WHERE doc_id <> hub
+  UNION
+  SELECT hub AS src, doc_id AS dst FROM b2 WHERE doc_id <> hub
+),
+sym AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+r0 AS (SELECT src AS id, CAST(1000000000000 AS BIGINT) AS r FROM deg)"""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(
+            f""",
+r{i} AS (
+  SELECT s.dst AS id,
+         CAST(150000000000 + (85 * sum(r.r // d.deg)) // 100 AS BIGINT) AS r
+  FROM sym s JOIN r{i - 1} r ON s.src = r.id JOIN deg d ON d.src = s.src
+  GROUP BY s.dst
+)"""
+        )
+    return head + "".join(steps) + f"\nSELECT id, r AS pagerank_scaled FROM r{iterations}"
+
+
+@register("pagerank_neardup_graph", _pagerank_oracle(3))
+def q_pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 rounds, damping 0.85) over the symmetric near-dup
+    candidate graph — which documents sit at the CENTER of duplicate
+    neighborhoods (hub boilerplate) vs the periphery. Ranks are scaled
+    BIGINTs and every update is integer division, so the iterative
+    result is bit-identical across engines and partition orders — the
+    trick that makes an ITERATIVE numeric algorithm hash-checkable
+    (float PageRank never is: partial-sum order perturbs ulps). Each
+    round is one source-key join + one dst hash-agg, checkpointed like
+    the components loop (operators/graph.py::pagerank_int); at web-graph
+    in-degrees pick scale so max_in_degree * scale * 0.85 < 2^63."""
+    from vectordbfaiss_spark.operators.graph import pagerank_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    keyed = docs.select(
+        "doc_id",
+        F.array_join(F.slice(words, 1, 5), " ").alias("k1"),
+        F.array_join(F.slice(F.reverse(words), 1, 5), " ").alias("k2"),
+    )
+    edges = (
+        _star_edges(keyed.select("doc_id", "k1"), "k1")
+        .union(_star_edges(keyed.select("doc_id", "k2"), "k2"))
+        .distinct()
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return pagerank_int(sym, iterations=3)

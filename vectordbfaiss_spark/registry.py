@@ -186,6 +186,7 @@ def _load() -> None:
     _loaded = True
     # import for side effect: each module registers its queries
     from vectordbfaiss_spark.queries import (  # noqa: F401
+        bpe,
         curation,
         dedup,
         embedding_analysis,
