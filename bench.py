@@ -29,7 +29,12 @@ def main() -> None:
     from vectordbfaiss_spark import registry
     from vectordbfaiss_spark.session import get_spark
 
-    spark = get_spark(app_name="vectordbfaiss-bench")
+    # explicit driver heap: local-mode default is 1 GiB shared by all task
+    # threads + localCheckpoint storage — marginal at 32 threads/sf0.1
+    spark = get_spark(
+        app_name="vectordbfaiss-bench",
+        driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    )
 
     # warmup: JVM + parquet reader + Python/Arrow worker spin-up, not billed
     # (workers are long-lived per session; billing their one-time fork to

@@ -57,8 +57,8 @@ def test_length_batches_bounded_and_complete(spark):
 
 
 def test_bloom_probe_prefilter_is_shuffle_free(spark):
-    """The Bloom pass predicate must reach the probe scan as a plain
-    filter — no exchange, no join on the pruning path."""
+    """The Bloom pruning path must never shuffle the probe: broadcast hash
+    semi-joins only — no hash-partitioned exchange, no sort-merge join."""
     from vectordbfaiss_spark.queries.pipeline_extras import (
         _BLOOM_BAL,
         _BLOOM_K,
@@ -74,12 +74,18 @@ def test_bloom_probe_prefilter_is_shuffle_free(spark):
             F.array(*[_bloom_pos(F.col("c_custkey"), j) for j in range(_BLOOM_K)])
         ).alias("p")
     ).distinct()
-    bits = [r["p"] for r in bits_df.collect()]
-    passed = orders.select("o_orderkey", "o_custkey").filter(
-        _bloom_pos(F.col("o_custkey"), 0).isin(bits)
-        & _bloom_pos(F.col("o_custkey"), 1).isin(bits)
-        & _bloom_pos(F.col("o_custkey"), 2).isin(bits)
-    )
+    # materialized like the query: the distinct agg's exchange is on the
+    # m-bounded BUILD side; the assertion below is about the PROBE path
+    bits_df = bits_df.localCheckpoint(eager=True)
+    passed = orders.select("o_orderkey", "o_custkey")
+    for j in range(_BLOOM_K):
+        bj = bits_df.withColumnRenamed("p", f"p{j}")
+        passed = passed.join(
+            F.broadcast(bj),
+            _bloom_pos(F.col("o_custkey"), j) == bj[f"p{j}"],
+            "left_semi",
+        )
     plan = passed._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
-    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == _BLOOM_K

@@ -761,3 +761,77 @@ def q_sequence_packing_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.md5(packed).alias("packed_md5"),
     )
+
+
+_BIGRAM_NLL_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(rtrim(text), '\s+') AS syms FROM documents
+), bi AS (
+  SELECT w.doc_id, w.syms[t.i] AS wa, w.syms[t.i + 1] AS wb
+  FROM w, unnest(generate_series(1, len(w.syms) - 1)) AS t(i)
+), cab AS (
+  SELECT wa, wb, count(*) AS c_ab FROM bi GROUP BY 1, 2
+), ca AS (
+  SELECT wa, count(*) AS c_a FROM bi GROUP BY 1
+), v AS (
+  SELECT count(DISTINCT tok) AS vocab
+  FROM (SELECT unnest(string_split_regex(rtrim(text), '\s+')) AS tok FROM documents)
+)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(-ln((cab.c_ab + 1.0) / (ca.c_a + v.vocab))), 6) AS avg_nll
+FROM bi b
+JOIN cab ON b.wa = cab.wa AND b.wb = cab.wb
+JOIN ca ON b.wa = ca.wa
+CROSS JOIN v
+GROUP BY b.doc_id
+"""
+
+
+@register("bigram_logprob_quality", _BIGRAM_NLL_ORACLE)
+def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring, bigram edition: per-document mean
+    NLL of p(w_i | w_{i-1}) under the corpus's own add-1-smoothed bigram
+    model — one modeling step past `unigram_logprob_quality` toward the
+    perplexity filters production pipelines run, with the same shape: the
+    model is two aggregates (bigram counts + context counts, Zipf-bounded
+    vocab-sized tables), joined back over one bigram explode; no
+    broadcast hint on the model tables — bigram vocab can outgrow a
+    broadcast at corpus scale, AQE decides from observed sizes."""
+    from vectordbfaiss_spark.session import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    syms_df = fan_out(docs).select(
+        "doc_id", F.split(F.rtrim("text"), r"\s+").alias("syms")
+    )
+    bi = syms_df.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(syms) < 2 THEN array() ELSE "
+                "transform(sequence(1, size(syms) - 1),"
+                " i -> named_struct('wa', element_at(syms, i),"
+                "                   'wb', element_at(syms, i + 1))) END"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.wa").alias("wa"), F.col("p.wb").alias("wb"))
+    cab = bi.groupBy("wa", "wb").agg(F.count("*").alias("c_ab"))
+    ca = bi.groupBy("wa").agg(F.count("*").alias("c_a"))
+    v = (
+        fan_out(docs)
+        .select(F.explode(F.split(F.rtrim("text"), r"\s+")).alias("tok"))
+        .agg(F.countDistinct("tok").alias("vocab"))
+    )
+    return (
+        bi.join(cab, ["wa", "wb"])
+        .join(ca, "wa")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                F.avg(-F.log((F.col("c_ab") + 1.0) / (F.col("c_a") + F.col("vocab")))),
+                6,
+            ).alias("avg_nll"),
+        )
+    )
