@@ -232,26 +232,19 @@ def minhash_signatures(
     return digests.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_pairs(
+def minhash_band_candidates(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     num_hashes: int = 16,
     rows_per_band: int = 2,
-    threshold: float = 0.4,
 ) -> DataFrame:
-    """MinHash + LSH banding near-dup detection, Jaccard-verified.
-
-    Candidates: docs agreeing on ALL rows of >= 1 band (band key =
-    concat of that band's min-hashes). Verification: exact Jaccard on the
-    candidate pairs only. With b bands of r rows the match probability is
-    1-(1-J^r)^b — the classic S-curve; b=8, r=2 targets J >= ~0.4.
-
-    At 100 TB the band-bucket self-join is the only pair generator — the
-    full O(n^2) never materializes; skewed buckets (boilerplate shingles)
-    are split by AQE skew-join handling.
-    """
+    """Distinct banded candidate pairs (id_a < id_b) — the LSH pair
+    generator shared by :func:`minhash_lsh_pairs` and the recall audit
+    (queries/dedup.py::minhash_quality_audit). Materialized eagerly: the
+    candidate set always feeds multiple consumers, and it is tiny by
+    design (banding exists to keep it so)."""
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
     n_bands = num_hashes // rows_per_band
     bands = F.array(
@@ -277,11 +270,32 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # The candidate set feeds BOTH the doc-restriction and the final join;
-    # left lazy, the whole minhash+banding subtree would execute twice.
-    # Candidates are tiny by design (that is the point of banding), so
-    # materialize them once and break lineage.
-    candidates = candidates.localCheckpoint(eager=True)
+    return candidates.localCheckpoint(eager=True)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup detection, Jaccard-verified.
+
+    Candidates: docs agreeing on ALL rows of >= 1 band (band key =
+    concat of that band's min-hashes). Verification: exact Jaccard on the
+    candidate pairs only. With b bands of r rows the match probability is
+    1-(1-J^r)^b — the classic S-curve; b=8, r=2 targets J >= ~0.4.
+
+    At 100 TB the band-bucket self-join is the only pair generator — the
+    full O(n^2) never materializes; skewed buckets (boilerplate shingles)
+    are split by AQE skew-join handling.
+    """
+    candidates = minhash_band_candidates(
+        df, id_col, text_col, n, num_hashes, rows_per_band
+    )
     # Verify with exact Jaccard computed ONLY over candidate documents —
     # the expensive shingle self-join runs on the (tiny) candidate doc set,
     # not the corpus. Final pair set is identical to full verification.

@@ -53,16 +53,17 @@ def prefix_filter_jaccard_pairs(
     # lazy the token explode would run five times — materialize once and
     # cut lineage (repo convention: localCheckpoint, freed on GC)
     toks = toks.localCheckpoint(eager=True)
-    sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("tok_df"))
 
-    ranked = (
-        toks.join(dfreq, "tok")
-        .withColumn(
-            "rn",
-            F.row_number().over(W.partitionBy(id_col).orderBy("tok_df", "tok")),
-        )
-        .join(sizes, id_col)
+    # ONE document-partitioned window pass computes both the frequency-
+    # ascending rank and the set size (count over the same partition spec
+    # — no second shuffle, no sizes join on this path)
+    wdoc = W.partitionBy(id_col)
+    ranked = toks.join(dfreq, "tok").select(
+        F.col(id_col),
+        F.col("tok"),
+        F.row_number().over(wdoc.orderBy("tok_df", "tok")).alias("rn"),
+        F.count("*").over(wdoc).alias("sz"),
     )
     # prefix length: sz - ceil(t*sz) + 1, integer-exact for t = 3/5
     prefix = ranked.filter(

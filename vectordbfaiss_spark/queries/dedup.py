@@ -107,9 +107,11 @@ _NUM_HASHES = 16
 _ROWS_PER_BAND = 2
 
 
-def _minhash_oracle() -> str:
-    # mirror operators.dedup.minhash_signatures: 4 x 32-bit hex chunks per
-    # md5('g:' || shingle) digest
+def _minhash_cand_ctes() -> str:
+    """sig/bands/cand CTE chain mirroring operators.dedup
+    minhash_signatures + minhash_band_candidates: 4 x 32-bit hex chunks
+    per md5('g:' || shingle) digest, banded keys, distinct pairs.
+    Appended after :func:`_jaccard_ctes` (needs the ``sh`` CTE)."""
     mh = ",\n       ".join(
         f"min(substr(md5('{s // 4}:' || shingle), {(s % 4) * 8 + 1}, 8)) AS mh{s}"
         for s in range(_NUM_HASHES)
@@ -120,9 +122,7 @@ def _minhash_oracle() -> str:
         f"mh{b * _ROWS_PER_BAND + 1} AS key FROM sig"
         for b in range(n_bands)
     )
-    return (
-        _jaccard_ctes(3)
-        + f""",
+    return f""",
 sig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id),
 bands AS (
   {band_selects}
@@ -131,7 +131,14 @@ cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a
   JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-)
+)"""
+
+
+def _minhash_oracle() -> str:
+    return (
+        _jaccard_ctes(3)
+        + _minhash_cand_ctes()
+        + """
 SELECT c.id_a, c.id_b, j.jaccard
 FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
 WHERE j.jaccard >= 0.4
@@ -374,3 +381,94 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     shingles = exploded_shingles(docs, "doc_id", "text", n=3)
     return prefix_filter_jaccard_pairs(shingles, "doc_id", "shingle")
+
+
+# ---------------------------------------------------------------------------
+# MinHash recall audit against the exact set-similarity join
+# ---------------------------------------------------------------------------
+
+_AUDIT_ORACLE = (
+    _jaccard_ctes(3)
+    + _minhash_cand_ctes()
+    + """,
+det AS (
+  SELECT c.id_a, c.id_b FROM cand c
+  JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+  WHERE j.jaccard >= 0.6
+),
+ex AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.6)
+SELECT (SELECT count(*) FROM ex) AS n_exact,
+       (SELECT count(*) FROM det) AS n_detected,
+       (SELECT count(*) FROM cand) AS n_candidates,
+       round((SELECT count(*) FROM det) * 1.0
+             / greatest((SELECT count(*) FROM ex), 1), 4) AS recall,
+       round((SELECT count(*) FROM det) * 1.0
+             / greatest((SELECT count(*) FROM cand), 1), 4) AS candidate_precision,
+       (SELECT count(*) FROM det d
+        LEFT JOIN ex e ON d.id_a = e.id_a AND d.id_b = e.id_b
+        WHERE e.id_a IS NULL) = 0 AS detected_subset_of_exact
+"""
+)
+
+
+@register("minhash_quality_audit", _AUDIT_ORACLE)
+def q_minhash_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured quality of the approximate dedup path against exact truth
+    — the audit a pipeline runs before trusting MinHash at scale. Ground
+    truth is the prefix-filter exact join (J >= 0.6, operators/setsim.py);
+    the approximate side is the same banded generator production uses
+    (b=8, r=2 — S-curve detection prob 1-(1-J^2)^8, ~0.97 at J=0.6).
+    Reports recall (exact pairs the bands caught), candidate precision
+    (verification work wasted on sub-threshold candidates), and the
+    subset witness (Jaccard-verified detections can never be outside the
+    exact set). Both sides are corpus-scale-safe: bands bound one, the
+    frequency-ascending prefix bounds the other — nothing here is the
+    all-pairs join (that survives only inside the DuckDB oracle)."""
+    from vectordbfaiss_spark.operators.dedup import (
+        exploded_shingles,
+        minhash_band_candidates,
+        ngram_jaccard_pairs,
+    )
+    from vectordbfaiss_spark.operators.setsim import prefix_filter_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_band_candidates(
+        docs, "doc_id", "text", n=3, num_hashes=_NUM_HASHES, rows_per_band=_ROWS_PER_BAND
+    )
+    cand_docs = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc_id")
+    ).distinct()
+    ver = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.6, restrict_ids=cand_docs
+    )
+    det = cand.join(ver.select("id_a", "id_b"), ["id_a", "id_b"]).localCheckpoint(
+        eager=True
+    )
+    exact = (
+        prefix_filter_jaccard_pairs(
+            exploded_shingles(docs, "doc_id", "text", n=3), "doc_id", "shingle"
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    outside = det.join(exact, ["id_a", "id_b"], "left_anti")
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(det.agg(F.count("*").alias("n_detected")))
+        .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(
+            outside.agg((F.count("*") == 0).alias("detected_subset_of_exact"))
+        )
+        .select(
+            "n_exact",
+            "n_detected",
+            "n_candidates",
+            F.round(
+                F.col("n_detected") / F.greatest(F.col("n_exact"), F.lit(1)), 4
+            ).alias("recall"),
+            F.round(
+                F.col("n_detected") / F.greatest(F.col("n_candidates"), F.lit(1)), 4
+            ).alias("candidate_precision"),
+            "detected_subset_of_exact",
+        )
+    )
