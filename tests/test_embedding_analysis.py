@@ -83,3 +83,23 @@ def test_pca_matches_numpy(spark):
         assert stats[d]["mean_val"] == pytest.approx(round(float(mu[d]), 6), abs=2e-6)
         assert stats[d]["std_val"] == pytest.approx(round(float(sd[d]), 6), abs=2e-6)
     assert evals[0] > 0  # spectrum sane
+
+
+def test_incremental_knn_shapes(spark):
+    from vectordbfaiss_spark.queries.embedding_analysis import (
+        q_knn_graph_incremental,
+    )
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    n_new = emb.filter(F.col("vec_id") % 10 == 0).count()
+    n_store = emb.count() - n_new
+    out = q_knn_graph_incremental(spark, SF_ORACLE)
+    rows = out.collect()
+    new_out = [r for r in rows if r["direction"] == "new_out"]
+    store_in = [r for r in rows if r["direction"] == "store_in"]
+    assert len(new_out) == n_new * 3
+    assert len(store_in) == n_store * 3
+    new_ids = {r["src"] for r in new_out}
+    # reverse candidates point INTO the new batch only
+    assert all(r["dst"] in new_ids for r in store_in)
+    assert all(r["src"] not in new_ids for r in store_in)

@@ -51,7 +51,13 @@ v AS (
 _KNN_ORACLE = f"WITH {_KNN_CTES} SELECT src, dst, score, rnk FROM knn"
 
 
-def knn_edges(emb: DataFrame, k: int = _KNN_K, tile_rows: int = 100_000) -> DataFrame:
+def knn_edges(
+    emb: DataFrame,
+    k: int = _KNN_K,
+    tile_rows: int = 100_000,
+    index: DataFrame | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
     """Exact directed k-NN edges (src, dst, score, rnk) over every vector.
 
     The query side of the top-k kernel is broadcast-small BY CONTRACT
@@ -64,6 +70,8 @@ def knn_edges(emb: DataFrame, k: int = _KNN_K, tile_rows: int = 100_000) -> Data
     kNN is quadratic by definition, which is why this form is the recall
     oracle and :func:`q_knn_graph_blocked` is the production path.
     """
+    if index is None:
+        index = emb  # self-kNN
     n = emb.count()
     tiles = max(1, math.ceil(n / tile_rows))
     out = None
@@ -71,7 +79,7 @@ def knn_edges(emb: DataFrame, k: int = _KNN_K, tile_rows: int = 100_000) -> Data
         q = emb.filter(F.col("vec_id") % tiles == F.lit(t)).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
         )
-        part = score_topk_vectorized(q, emb, k=k, exclude_self=True)
+        part = score_topk_vectorized(q, index, k=k, exclude_self=exclude_self)
         out = part if out is None else out.unionByName(part)
     return out.select(
         F.col("query_id").alias("src"),
@@ -386,4 +394,74 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "component_id long, ordered_ok boolean, orthonormal_ok boolean, "
         "captured_ok boolean, variance_matches boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental kNN-graph maintenance (new batch vs existing store)
+# ---------------------------------------------------------------------------
+
+_INC_KNN_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), nw AS (SELECT * FROM v WHERE vec_id % 10 = 0),
+st AS (SELECT * FROM v WHERE vec_id % 10 <> 0),
+s1 AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         round(list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(b.e, b.e))), 6) AS score
+  FROM nw a CROSS JOIN v b WHERE a.vec_id <> b.vec_id
+), r1 AS (
+  SELECT src, dst, score,
+         row_number() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rnk
+  FROM s1
+), s2 AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         round(list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(b.e, b.e))), 6) AS score
+  FROM st a CROSS JOIN nw b
+), r2 AS (
+  SELECT src, dst, score,
+         row_number() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rnk
+  FROM s2
+)
+SELECT 'new_out' AS direction, src, dst, score, rnk FROM r1 WHERE rnk <= {_KNN_K}
+UNION ALL
+SELECT 'store_in' AS direction, src, dst, score, rnk FROM r2 WHERE rnk <= {_KNN_K}
+"""
+
+
+@register("knn_graph_incremental", _INC_KNN_ORACLE)
+def q_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental kNN-graph maintenance — the |new|-proportional ingest
+    shape (the kNN twin of `dedup_minhash_incremental`): a NEW vector
+    batch (vec_id % 10 == 0) arrives against an existing STORE, and the
+    graph delta is two edge sets, neither requiring a store self-join:
+
+    - `new_out`: each new node's top-3 over store + batch (its adjacency)
+      — queries are the SMALL new batch, so the broadcast-query kernel
+      applies directly, one pass over the store.
+    - `store_in`: each store node's top-3 AMONG THE NEW VECTORS — the
+      candidate reverse edges a merge step compares against the node's
+      current 3rd-best score downstream. Roles flip: the store side is
+      tiled through the kernel against the SMALL new index, so total work
+      is O(|store| * |new|), never O(|store|^2).
+
+    Scoring is symmetric, but per-STORE-node ranking over new vectors is
+    not recoverable from the new side's top-k (a store node's nearest new
+    vector need not rank the store node in ITS top-k) — hence the second
+    pass instead of a transpose."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    new = emb.filter(F.col("vec_id") % 10 == 0)
+    store = emb.filter(F.col("vec_id") % 10 != 0)
+    new_out = knn_edges(new, k=_KNN_K, index=emb, exclude_self=True).withColumn(
+        "direction", F.lit("new_out")
+    )
+    store_in = knn_edges(
+        store, k=_KNN_K, index=new, exclude_self=False
+    ).withColumn("direction", F.lit("store_in"))
+    return new_out.unionByName(store_in).select(
+        "direction", "src", "dst", "score", "rnk"
     )
