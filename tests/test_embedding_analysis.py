@@ -103,3 +103,40 @@ def test_incremental_knn_shapes(spark):
     # reverse candidates point INTO the new batch only
     assert all(r["dst"] in new_ids for r in store_in)
     assert all(r["src"] not in new_ids for r in store_in)
+
+
+def test_kcenter_greedy_properties(spark):
+    """Farthest-point trajectory: distances non-increasing, and each pick's
+    recorded distance equals the true min cosine distance to all previous
+    centers (numpy recomputation)."""
+    import numpy as np
+
+    from vectordbfaiss_spark.queries.embedding_analysis import (
+        q_kcenter_coreset_select,
+    )
+
+    rows = (
+        q_kcenter_coreset_select(spark, SF_ORACLE)
+        .orderBy("selection_order")
+        .collect()
+    )
+    assert len(rows) == 8
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == 8
+    dists = [r["dist_to_coreset"] for r in rows]
+    assert all(dists[i] >= dists[i + 1] for i in range(1, 7))
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+
+    def cosd(a, b):
+        return round(
+            1 - float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b)), 6
+        )
+
+    for i in range(1, 8):
+        true_d = min(cosd(vecs[ids[i]], vecs[ids[j]]) for j in range(i))
+        assert abs(dists[i] - true_d) < 2e-6

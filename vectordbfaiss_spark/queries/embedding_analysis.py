@@ -465,3 +465,125 @@ def q_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new_out.unionByName(store_in).select(
         "direction", "src", "dst", "score", "rnk"
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset selection (farthest-point sampling)
+# ---------------------------------------------------------------------------
+
+_KCENTER_K = 8
+
+_COS_DIST_SQL = (
+    "round(1 - list_dot_product(a.e, c.e)"
+    " / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))), 6)"
+)
+
+
+def _kcenter_oracle(k: int) -> str:
+    ctes = [
+        """v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+c1 AS (SELECT min(vec_id) AS id FROM v),
+m1 AS (
+  SELECT a.vec_id, {d} AS md
+  FROM v a JOIN v c ON c.vec_id = (SELECT id FROM c1)
+)""".format(d=_COS_DIST_SQL)
+    ]
+    for i in range(2, k + 1):
+        ctes.append(
+            f"""c{i} AS (
+  SELECT vec_id AS id, md FROM m{i - 1}
+  WHERE vec_id NOT IN ({", ".join(f"(SELECT id FROM c{j})" for j in range(1, i))})
+  ORDER BY md DESC, vec_id LIMIT 1
+)"""
+        )
+        if i < k:
+            ctes.append(
+                """m{i} AS (
+  SELECT a.vec_id, least(m.md, {d}) AS md
+  FROM v a JOIN m{p} m ON m.vec_id = a.vec_id
+  JOIN v c ON c.vec_id = (SELECT id FROM c{i})
+)""".format(i=i, p=i - 1, d=_COS_DIST_SQL)
+            )
+    unions = "\nUNION ALL\n".join(
+        [
+            "SELECT CAST(1 AS BIGINT) AS selection_order, id AS vec_id,"
+            " CAST(2.0 AS DOUBLE) AS dist_to_coreset FROM c1"
+        ]
+        + [
+            f"SELECT CAST({i} AS BIGINT), id, md FROM c{i}"
+            for i in range(2, k + 1)
+        ]
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+@register("kcenter_coreset_select", _kcenter_oracle(_KCENTER_K))
+def q_kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-point sampling, the
+    Gonzalez 2-approximation) over cosine distance — the geometric
+    data-selection pass that picks maximally-diverse exemplars for
+    curriculum seeds or annotation budgets.
+
+    Fully declarative rounds, no driver-side data movement (the BPE-loop
+    pattern): each round broadcasts the 1-row argmax center back onto the
+    corpus, updates every node's running distance-to-coreset with ONE
+    zero-shuffle map (`least(md, dist(x, new_center))` — the classic
+    incremental form; never recomputes k distances), and takes the next
+    center with a k=1 TakeOrdered. Per-round corpus state is
+    checkpointed so round plans stay flat; distances are rounded BEFORE
+    the argmax and tie-broken on vec_id, making the greedy trajectory
+    engine-exact (oracle = k unrolled CTE rounds of the same rule).
+    Seed = min vec_id; its dist_to_coreset is the 2.0 sentinel (max
+    cosine distance)."""
+    from vectordbfaiss_spark.functions.vector import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nodes = emb.select("vec_id", "embedding")
+    seed = nodes.orderBy("vec_id").limit(1)
+    state = (
+        nodes.crossJoin(
+            F.broadcast(seed.select(F.col("embedding").alias("c_vec")))
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(1 - cosine_similarity("embedding", "c_vec"), 6).alias("md"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    chosen = seed.select(
+        F.lit(1).cast("long").alias("selection_order"),
+        "vec_id",
+        F.lit(2.0).alias("dist_to_coreset"),
+    )
+    picked = seed.select("vec_id")  # accumulating exclusion set (k rows max)
+    for i in range(2, _KCENTER_K + 1):
+        best = (
+            state.join(F.broadcast(picked), "vec_id", "left_anti")
+            .orderBy(F.desc("md"), "vec_id")
+            .limit(1)
+        )
+        chosen = chosen.unionByName(
+            best.select(
+                F.lit(i).cast("long").alias("selection_order"),
+                "vec_id",
+                F.col("md").alias("dist_to_coreset"),
+            )
+        )
+        picked = picked.unionByName(best.select("vec_id"))
+        if i < _KCENTER_K:
+            state = (
+                state.crossJoin(
+                    F.broadcast(best.select(F.col("embedding").alias("c_vec")))
+                )
+                .select(
+                    "vec_id",
+                    "embedding",
+                    F.least(
+                        F.col("md"),
+                        F.round(1 - cosine_similarity("embedding", "c_vec"), 6),
+                    ).alias("md"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    return chosen
