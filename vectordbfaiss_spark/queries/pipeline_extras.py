@@ -364,3 +364,115 @@ def q_event_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_view_click"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Top 3-step event paths
+# ---------------------------------------------------------------------------
+
+_TOP_PATHS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type, 1) OVER w AS p1,
+         lag(event_type, 2) OVER w AS p2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), paths AS (
+  SELECT p2 || '>' || p1 || '>' || event_type AS path
+  FROM seq WHERE p2 IS NOT NULL
+), agg AS (
+  SELECT path, count(*) AS n FROM paths GROUP BY path
+), r AS (
+  SELECT path, n, row_number() OVER (ORDER BY n DESC, path) AS rnk FROM agg
+)
+SELECT path, n, rnk FROM r WHERE rnk <= 10
+"""
+
+
+@register("top_event_paths", _TOP_PATHS_ORACLE)
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step event paths (the classic clickstream path
+    report): two lags over the per-user ordered stream make each sliding
+    window of 3 a path string, one hash agg counts them, and the top-10
+    is a rank window that Spark plans as TakeOrderedAndProject below the
+    window (k rows to one partition, never a global sort). Sequencing
+    state bounded per user; path-space bounded by |types|^3."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type"),
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).filter(F.col("p2").isNotNull())
+    agg = seq.select(
+        F.concat_ws(">", "p2", "p1", "event_type").alias("path")
+    ).groupBy("path").agg(F.count("*").alias("n"))
+    ranked = agg.withColumn(
+        "rnk", F.row_number().over(W.orderBy(F.desc("n"), "path"))
+    )
+    return ranked.filter(F.col("rnk") <= 10).select(
+        "path", "n", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAD-based robust outlier flags
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT quantile_cont(value, 0.5) AS m FROM events
+), mad AS (
+  SELECT m, quantile_cont(abs(value - m), 0.5) AS d FROM events CROSS JOIN med
+  GROUP BY m
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN abs(e.value - mad.m) > 3 * mad.d THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       round(mad.m, 6) AS median_value,
+       round(mad.d, 6) AS mad
+FROM events e CROSS JOIN mad
+GROUP BY e.event_type, mad.m, mad.d
+"""
+
+
+@register("mad_outlier_events", _MAD_ORACLE)
+def q_mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    z-score's heavy-tail-safe sibling (`zscore_outlier_events` is the
+    parametric one): global median, then median of absolute deviations,
+    then a 3-MAD flag per event, rolled up per type. Two exact-percentile
+    scalar passes broadcast back over the scan + one hash agg; at 100 TB
+    both medians swap to approx_percentile with no other change
+    (the same swap documented on winsorize_event_values)."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.agg(F.percentile("value", F.lit(0.5)).alias("m"))
+    mad = (
+        e.crossJoin(F.broadcast(med))
+        .agg(
+            F.first("m").alias("m"),
+            F.percentile(F.abs(F.col("value") - F.col("m")), F.lit(0.5)).alias("d"),
+        )
+    )
+    return (
+        e.crossJoin(F.broadcast(mad))
+        .groupBy("event_type", "m", "d")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("m")) > 3 * F.col("d"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_outliers",
+            F.round(F.col("m"), 6).alias("median_value"),
+            F.round(F.col("d"), 6).alias("mad"),
+        )
+    )
