@@ -140,3 +140,19 @@ def test_kcenter_greedy_properties(spark):
     for i in range(1, 8):
         true_d = min(cosd(vecs[ids[i]], vecs[ids[j]]) for j in range(i))
         assert abs(dists[i] - true_d) < 2e-6
+
+
+def test_label_propagation_invariants(spark):
+    from vectordbfaiss_spark.queries.embedding_analysis import (
+        q_label_propagation_knn,
+    )
+
+    rows = q_label_propagation_knn(spark, SF_ORACLE).collect()
+    assert len(rows) == 500
+    seeds = [r for r in rows if r["is_seed"]]
+    assert all(r["propagated_label"] == r["true_label"] for r in seeds)
+    assert all(r["is_correct"] for r in seeds)
+    # with k=3 symmetric edges over 20% seeds, propagation reaches
+    # (nearly) everyone within 3 rounds on the fixture
+    labeled = [r for r in rows if r["propagated_label"] is not None]
+    assert len(labeled) >= 0.95 * len(rows)

@@ -587,3 +587,115 @@ def q_kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint(eager=True)
             )
     return chosen
+
+
+# ---------------------------------------------------------------------------
+# Semi-supervised label propagation over the kNN graph
+# ---------------------------------------------------------------------------
+
+_LP_ROUNDS = 3
+
+
+def _label_prop_oracle(rounds: int) -> str:
+    head = f"""
+WITH {_KNN_CTES},
+sym AS (
+  SELECT src, dst FROM knn
+  UNION SELECT dst, src FROM knn
+),
+truth AS (SELECT vec_id, label FROM embeddings),
+l0 AS (
+  SELECT vec_id, CASE WHEN vec_id % 5 = 0 THEN label END AS lab
+  FROM truth
+)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(
+            f""",
+c{i} AS (
+  SELECT s.src AS vec_id, l.lab, count(*) AS cnt
+  FROM sym s JOIN l{i - 1} l ON l.vec_id = s.dst
+  WHERE l.lab IS NOT NULL
+  GROUP BY 1, 2
+), m{i} AS (
+  SELECT vec_id, lab FROM (
+    SELECT vec_id, lab,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cnt DESC, lab) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+), l{i} AS (
+  SELECT p.vec_id,
+         CASE WHEN p.vec_id % 5 = 0 THEN p.lab
+              ELSE coalesce(m.lab, p.lab) END AS lab
+  FROM l{i - 1} p LEFT JOIN m{i} m ON m.vec_id = p.vec_id
+)"""
+        )
+    tail = f"""
+SELECT t.vec_id,
+       l.lab AS propagated_label,
+       t.label AS true_label,
+       t.vec_id % 5 = 0 AS is_seed,
+       l.lab IS NOT NULL AND l.lab = t.label AS is_correct
+FROM truth t JOIN l{rounds} l ON l.vec_id = t.vec_id
+"""
+    return head + "".join(steps) + tail
+
+
+@register("label_propagation_knn", _label_prop_oracle(_LP_ROUNDS))
+def q_label_propagation_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation: 20% of vectors keep their true
+    label as SEEDS; three rounds of majority vote over symmetric kNN
+    neighbors spread labels to the rest (the classic graph SSL baseline a
+    pipeline runs to cheaply extend a small labeled set). Deterministic
+    and hash-checkable because every update is an integer vote with a
+    (count DESC, label ASC) tie-break, seeds are frozen, and non-seeds
+    keep their previous label when no labeled neighbor exists. Each round
+    is one edge-key join + one hash agg + a per-node argmax (max of a
+    (cnt, -label) struct — no window); the oracle unrolls the same three
+    rounds. (The fixture's labels are synthetic-random, so non-seed
+    accuracy sits at chance — the hash check proves the MECHANISM; on a
+    real corpus the same plan carries the signal.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn_edges(emb).select("src", "dst")
+    edges = edges.localCheckpoint(eager=True)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    sym = sym.localCheckpoint(eager=True)
+
+    truth = emb.select("vec_id", "label")
+    lab = truth.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 5 == 0, F.col("label")).alias("lab"),
+    ).localCheckpoint(eager=True)
+    for _ in range(_LP_ROUNDS):
+        neigh = sym.join(
+            lab.withColumnRenamed("vec_id", "dst"), "dst"
+        ).filter(F.col("lab").isNotNull())
+        counts = neigh.groupBy(F.col("src").alias("vec_id"), "lab").agg(
+            F.count("*").alias("cnt")
+        )
+        # deterministic argmax without a window: max of (cnt, -label)
+        best = counts.groupBy("vec_id").agg(
+            F.max(F.struct(F.col("cnt"), (-F.col("lab")).alias("neg"))).alias("m")
+        ).select("vec_id", (-F.col("m.neg")).alias("vote"))
+        lab = (
+            lab.join(best, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.when(F.col("vec_id") % 5 == 0, F.col("lab"))
+                .otherwise(F.coalesce(F.col("vote"), F.col("lab")))
+                .alias("lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return truth.join(lab, "vec_id").select(
+        "vec_id",
+        F.col("lab").alias("propagated_label"),
+        F.col("label").alias("true_label"),
+        (F.col("vec_id") % 5 == 0).alias("is_seed"),
+        (F.col("lab").isNotNull() & (F.col("lab") == F.col("label"))).alias(
+            "is_correct"
+        ),
+    )
