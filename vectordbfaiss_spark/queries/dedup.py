@@ -451,7 +451,10 @@ def q_minhash_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)
     )
-    outside = det.join(exact, ["id_a", "id_b"], "left_anti")
+    # explicit hint: both sides are checkpointed RDDs (no stats), so AQE
+    # can't see they're dedup-pair-sized and falls back to a sort-merge
+    # anti join; the exact pair set is near-dup-bounded — broadcast it
+    outside = det.join(F.broadcast(exact), ["id_a", "id_b"], "left_anti")
     return (
         exact.agg(F.count("*").alias("n_exact"))
         .crossJoin(det.agg(F.count("*").alias("n_detected")))
