@@ -51,15 +51,15 @@ def test_trainer_matches_python_reference(spark):
         (r["pa"], r["pb"], r["cnt"])
         for r in train_bpe_merges(docs, 5).orderBy("iteration").collect()
     ]
+    import re
+
+    # mirror the engine exactly: split(rtrim(text), '\s+') keeps a LEADING
+    # empty token for leading-whitespace text and yields [''] for
+    # all-whitespace text (str.split() would drop both)
     wf: dict[str, int] = {}
     for r in docs.select("text").collect():
-        for w in r["text"].rstrip().split():
+        for w in re.split(r"\s+", r["text"].rstrip()):
             wf[w] = wf.get(w, 0) + 1
-    # documents with all-whitespace text contribute an empty token in the
-    # engine (split of '' -> ['']) — mirror that
-    for r in docs.select("text").collect():
-        if not r["text"].rstrip():
-            wf[""] = wf.get("", 0) + 1
     assert spark_merges == _python_bpe(wf, 5)
 
 

@@ -54,12 +54,10 @@ def connected_components(
     )
     for _ in range(max_iter):
         # neighbor minimum: min label over adjacent nodes. The pre-update
-        # label rides along as old_label so convergence is ONE filter-count
-        # on the round's (lazily checkpointed) result — the count action
-        # both materializes the checkpoint and answers "changed?", instead
-        # of a separate eager-checkpoint job plus an old-vs-new join
-        # (measured ~2x fewer jobs per round; round count dominates
-        # wall-time on sparse graphs since every job is overhead-bound).
+        # label rides along as old_label so convergence is ONE cheap
+        # filter-count over the round's eagerly checkpointed result —
+        # no old-vs-new join (round count dominates wall-time on sparse
+        # graphs since every job is overhead-bound).
         neigh = (
             sym.join(labels, sym.v == labels.id)
             .groupBy("u")

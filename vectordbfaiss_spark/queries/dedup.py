@@ -391,12 +391,16 @@ _AUDIT_ORACLE = (
     _jaccard_ctes(3)
     + _minhash_cand_ctes()
     + """,
+ex AS (
+  SELECT id_a, id_b FROM inter
+  JOIN cnt ca ON ca.doc_id = id_a
+  JOIN cnt cb ON cb.doc_id = id_b
+  WHERE 5 * n_inter >= 3 * (ca.n_sh + cb.n_sh - n_inter)
+),
 det AS (
   SELECT c.id_a, c.id_b FROM cand c
-  JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
-  WHERE j.jaccard >= 0.6
-),
-ex AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.6)
+  JOIN ex e ON c.id_a = e.id_a AND c.id_b = e.id_b
+)
 SELECT (SELECT count(*) FROM ex) AS n_exact,
        (SELECT count(*) FROM det) AS n_detected,
        (SELECT count(*) FROM cand) AS n_candidates,
@@ -420,29 +424,24 @@ def q_minhash_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (b=8, r=2 — S-curve detection prob 1-(1-J^2)^8, ~0.97 at J=0.6).
     Reports recall (exact pairs the bands caught), candidate precision
     (verification work wasted on sub-threshold candidates), and the
-    subset witness (Jaccard-verified detections can never be outside the
-    exact set). Both sides are corpus-scale-safe: bands bound one, the
-    frequency-ascending prefix bounds the other — nothing here is the
-    all-pairs join (that survives only inside the DuckDB oracle)."""
+    subset witness (detections are by construction banded AND exact —
+    the boolean certifies the join logic). Detection = candidate-pair ∩
+    exact-pair with the SAME integer threshold test on both sides — a
+    rounded-Jaccard filter here would disagree with the exact join's
+    cross-multiplied test for pairs whose true J rounds up to 0.600000
+    (reachable once a pair's shingle union exceeds ~400k). Both sides
+    are corpus-scale-safe: bands bound one, the frequency-ascending
+    prefix bounds the other — nothing here is the all-pairs join (that
+    survives only inside the DuckDB oracle)."""
     from vectordbfaiss_spark.operators.dedup import (
         exploded_shingles,
         minhash_band_candidates,
-        ngram_jaccard_pairs,
     )
     from vectordbfaiss_spark.operators.setsim import prefix_filter_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     cand = minhash_band_candidates(
         docs, "doc_id", "text", n=3, num_hashes=_NUM_HASHES, rows_per_band=_ROWS_PER_BAND
-    )
-    cand_docs = cand.select(
-        F.explode(F.array("id_a", "id_b")).alias("doc_id")
-    ).distinct()
-    ver = ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.6, restrict_ids=cand_docs
-    )
-    det = cand.join(ver.select("id_a", "id_b"), ["id_a", "id_b"]).localCheckpoint(
-        eager=True
     )
     exact = (
         prefix_filter_jaccard_pairs(
@@ -451,9 +450,12 @@ def q_minhash_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)
     )
-    # explicit hint: both sides are checkpointed RDDs (no stats), so AQE
-    # can't see they're dedup-pair-sized and falls back to a sort-merge
-    # anti join; the exact pair set is near-dup-bounded — broadcast it
+    # explicit hints: both sides are checkpointed RDDs (no stats), so AQE
+    # can't see they're dedup-pair-sized and would sort-merge-join them;
+    # the exact pair set is near-dup-bounded — broadcast it
+    det = cand.join(
+        F.broadcast(exact), ["id_a", "id_b"], "left_semi"
+    ).localCheckpoint(eager=True)
     outside = det.join(F.broadcast(exact), ["id_a", "id_b"], "left_anti")
     return (
         exact.agg(F.count("*").alias("n_exact"))

@@ -76,7 +76,14 @@ def knn_edges(
     tiles = max(1, math.ceil(n / tile_rows))
     out = None
     for t in range(tiles):
-        q = emb.filter(F.col("vec_id") % tiles == F.lit(t)).select(
+        # hash-based tile key: a plain `vec_id % tiles` is unbounded when
+        # ids are non-uniform modulo the tile count (e.g. an ingest batch
+        # of all-multiples-of-10 ids with tiles=10 puts EVERYTHING in one
+        # tile, defeating the driver-memory bound), and a negative id's
+        # negative remainder would silently drop the vector
+        q = emb.filter(
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(tiles)) == F.lit(t)
+        ).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
         )
         part = score_topk_vectorized(q, index, k=k, exclude_self=exclude_self)
@@ -234,7 +241,9 @@ def q_knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ok")
         )
     )
-    exact = knn_edges(emb).select("src", "dst")
+    # two consumers (recall semi-join + denominator count): materialize so
+    # the O(N^2) tiled exact-kNN subtree runs once, not per consumer
+    exact = knn_edges(emb).select("src", "dst").localCheckpoint(eager=True)
     hits = blocked.select("src", "dst").join(exact, ["src", "dst"], "left_semi")
     return (
         emb.agg(F.count("*").alias("n_nodes"))
@@ -539,7 +548,7 @@ def q_kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     nodes = emb.select("vec_id", "embedding")
-    seed = nodes.orderBy("vec_id").limit(1)
+    seed = nodes.orderBy("vec_id").limit(1).localCheckpoint(eager=True)
     state = (
         nodes.crossJoin(
             F.broadcast(seed.select(F.col("embedding").alias("c_vec")))
@@ -558,10 +567,15 @@ def q_kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     picked = seed.select("vec_id")  # accumulating exclusion set (k rows max)
     for i in range(2, _KCENTER_K + 1):
+        # materialize the 1-row argmax: it feeds three consumers (chosen,
+        # picked, next state) and the final action re-reads every round's
+        # pick — left lazy, each reference re-runs this round's full
+        # corpus TakeOrdered, turning O(k) scans into O(k^2)
         best = (
             state.join(F.broadcast(picked), "vec_id", "left_anti")
             .orderBy(F.desc("md"), "vec_id")
             .limit(1)
+            .localCheckpoint(eager=True)
         )
         chosen = chosen.unionByName(
             best.select(

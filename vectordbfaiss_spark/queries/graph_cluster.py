@@ -69,22 +69,29 @@ def _star_edges(keyed: DataFrame, key_col: str) -> DataFrame:
     )
 
 
-def _dedup_components(docs: DataFrame) -> DataFrame:
-    """Shared blocking + closure: (first-5 / last-5 word) keys -> star
-    edges per bucket -> connected components. Returns (id, component)
-    with component = min id of the group."""
+def _neardup_edges(docs: DataFrame) -> DataFrame:
+    """Shared blocking-key candidate edges: (first-5 / last-5 word) keys
+    -> star edges per bucket, distinct. ONE definition — the components
+    queries, survivors, and PageRank all derive their graph from it, so a
+    change to the blocking scheme can never desynchronize them from each
+    other or their oracles."""
     words = F.split(F.trim(F.col("text")), r"\s+")
     keyed = docs.select(
         "doc_id",
         F.array_join(F.slice(words, 1, 5), " ").alias("k1"),
         F.array_join(F.slice(F.reverse(words), 1, 5), " ").alias("k2"),
     )
-    edges = (
+    return (
         _star_edges(keyed.select("doc_id", "k1"), "k1")
         .union(_star_edges(keyed.select("doc_id", "k2"), "k2"))
         .distinct()
     )
-    return connected_components(edges)
+
+
+def _dedup_components(docs: DataFrame) -> DataFrame:
+    """Shared blocking + closure: star edges -> connected components.
+    Returns (id, component) with component = min id of the group."""
+    return connected_components(_neardup_edges(docs))
 
 
 @register("dedup_cluster_components", _CC_ORACLE)
@@ -254,17 +261,7 @@ def q_pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordbfaiss_spark.operators.graph import pagerank_int
 
     docs = load_table(spark, sf_dir, "documents")
-    words = F.split(F.trim(F.col("text")), r"\s+")
-    keyed = docs.select(
-        "doc_id",
-        F.array_join(F.slice(words, 1, 5), " ").alias("k1"),
-        F.array_join(F.slice(F.reverse(words), 1, 5), " ").alias("k2"),
-    )
-    edges = (
-        _star_edges(keyed.select("doc_id", "k1"), "k1")
-        .union(_star_edges(keyed.select("doc_id", "k2"), "k2"))
-        .distinct()
-    )
+    edges = _neardup_edges(docs)
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()

@@ -421,17 +421,17 @@ def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MAD_ORACLE = """
 WITH med AS (
-  SELECT quantile_cont(value, 0.5) AS m FROM events
+  SELECT round(quantile_cont(value, 0.5), 6) AS m FROM events
 ), mad AS (
-  SELECT m, quantile_cont(abs(value - m), 0.5) AS d FROM events CROSS JOIN med
-  GROUP BY m
+  SELECT m, round(quantile_cont(abs(value - m), 0.5), 6) AS d
+  FROM events CROSS JOIN med GROUP BY m
 )
 SELECT e.event_type,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CASE WHEN abs(e.value - mad.m) > 3 * mad.d THEN 1 ELSE 0 END)
             AS BIGINT) AS n_outliers,
-       round(mad.m, 6) AS median_value,
-       round(mad.d, 6) AS mad
+       mad.m AS median_value,
+       mad.d AS mad
 FROM events e CROSS JOIN mad
 GROUP BY e.event_type, mad.m, mad.d
 """
@@ -442,17 +442,22 @@ def q_mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier detection via median absolute deviation — the
     z-score's heavy-tail-safe sibling (`zscore_outlier_events` is the
     parametric one): global median, then median of absolute deviations,
-    then a 3-MAD flag per event, rolled up per type. Two exact-percentile
-    scalar passes broadcast back over the scan + one hash agg; at 100 TB
-    both medians swap to approx_percentile with no other change
-    (the same swap documented on winsorize_event_values)."""
+    then a 3-MAD flag per event, rolled up per type. Median and MAD are
+    ROUNDED (6dp) before the flag comparison on both engines — the
+    registry determinism convention (percentile interpolation can differ
+    by an ulp between engines, which would flip boundary flags). Two
+    exact-percentile scalar passes broadcast back over the scan + one
+    hash agg; at 100 TB both medians swap to approx_percentile with no
+    other change (the same swap documented on winsorize_event_values)."""
     e = load_table(spark, sf_dir, "events")
-    med = e.agg(F.percentile("value", F.lit(0.5)).alias("m"))
+    med = e.agg(F.round(F.percentile("value", F.lit(0.5)), 6).alias("m"))
     mad = (
         e.crossJoin(F.broadcast(med))
         .agg(
             F.first("m").alias("m"),
-            F.percentile(F.abs(F.col("value") - F.col("m")), F.lit(0.5)).alias("d"),
+            F.round(
+                F.percentile(F.abs(F.col("value") - F.col("m")), F.lit(0.5)), 6
+            ).alias("d"),
         )
     )
     return (
@@ -472,7 +477,7 @@ def q_mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n",
             "n_outliers",
-            F.round(F.col("m"), 6).alias("median_value"),
-            F.round(F.col("d"), 6).alias("mad"),
+            F.col("m").alias("median_value"),
+            F.col("d").alias("mad"),
         )
     )
