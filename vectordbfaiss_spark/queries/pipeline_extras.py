@@ -74,10 +74,10 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime Bloom-filter join pruning, made explicit at the query level.
 
     The build side (high-balance customers) sets k=3 bit positions in an
-    m=8192-bit filter; the probe side (orders) is pruned by k codegen'd
-    ``isin`` (InSet) predicates BEFORE any join — the same shape Spark's
-    internal runtime bloom filter / DPP injects, here as an operator whose
-    false-positive behavior is measured in-query.
+    m=8192-bit filter; the probe side (orders) is pruned by k broadcast
+    semi-joins on those positions BEFORE the real join — the same shape
+    Spark's internal runtime bloom filter / DPP injects, here as an
+    operator whose false-positive behavior is measured in-query.
 
     Why this scales: the filter state is the set of DISTINCT bit
     positions, bounded by m regardless of build-side row count — that is
@@ -480,4 +480,77 @@ def q_mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m").alias("median_value"),
             F.col("d").alias("mad"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group OLS trend (regression as aggregation)
+# ---------------------------------------------------------------------------
+
+_OLS_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+  FROM events GROUP BY 1, 2
+), xy AS (
+  SELECT event_type,
+         CAST(day - min(day) OVER (PARTITION BY event_type) AS BIGINT) AS x,
+         y
+  FROM daily
+), s AS (
+  SELECT event_type, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM xy GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       round((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) * sx)
+             / n, 6) AS intercept,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) * 1.0
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s
+"""
+
+
+@register("daily_trend_ols", _OLS_ORACLE)
+def q_daily_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend over daily event volumes — closed-form OLS
+    as PURE AGGREGATION: the slope/intercept/r^2 of y~x need only the
+    five sufficient statistics (Sx, Sy, Sxy, Sxx, Syy), all integer-exact
+    sums here (x = day offset from the type's first day, y = daily
+    count), so the fit is one two-phase hash agg over the tiny daily
+    rollup and the result is engine-bit-deterministic before the final
+    rounding. The distributed-regression pattern: sufficient statistics
+    aggregate; only the O(1) solve happens per group."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("y"))
+    w = W.partitionBy("event_type")
+    xy = daily.select(
+        "event_type",
+        F.datediff(F.col("day"), F.min("day").over(w)).cast("long").alias("x"),
+        "y",
+    )
+    s = xy.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)
+    return s.select(
+        "event_type",
+        n.cast("long").alias("n_days"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy)) * 1.0
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
     )
