@@ -89,3 +89,28 @@ def test_bloom_probe_prefilter_is_shuffle_free(spark):
     assert "Exchange hashpartitioning" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") == _BLOOM_K
+
+
+def test_new_family_plans_stay_broadcast(spark):
+    """Regression pin for the round-3 plan audit: none of these queries
+    may silently fall back to a sort-merge join or cartesian product
+    (the MinHash audit did exactly that before its checkpointed sides
+    got explicit broadcast hints — see SCALE.md)."""
+    from vectordbfaiss_spark import registry
+
+    q = registry.queries()
+    for name in [
+        "bloom_prefilter_join",
+        "event_transition_matrix",
+        "length_bucketed_batches",
+        "top_event_paths",
+        "daily_trend_ols",
+        "embedding_standardize",
+        "setsim_prefix_join",
+        "minhash_quality_audit",
+        "source_temperature_weights",
+    ]:
+        df = q[name](spark, SF_ORACLE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, name
+        assert "Cartesian" not in plan, name
