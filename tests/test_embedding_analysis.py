@@ -156,3 +156,14 @@ def test_label_propagation_invariants(spark):
     # (nearly) everyone within 3 rounds on the fixture
     labeled = [r for r in rows if r["propagated_label"] is not None]
     assert len(labeled) >= 0.95 * len(rows)
+
+
+def test_ridge_probe_learns_separable_target(spark):
+    from vectordbfaiss_spark.queries.embedding_analysis import q_ridge_probe_auc
+
+    row = q_ridge_probe_auc(spark, SF_ORACLE).collect()[0]
+    assert row["n"] == 500
+    assert row["n_pos"] + row["n_neg"] == 500
+    assert 0 < row["n_pos"] < 500  # both classes present at the fixture
+    assert row["auc_ok"] is True  # linearly-representable target -> AUC ~ 1
+    assert row["weights_finite"] is True

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from vectordbfaiss_spark.operators.graph import connected_components
 from vectordbfaiss_spark.operators.topk import score_topk_vectorized
@@ -712,4 +712,122 @@ def q_label_propagation_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lab").isNotNull() & (F.col("lab") == F.col("label"))).alias(
             "is_correct"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear probe via closed-form ridge + scale-safe exact AUC
+# ---------------------------------------------------------------------------
+
+_PROBE_ORACLE = """
+SELECT count(*) AS n,
+       CAST(sum(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pos,
+       CAST(sum(CASE WHEN embedding[1] > 0 THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_neg,
+       TRUE AS auc_ok, TRUE AS weights_finite
+FROM embeddings
+"""
+
+
+@register("ridge_probe_auc", _PROBE_ORACLE)
+def q_ridge_probe_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a linear probe on the corpus in ONE aggregation pass and
+    evaluate it with an exact, scale-safe AUC — the quality-classifier
+    workflow (probe embeddings for an attribute, rank the corpus by the
+    probe) with every stage distributed:
+
+    - TRAIN: closed-form ridge w = (X'X + lambda*I)^-1 X'y from per-
+      partition sufficient statistics (count, X'y, X'X — the same
+      mapInPandas Gram partials as the PCA query). Only O(partitions*d^2)
+      numbers reach the driver; the d x d solve is O(1).
+    - TARGET: y = 1 iff the first embedding coordinate is positive — a
+      label the probe can represent exactly, so AUC near 1.0 proves the
+      fit machinery end to end (emitted as the ``auc_ok`` bound boolean;
+      the label rule is SQL, so the class counts are hash-checked
+      exactly).
+    - EVALUATE: AUC from the Mann-Whitney U statistic computed over
+      SCORE-DISTINCT bins, not rows: scores round to 6dp (the registry
+      convention), per-distinct-score (cnt_pos, cnt_neg) is a hash agg,
+      and the cumulative-negatives window runs over the BOUNDED bin table
+      (<= 4M possible 6dp values in [-norm, norm]) — never a
+      single-partition pass over the corpus. Ties contribute 1/2, the
+      textbook U treatment.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    lam = 1e-3
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = len(emb.select("embedding").first()[0])
+
+    part_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("xty", T.ArrayType(T.DoubleType())),
+            T.StructField("xtx", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def partials(it):
+        n = 0
+        xty = np.zeros(d)
+        xtx = np.zeros((d, d))
+        for pdf in it:
+            V = np.array(list(pdf["embedding"]), dtype=np.float64)
+            if len(V):
+                y = (V[:, 0] > 0).astype(np.float64)
+                n += len(V)
+                xty += V.T @ y
+                xtx += V.T @ V
+        if n:
+            yield pd.DataFrame(
+                [{"n": n, "xty": xty.tolist(), "xtx": xtx.ravel().tolist()}]
+            )
+
+    parts = emb.select("embedding").mapInPandas(partials, part_schema).toPandas()
+    n = int(parts["n"].sum())
+    xty = np.sum(np.array(list(parts["xty"])), axis=0)
+    xtx = np.sum(np.array(list(parts["xtx"])), axis=0).reshape(d, d)
+    wts = np.linalg.solve(xtx + lam * np.eye(d), xty)
+    weights_finite = bool(np.all(np.isfinite(wts)))
+    w_b = spark.sparkContext.broadcast(wts)
+
+    def score(it):
+        for pdf in it:
+            V = np.array(list(pdf["embedding"]), dtype=np.float64)
+            if len(V):
+                yield pd.DataFrame(
+                    {
+                        "s": np.round(V @ w_b.value, 6),
+                        "y": (V[:, 0] > 0).astype(np.int64),
+                    }
+                )
+
+    scored = emb.select("embedding").mapInPandas(
+        score, "s double, y long"
+    )
+    bins = scored.groupBy("s").agg(
+        F.sum(F.col("y")).alias("pos"),
+        F.sum(1 - F.col("y")).alias("neg"),
+    )
+    wln = W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+    u_rows = bins.select(
+        (
+            F.col("pos")
+            * (F.coalesce(F.sum("neg").over(wln), F.lit(0)) + F.col("neg") / 2.0)
+        ).alias("u")
+    )
+    tot = u_rows.agg(F.sum("u").alias("u")).collect()[0]["u"]
+    counts = scored.agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("n_pos"),
+        F.sum(1 - F.col("y")).alias("n_neg"),
+    ).collect()[0]
+    n_pos, n_neg = counts["n_pos"], counts["n_neg"]
+    auc = float(tot) / max(n_pos * n_neg, 1)
+    return spark.createDataFrame(
+        [(counts["n"], n_pos, n_neg, bool(auc > 0.9), weights_finite)],
+        "n long, n_pos long, n_neg long, auc_ok boolean, weights_finite boolean",
     )
