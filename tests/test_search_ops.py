@@ -1,0 +1,299 @@
+"""Semantic + plan tests for the search-index family
+(queries/search_index.py) and the ops-diagnostics family
+(queries/ops_diagnostics.py). Oracle equivalence is covered by
+test_registry_oracle.py; these pin the properties the oracle can't see —
+plan shapes and the algorithmic claims in the docstrings."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+
+from vectordbfaiss_spark import registry
+from vectordbfaiss_spark.queries import ops_diagnostics as OD
+from vectordbfaiss_spark.queries import search_index as SI
+from vectordbfaiss_spark.session import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _norm_tokens(text: str) -> list[str]:
+    toks = [re.sub(r"[^a-z0-9]", "", w) for w in re.split(r"\s+", text.rstrip().lower())]
+    return [t for t in toks if len(t) >= SI._MIN_TOKEN_LEN]
+
+
+@pytest.fixture(scope="module")
+def docs_local(spark):
+    return {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+
+
+# ---------------------------------------------------------------------------
+# inverted_index_build
+# ---------------------------------------------------------------------------
+
+def test_inverted_index_matches_bruteforce(spark, docs_local):
+    out = registry.queries()["inverted_index_build"](spark, SF_DIR).collect()
+    df_all: Counter = Counter()
+    tf_all: Counter = Counter()
+    postings: dict[str, list[int]] = {}
+    for doc_id, text in docs_local.items():
+        toks = _norm_tokens(text)
+        tf_all.update(toks)
+        for t in set(toks):
+            df_all[t] += 1
+            postings.setdefault(t, []).append(doc_id)
+    # sf0.001's synthetic vocab is smaller than the dictionary page size
+    assert len(out) == min(SI._TOP_TOKENS, len(df_all))
+    # dictionary page ordered by (df desc, token)
+    keys = [(-r["df"], r["token"]) for r in out]
+    assert keys == sorted(keys)
+    for r in out[:10]:
+        t = r["token"]
+        assert r["df"] == df_all[t] and r["tf_total"] == tf_all[t]
+        expect = sorted(postings[t])[: SI._POSTINGS_CAP]
+        assert r["postings"] == ",".join(str(d) for d in expect)
+
+
+def test_inverted_index_plan_caps_postings_before_collect(spark):
+    plan = _plan(registry.queries()["inverted_index_build"](spark, SF_DIR))
+    # rank filter pushes into the window: per-token top-cap, no unbounded
+    # postings materialization for stopwords
+    assert "WindowGroupLimit" in plan
+    # dictionary page is per-partition top-k, not a global sort
+    assert "TakeOrderedAndProject" in plan
+    # df/tf via two-level agg, never count+countDistinct's Expand
+    assert "Expand" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# phrase_search_postings
+# ---------------------------------------------------------------------------
+
+def test_phrase_search_matches_bruteforce(spark, docs_local):
+    out = {
+        r["doc_id"]: r["n_matches"]
+        for r in registry.queries()["phrase_search_postings"](spark, SF_DIR).collect()
+    }
+    expect: dict[int, int] = {}
+    for doc_id, text in docs_local.items():
+        # positions over the RAW split (same as the posexplode), tokens
+        # normalized after — adjacency is word-position adjacency
+        raw = [re.sub(r"[^a-z0-9]", "", w) for w in re.split(r"\s+", text.rstrip().lower())]
+        n = sum(
+            1
+            for i in range(len(raw) - 1)
+            if raw[i] == SI._PHRASE_A and raw[i + 1] == SI._PHRASE_B
+        )
+        if n:
+            expect[doc_id] = n
+    assert out == expect and len(out) > 0
+
+
+def test_phrase_search_is_hash_join_on_position_keys(spark):
+    plan = _plan(registry.queries()["phrase_search_postings"](spark, SF_DIR))
+    # (doc_id, pos+1) extracts as equi keys: hash join, never a cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# rag_context_budget_pack
+# ---------------------------------------------------------------------------
+
+def test_rag_pack_budget_and_greedy_maximality(spark, docs_local):
+    rows = registry.queries()["rag_context_budget_pack"](spark, SF_DIR).collect()
+    lens = {
+        d: len(re.split(r"\s+", t.rstrip().lower())) for d, t in docs_local.items()
+    }
+    by_term: dict[str, list] = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append(r)
+    assert set(by_term) <= set(SI._RAG_TERMS)
+    for term, trs in by_term.items():
+        trs.sort(key=lambda r: r["rank"])
+        # ranks contiguous from 1, running sum correct and under budget
+        assert [r["rank"] for r in trs] == list(range(1, len(trs) + 1))
+        cum = 0
+        for r in trs:
+            assert r["n_tokens"] == lens[r["doc_id"]]
+            cum += r["n_tokens"]
+            assert r["cum_tokens"] == cum
+        assert cum <= SI._RAG_BUDGET
+        # greedy maximality: the next-ranked candidate (if any) would
+        # overflow the budget
+        tf: Counter = Counter()
+        for d, t in docs_local.items():
+            c = Counter(_norm_tokens(t))
+            if c[term]:
+                tf[d] = c[term]
+        ranked = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))
+        ranked = ranked[: SI._RAG_CANDIDATES]
+        if len(ranked) > len(trs):
+            nxt = ranked[len(trs)][0]
+            assert cum + lens[nxt] > SI._RAG_BUDGET
+
+
+def test_rag_pack_plan_bounds_candidates_before_cumsum(spark):
+    plan = _plan(registry.queries()["rag_context_budget_pack"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan  # retrieval depth capped in the window
+    assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# join_skew_report
+# ---------------------------------------------------------------------------
+
+def test_join_skew_report_matches_pandas(spark):
+    out = registry.queries()["join_skew_report"](spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events").select("user_id").toPandas()
+    counts = ev["user_id"].value_counts()
+    assert len(out) == OD._TOP_KEYS
+    top = sorted(
+        counts.items(), key=lambda kv: (-kv[1], kv[0])
+    )[: OD._TOP_KEYS]
+    assert [(r["user_id"], r["key_rows"]) for r in out] == [
+        (int(k), int(v)) for k, v in top
+    ]
+    r0 = out[0]
+    assert r0["total_rows"] == len(ev) and r0["n_keys"] == counts.size
+    mean = len(ev) / counts.size
+    assert r0["skew_ratio"] == pytest.approx(counts.max() / mean, abs=1e-4)
+    assert r0["recommended_salt"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# kmv_overlap_sketch
+# ---------------------------------------------------------------------------
+
+def test_kmv_estimates_within_bound_and_sketch_membership_lossless(spark):
+    row = registry.queries()["kmv_overlap_sketch"](spark, SF_DIR).collect()[0]
+    assert row["within_bound"] is True
+    assert row["rel_err_union"] <= OD._KMV_BOUND
+    assert row["n_inter"] <= min(row["n_a"], row["n_b"])
+    assert row["est_inter"] >= 0.0
+    # the docstring's containment claim: deciding rho membership against
+    # the k-row sketches equals deciding it against the full sets
+    docs = load_table(spark, SF_DIR, "documents")
+    from pyspark.sql import functions as F
+
+    from vectordbfaiss_spark.operators.dedup import word_shingles
+    from vectordbfaiss_spark.queries.curation import _hash_bucket
+
+    pair = docs.filter(F.col("source").isin(OD._KMV_SRC_A, OD._KMV_SRC_B))
+    hs = (
+        pair.select("source", F.explode(word_shingles("text", 3)).alias("s"))
+        .select("source", _hash_bucket(F.col("s")).alias("h"))
+        .distinct()
+        .collect()
+    )
+    a = sorted(r["h"] for r in hs if r["source"] == OD._KMV_SRC_A)
+    b = sorted(r["h"] for r in hs if r["source"] == OD._KMV_SRC_B)
+    ka, kb = set(a[: OD._KMV_K]), set(b[: OD._KMV_K])
+    ku = sorted(set(a) | set(b))[: OD._KMV_K]
+    rho_full = sum(1 for h in ku if h in set(a) and h in set(b))
+    rho_sketch = sum(1 for h in ku if h in ka and h in kb)
+    assert rho_full == rho_sketch
+
+
+def test_kmv_sketches_use_take_ordered_not_global_sort(spark):
+    plan = _plan(registry.queries()["kmv_overlap_sketch"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty_scoring
+# ---------------------------------------------------------------------------
+
+def test_novelty_first_doc_is_fully_novel_and_totals_conserve(spark):
+    rows = registry.queries()["ngram_novelty_scoring"](spark, SF_DIR).collect()
+    by_doc = {r["doc_id"]: r for r in rows}
+    first = min(by_doc)
+    assert by_doc[first]["novelty"] == 1.0  # earliest doc: everything is new
+    # each distinct shingle is novel in exactly one document
+    total_novel = sum(r["n_novel"] for r in rows)
+    from vectordbfaiss_spark.operators.dedup import exploded_shingles
+
+    docs = load_table(spark, SF_DIR, "documents")
+    vocab = exploded_shingles(docs, "doc_id", "text", 3).select("shingle").distinct().count()
+    assert total_novel == vocab
+    for r in rows:
+        assert 0 < r["n_novel"] <= r["n_shingles"] or r["n_novel"] == 0
+
+
+def test_novelty_plan_is_pure_agg_join_agg(spark):
+    plan = _plan(registry.queries()["ngram_novelty_scoring"](spark, SF_DIR))
+    assert "Expand" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final for both aggs
+
+
+# ---------------------------------------------------------------------------
+# binary_hamming_rerank_topk
+# ---------------------------------------------------------------------------
+
+def test_binary_hamming_rerank_semantics_and_recall(spark):
+    import numpy as np
+
+    from vectordbfaiss_spark.queries import vector_search as VS
+
+    rows = registry.queries()["binary_hamming_rerank_topk"](spark, SF_DIR).collect()
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+
+    def signbits(v):
+        return int(sum(1 << j for j in range(64) if v[j] > 0))
+
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r["cand_id"] >= VS._BQ_NQ  # queries never retrieve themselves
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert set(by_q) == set(range(VS._BQ_NQ))
+    recalls = []
+    for q_id, qr in by_q.items():
+        qr.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in qr] == list(range(1, VS._BQ_K + 1))
+        # hamming recomputed from raw sign bits
+        qb = signbits(emb[q_id])
+        for r in qr:
+            expect_h = bin(qb ^ signbits(emb[r["cand_id"]])).count("1")
+            assert r["hamming"] == expect_h
+        # scores non-increasing with rank
+        sims = [r["cos_sim"] for r in qr]
+        assert sims == sorted(sims, reverse=True)
+        # recall vs exact cosine top-k over all candidates
+        qv = emb[q_id]
+        exact = sorted(
+            (
+                (float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v))), -cid)
+                for cid, v in emb.items()
+                if cid >= VS._BQ_NQ
+            ),
+            reverse=True,
+        )[: VS._BQ_K]
+        exact_ids = {-t[1] for t in exact}
+        got_ids = {r["cand_id"] for r in qr}
+        recalls.append(len(exact_ids & got_ids) / VS._BQ_K)
+    # 1-bit prefilter at 4x oversampling: recall well above chance
+    assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_binary_hamming_plan_is_codegen_prefilter_no_sort(spark):
+    plan = _plan(registry.queries()["binary_hamming_rerank_topk"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan  # top-R per query inside the window
+    assert "SortMergeJoin" not in plan
+    # packing is a projection: no explode/aggregation before the prefilter
+    assert "Generate" not in plan

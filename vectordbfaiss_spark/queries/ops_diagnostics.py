@@ -1,0 +1,306 @@
+"""Corpus / pipeline diagnostics: join-key skew reporting, KMV
+distinct-overlap sketches, and n-gram novelty scoring.
+
+These are the reports a 100 TB pipeline runs BEFORE committing to a plan:
+skew diagnosis decides whether a join needs salting (and how much), a
+KMV sketch estimates cross-corpus vocabulary overlap without a
+corpus x corpus distinct-join, and novelty scoring measures how much of
+each document is first-seen content (the repetition/staleness signal
+curation thresholds on).
+
+Everything is hash-deterministic (the engine-shared md5-bucket rule from
+``queries/curation.py``) so the DuckDB oracles replay each computation
+digit for digit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from vectordbfaiss_spark.operators.dedup import exploded_shingles, word_shingles
+from vectordbfaiss_spark.queries.curation import _hash_bucket, _sql_hash_bucket
+from vectordbfaiss_spark.queries.dedup import _shingle_cte
+from vectordbfaiss_spark.registry import register
+from vectordbfaiss_spark.session import fan_out, load_table
+
+# ---------------------------------------------------------------------------
+# Join-key skew report
+# ---------------------------------------------------------------------------
+
+_TOP_KEYS = 5
+_SALT_TARGET = 4.0  # salt so no key exceeds ~4x the mean per-key load
+
+_SKEW_ORACLE = f"""
+WITH per_key AS (SELECT user_id, count(*) AS key_rows FROM events GROUP BY 1),
+stats AS (SELECT CAST(sum(key_rows) AS BIGINT) AS total_rows,
+                 count(*) AS n_keys,
+                 max(key_rows) AS max_rows,
+                 round(quantile_cont(key_rows, 0.5), 4) AS p50_rows,
+                 round(quantile_cont(key_rows, 0.99), 4) AS p99_rows
+          FROM per_key),
+top AS (SELECT user_id, key_rows FROM per_key
+        ORDER BY key_rows DESC, user_id LIMIT {_TOP_KEYS})
+SELECT t.user_id, t.key_rows,
+       round(t.key_rows * 1.0 / s.total_rows, 6) AS pct_of_total,
+       s.total_rows, s.n_keys, s.p50_rows, s.p99_rows,
+       round(s.max_rows * 1.0 * s.n_keys / s.total_rows, 4) AS skew_ratio,
+       greatest(1, CAST(ceil(s.max_rows * s.n_keys
+                             / ({_SALT_TARGET} * s.total_rows)) AS BIGINT))
+         AS recommended_salt
+FROM top t CROSS JOIN stats s
+ORDER BY t.key_rows DESC, t.user_id
+"""
+
+
+@register("join_skew_report", _SKEW_ORACLE)
+def q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter report for a join key, with a salting recommendation.
+
+    The pre-flight a skewed shuffle needs: per-key counts (one map-side
+    combinable aggregation), a one-row global summary (p50/p99/max over
+    the per-key counts), the top heavy hitters (orderBy+limit =
+    TakeOrderedAndProject, no global sort), and
+    ``recommended_salt = ceil(max_key / (target x mean_key))`` — the
+    factor ``skew_salted_event_totals`` (this registry) applies by hand.
+    The key-count frame is corpus-sized/|keys|; everything after it is
+    O(keys) -> O(1) aggregation plus a broadcast of one stats row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("key_rows"))
+    stats = per_key.agg(
+        F.sum("key_rows").alias("total_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("key_rows").alias("max_rows"),
+        F.round(F.expr("percentile(key_rows, 0.5)"), 4).alias("p50_rows"),
+        F.round(F.expr("percentile(key_rows, 0.99)"), 4).alias("p99_rows"),
+    )
+    top = per_key.orderBy(F.desc("key_rows"), "user_id").limit(_TOP_KEYS)
+    salt = F.greatest(
+        F.lit(1),
+        F.ceil(
+            F.col("max_rows") * F.col("n_keys") / (_SALT_TARGET * F.col("total_rows"))
+        ),
+    )
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .select(
+            "user_id",
+            "key_rows",
+            F.round(F.col("key_rows") / F.col("total_rows"), 6).alias(
+                "pct_of_total"
+            ),
+            "total_rows",
+            "n_keys",
+            "p50_rows",
+            "p99_rows",
+            F.round(
+                F.col("max_rows") * F.col("n_keys") / F.col("total_rows"), 4
+            ).alias("skew_ratio"),
+            salt.alias("recommended_salt"),
+        )
+        .orderBy(F.desc("key_rows"), "user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-overlap sketch
+# ---------------------------------------------------------------------------
+
+_KMV_K = 256
+_KMV_M = 16**6  # hash space of the shared md5-bucket rule
+_KMV_SRC_A, _KMV_SRC_B = "src0", "src1"
+_KMV_BOUND = 0.25  # generous vs the ~2/sqrt(k) ~ 0.125 expected error
+
+
+def _sql_kmv_est(set_cte: str, sketch_cte: str) -> str:
+    """Estimate |set| from its k-min sketch: exact when the set is smaller
+    than k, else (k-1) * M / h_k."""
+    return f"""CASE WHEN (SELECT count(*) FROM {set_cte}) < {_KMV_K}
+       THEN (SELECT count(*) FROM {set_cte}) * 1.0
+       ELSE ({_KMV_K} - 1) * {_KMV_M}.0 / (SELECT max(h) FROM {sketch_cte}) END"""
+
+
+_KMV_ORACLE = f"""
+WITH {_shingle_cte(3)},
+src AS (SELECT d.source, s.shingle FROM sh s
+        JOIN documents d USING (doc_id)
+        WHERE d.source IN ('{_KMV_SRC_A}', '{_KMV_SRC_B}')),
+hs AS (SELECT DISTINCT source, {_sql_hash_bucket('shingle')} AS h FROM src),
+a AS (SELECT DISTINCT h FROM hs WHERE source = '{_KMV_SRC_A}'),
+b AS (SELECT DISTINCT h FROM hs WHERE source = '{_KMV_SRC_B}'),
+ka AS (SELECT h FROM a ORDER BY h LIMIT {_KMV_K}),
+kb AS (SELECT h FROM b ORDER BY h LIMIT {_KMV_K}),
+u AS (SELECT h FROM a UNION SELECT h FROM b),
+ku AS (SELECT h FROM u ORDER BY h LIMIT {_KMV_K}),
+sizes AS (SELECT (SELECT count(*) FROM a) AS n_a,
+                 (SELECT count(*) FROM b) AS n_b,
+                 (SELECT count(*) FROM u) AS n_union,
+                 (SELECT count(*) FROM a WHERE h IN (SELECT h FROM b))
+                   AS n_inter,
+                 (SELECT count(*) FROM ku) AS m_u,
+                 (SELECT count(*) FROM ku
+                  WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b))
+                   AS rho_num),
+est AS (SELECT {_sql_kmv_est('a', 'ka')} AS est_a,
+               {_sql_kmv_est('b', 'kb')} AS est_b,
+               {_sql_kmv_est('u', 'ku')} AS est_union)
+SELECT {_KMV_K} AS k, s.n_a, s.n_b, s.n_union, s.n_inter,
+       round(e.est_a, 4) AS est_a,
+       round(e.est_b, 4) AS est_b,
+       round(e.est_union, 4) AS est_union,
+       round(s.rho_num * 1.0 / s.m_u * e.est_union, 4) AS est_inter,
+       round(abs(e.est_union - s.n_union) / s.n_union, 4) AS rel_err_union,
+       (abs(e.est_a - s.n_a) / s.n_a <= {_KMV_BOUND}
+        AND abs(e.est_b - s.n_b) / s.n_b <= {_KMV_BOUND}
+        AND abs(e.est_union - s.n_union) / s.n_union <= {_KMV_BOUND})
+         AS within_bound
+FROM sizes s CROSS JOIN est e
+"""
+
+
+@register("kmv_overlap_sketch", _KMV_ORACLE)
+def q_kmv_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary overlap from k-minimum-values sketches.
+
+    Estimates |A|, |B|, |A u B| and |A n B| for two sources' distinct
+    3-shingle sets from k=256-value sketches (Bar-Yossef et al.'s KMV:
+    the k-th smallest of n uniform hashes sits near k/n of the hash
+    space, so (k-1)*M/h_k estimates n; the intersection is estimated
+    from the fraction rho of the union sketch present in both sets).
+    The exact values are computed alongside and the relative error is
+    bounded as an output boolean — the sketch is hash-deterministic, so
+    even the estimates hash-match the oracle.
+
+    At scale only the distinct-hash aggregation touches corpus-sized
+    data (one shuffle per source, map-side combinable); every sketch is
+    k rows taken via orderBy+limit (TakeOrderedAndProject — per-partition
+    k-min, no global sort), and the membership checks are broadcast
+    semi/anti joins between k-row and |distinct|-row frames. The exact
+    intersection here is the verification twin; a production run keeps
+    only the sketch path (state = k values per corpus, mergeable).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pair = docs.filter(F.col("source").isin(_KMV_SRC_A, _KMV_SRC_B))
+    sh = fan_out(pair).select(
+        "source", F.explode(word_shingles("text", 3)).alias("shingle")
+    )
+    hs = sh.select(
+        "source", _hash_bucket(F.col("shingle")).alias("h")
+    ).distinct()
+    a = hs.filter(F.col("source") == _KMV_SRC_A).select("h")
+    b = hs.filter(F.col("source") == _KMV_SRC_B).select("h")
+    a = a.localCheckpoint(eager=True)  # each set feeds sketch + 3 memberships
+    b = b.localCheckpoint(eager=True)
+    ka = a.orderBy("h").limit(_KMV_K)
+    kb = b.orderBy("h").limit(_KMV_K)
+    u = a.union(b).distinct().localCheckpoint(eager=True)
+    ku = u.orderBy("h").limit(_KMV_K).localCheckpoint(eager=True)
+
+    def est(set_df: DataFrame, sketch_df: DataFrame):
+        n = set_df.agg(F.count("*").alias("n"))
+        hk = sketch_df.agg(F.max("h").alias("hk"))
+        return n.crossJoin(hk).select(
+            F.when(
+                F.col("n") < _KMV_K, F.col("n").cast("double")
+            ).otherwise((_KMV_K - 1) * float(_KMV_M) / F.col("hk")).alias("est"),
+            F.col("n"),
+        )
+
+    est_a = est(a, ka).select(
+        F.col("est").alias("est_a"), F.col("n").alias("n_a")
+    )
+    est_b = est(b, kb).select(
+        F.col("est").alias("est_b"), F.col("n").alias("n_b")
+    )
+    est_u = est(u, ku).select(
+        F.col("est").alias("est_union"), F.col("n").alias("n_union")
+    )
+    n_inter = (
+        a.join(b, "h", "left_semi").agg(F.count("*").alias("n_inter"))
+    )
+    # rho membership is decided against the k-row sketches, not the full
+    # sets: ku holds the union's k smallest, and the k-th smallest of a
+    # SUBSET (A) is >= the union's, so any ku value belonging to A is
+    # necessarily inside ka. Equal to full-set membership (what the
+    # oracle writes), but bounded at k rows regardless of corpus size.
+    rho = (
+        ku.join(F.broadcast(ka), "h", "left_semi")
+        .join(F.broadcast(kb), "h", "left_semi")
+        .agg(F.count("*").alias("rho_num"))
+        .crossJoin(ku.agg(F.count("*").alias("m_u")))
+    )
+    row = (
+        est_a.crossJoin(est_b)
+        .crossJoin(est_u)
+        .crossJoin(n_inter)
+        .crossJoin(rho)
+    )
+    rel = lambda e, n: F.abs(F.col(e) - F.col(n)) / F.col(n)  # noqa: E731
+    return row.select(
+        F.lit(_KMV_K).alias("k"),
+        "n_a",
+        "n_b",
+        "n_union",
+        "n_inter",
+        F.round("est_a", 4).alias("est_a"),
+        F.round("est_b", 4).alias("est_b"),
+        F.round("est_union", 4).alias("est_union"),
+        F.round(
+            F.col("rho_num") / F.col("m_u") * F.col("est_union"), 4
+        ).alias("est_inter"),
+        F.round(rel("est_union", "n_union"), 4).alias("rel_err_union"),
+        (
+            (rel("est_a", "n_a") <= _KMV_BOUND)
+            & (rel("est_b", "n_b") <= _KMV_BOUND)
+            & (rel("est_union", "n_union") <= _KMV_BOUND)
+        ).alias("within_bound"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty scoring
+# ---------------------------------------------------------------------------
+
+_NOVELTY_ORACLE = f"""
+WITH {_shingle_cte(3)},
+first AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+SELECT s.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS novelty
+FROM sh s JOIN first f USING (shingle)
+GROUP BY 1
+ORDER BY doc_id
+"""
+
+
+@register("ngram_novelty_scoring", _NOVELTY_ORACLE)
+def q_ngram_novelty_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of its distinct 3-shingles first
+    seen in this document (arrival order = doc_id).
+
+    The memorization/staleness signal: a crawl whose late documents score
+    near zero is re-crawling what it already has. Three shuffles, all
+    keyed and map-side combinable: shingle explode -> min(doc_id) per
+    shingle, join first-occurrence back on shingle, per-doc rollup. The
+    first-occurrence frame is |vocabulary|-sized (not corpus-sized), and
+    nothing is windowed or collected — the same shape at 10^9 docs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = exploded_shingles(docs, "doc_id", "text", 3)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            novel.alias("n_novel"),
+            F.round(novel / F.count("*"), 6).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,254 @@
+"""Text-search index family: inverted-index build, positional phrase
+search, and token-budget context packing for RAG.
+
+The reference is a retrieval engine (vector search over chunked text,
+server.js:53-60); a production corpus also serves LEXICAL retrieval from
+the same chunks. This module builds the classic search-index artifacts as
+declarative Spark plans:
+
+- ``inverted_index_build``: token -> (df, tf_total, capped postings list)
+  — the dictionary + postings shape every lexical index (Lucene-style)
+  materializes, here as two token-partitioned aggregations.
+- ``phrase_search_postings``: two-term phrase matching via positional
+  postings intersection — the adjacency self-join that a positional index
+  answers without touching raw text.
+- ``rag_context_budget_pack``: per-query greedy packing of top-ranked
+  docs under a prompt token budget — the reference's topK+prompt-budget
+  loop (server.js:62-78, K chunks then truncate-to-budget) re-expressed
+  as rank + running-sum windows.
+
+Tokenization convention (shared by all three, mirrored digit-for-digit in
+the DuckDB oracles): lowercase, whitespace-split, strip non-[a-z0-9],
+drop tokens shorter than 2 chars.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from vectordbfaiss_spark.registry import register
+from vectordbfaiss_spark.session import fan_out, load_table
+
+_POSTINGS_CAP = 20  # doc_ids materialized per token (df/tf stay exact)
+_TOP_TOKENS = 100  # dictionary rows returned (ordered by df)
+_MIN_TOKEN_LEN = 2
+
+# RAG packing knobs
+_RAG_TERMS = ("join", "hash", "vector", "filter", "merge")
+_RAG_CANDIDATES = 50  # retrieval depth before packing
+_RAG_BUDGET = 1024  # prompt token budget per query
+
+
+def _tokens(df: DataFrame) -> DataFrame:
+    """(doc_id, token) rows under the module tokenization convention.
+    Fanned out before the explode (single-file fixture parquet)."""
+    raw = fan_out(df).select(
+        "doc_id",
+        F.explode(F.split(F.rtrim(F.lower(F.col("text"))), r"\s+")).alias("raw"),
+    )
+    return raw.select(
+        "doc_id", F.regexp_replace("raw", "[^a-z0-9]", "").alias("token")
+    ).filter(F.length("token") >= _MIN_TOKEN_LEN)
+
+
+_SQL_TOKENS = f"""
+w AS (SELECT doc_id, unnest(string_split_regex(rtrim(lower(text)), '\\s+')) AS raw
+      FROM documents),
+tok AS (SELECT doc_id, regexp_replace(raw, '[^a-z0-9]', '', 'g') AS token FROM w),
+tok2 AS (SELECT doc_id, token FROM tok WHERE length(token) >= {_MIN_TOKEN_LEN})
+"""
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build
+# ---------------------------------------------------------------------------
+
+_INVERTED_ORACLE = f"""
+WITH {_SQL_TOKENS},
+per_doc AS (SELECT token, doc_id, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+stats AS (SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total
+          FROM per_doc GROUP BY 1),
+ranked AS (SELECT token, doc_id,
+                  row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+           FROM per_doc),
+post AS (SELECT token,
+                string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+         FROM ranked WHERE rn <= {_POSTINGS_CAP} GROUP BY 1)
+SELECT s.token, s.df, s.tf_total, p.postings
+FROM stats s JOIN post p USING (token)
+ORDER BY s.df DESC, s.token
+LIMIT {_TOP_TOKENS}
+"""
+
+
+@register("inverted_index_build", _INVERTED_ORACLE)
+def q_inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary + postings build: token -> (df, tf_total, first-20 postings).
+
+    Plan shape (and why it scales):
+    - ONE shuffle on (token, doc_id) produces per-doc term frequencies;
+      both downstream aggregates consume it.
+    - df/tf_total roll up per token from the (token, doc_id) grain — a
+      plain two-level aggregate, never count+countDistinct in one agg
+      (that form plans an Expand duplicating every input row).
+    - The postings list is CAPPED before collection: a row_number window
+      partitioned by token with an rn <= cap filter plans a
+      WindowGroupLimit in this Spark, so a stopword's billion postings
+      never materialize — only cap rows per token reach collect_list.
+      df/tf_total stay exact because they aggregate the uncapped grain.
+    - The final df-ordered dictionary page is orderBy+limit =
+      TakeOrderedAndProject: per-partition top-k, no global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = _tokens(docs).groupBy("token", "doc_id").agg(F.count("*").alias("tf"))
+    stats = per_doc.groupBy("token").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("tf_total")
+    )
+    rn = F.row_number().over(W.partitionBy("token").orderBy("doc_id"))
+    capped = per_doc.withColumn("rn", rn).filter(F.col("rn") <= _POSTINGS_CAP)
+    post = capped.groupBy("token").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")), lambda d: d.cast("string")
+            ),
+        ).alias("postings")
+    )
+    return (
+        stats.join(post, "token")
+        .select("token", "df", "tf_total", "postings")
+        .orderBy(F.desc("df"), "token")
+        .limit(_TOP_TOKENS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search
+# ---------------------------------------------------------------------------
+
+_PHRASE_A, _PHRASE_B = "order", "fast"
+
+_PHRASE_ORACLE = f"""
+WITH w AS (SELECT doc_id,
+                  string_split_regex(rtrim(lower(text)), '\\s+') AS words
+           FROM documents),
+p AS (SELECT doc_id, i AS pos,
+             regexp_replace(words[i], '[^a-z0-9]', '', 'g') AS token
+      FROM w, unnest(generate_series(1, len(words))) AS t(i)),
+a AS (SELECT doc_id, pos FROM p WHERE token = '{_PHRASE_A}'),
+b AS (SELECT doc_id, pos FROM p WHERE token = '{_PHRASE_B}')
+SELECT a.doc_id AS doc_id, count(*) AS n_matches
+FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+GROUP BY 1
+ORDER BY doc_id
+"""
+
+
+@register("phrase_search_postings", _PHRASE_ORACLE)
+def q_phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase query "order fast" via positional-postings intersection.
+
+    The positional-index answer shape: filter each term's postings (tiny
+    vs the corpus — this is the point of an index), then an equi-join on
+    (doc_id, adjacent position). Spark extracts ``b.pos == a.pos + 1`` as
+    a hash-join key pair (each side's expression references one side
+    only), so this is a shuffled hash join on two already-filtered
+    posting streams — never a cartesian, never a scan-side position loop.
+    Both postings derive from one explode pass over the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.rtrim(F.lower(F.col("text"))), r"\s+")
+    pos = fan_out(docs).select(
+        "doc_id", F.posexplode(words).alias("pos", "raw")
+    ).select(
+        "doc_id", "pos", F.regexp_replace("raw", "[^a-z0-9]", "").alias("token")
+    )
+    a = pos.filter(F.col("token") == _PHRASE_A).select("doc_id", "pos")
+    b = pos.filter(F.col("token") == _PHRASE_B).select(
+        F.col("doc_id").alias("b_doc"), F.col("pos").alias("b_pos")
+    )
+    return (
+        a.join(b, (a.doc_id == b.b_doc) & (b.b_pos == a.pos + 1))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matches"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAG context packing under a token budget
+# ---------------------------------------------------------------------------
+
+_RAG_TERMS_SQL = ", ".join(f"('{t}')" for t in _RAG_TERMS)
+
+_RAG_ORACLE = f"""
+WITH {_SQL_TOKENS},
+terms(term) AS (VALUES {_RAG_TERMS_SQL}),
+tf AS (SELECT t.term, k.doc_id, count(*) AS tf
+       FROM tok2 k JOIN terms t ON k.token = t.term GROUP BY 1, 2),
+len AS (SELECT doc_id,
+               len(string_split_regex(rtrim(lower(text)), '\\s+')) AS n_tokens
+        FROM documents),
+ranked AS (SELECT term, doc_id, tf,
+                  row_number() OVER (PARTITION BY term
+                                     ORDER BY tf DESC, doc_id) AS rnk
+           FROM tf),
+cand AS (SELECT r.term, r.doc_id, r.rnk, l.n_tokens
+         FROM ranked r JOIN len l USING (doc_id)
+         WHERE r.rnk <= {_RAG_CANDIDATES}),
+packed AS (SELECT term, doc_id, rnk AS rank, n_tokens,
+                  CAST(sum(n_tokens) OVER (PARTITION BY term ORDER BY rnk)
+                       AS BIGINT) AS cum_tokens
+           FROM cand)
+SELECT term, doc_id, rank, n_tokens, cum_tokens
+FROM packed WHERE cum_tokens <= {_RAG_BUDGET}
+ORDER BY term, rank
+"""
+
+
+@register("rag_context_budget_pack", _RAG_ORACLE)
+def q_rag_context_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query greedy context packing: top-ranked docs while the running
+    token total stays under the prompt budget.
+
+    Reference semantics: server.js retrieves K chunks then truncates the
+    assembled prompt to a token budget (SURVEY §2 K2/K3); this is that
+    loop as a plan. Retrieval depth is bounded FIRST (rank window with
+    rnk <= candidates plans a WindowGroupLimit — per-group top-k, so the
+    running-sum window that follows sees at most ``candidates`` rows per
+    query regardless of corpus size), then the cumulative token sum packs
+    in rank order. Both windows partition by query term: parallel across
+    queries, bounded per query — no global window, no driver loop.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    terms = spark.createDataFrame([(t,) for t in _RAG_TERMS], ["term"])
+    tf = (
+        _tokens(docs)
+        .join(F.broadcast(terms), F.col("token") == F.col("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_tokens = F.size(F.split(F.rtrim(F.lower(F.col("text"))), r"\s+"))
+    lens = docs.select("doc_id", n_tokens.alias("n_tokens"))
+    rnk = F.row_number().over(
+        W.partitionBy("term").orderBy(F.desc("tf"), "doc_id")
+    )
+    cand = (
+        tf.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= _RAG_CANDIDATES)
+        .join(lens, "doc_id")
+    )
+    cum = F.sum("n_tokens").over(
+        W.partitionBy("term").orderBy("rnk").rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        cand.select(
+            "term",
+            "doc_id",
+            F.col("rnk").alias("rank"),
+            "n_tokens",
+            cum.alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= _RAG_BUDGET)
+        .orderBy("term", "rank")
+    )

@@ -686,3 +686,131 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization: sign-bit pack -> Hamming prefilter -> exact re-rank
+# ---------------------------------------------------------------------------
+
+_BQ_NQ = 8  # query vectors (vec_id < _BQ_NQ)
+_BQ_K = 10  # final top-k
+_BQ_R = 40  # Hamming prefilter depth (r*k exact re-scores per query)
+
+
+def _sql_pack_half(offset: int) -> str:
+    """32 sign bits of dims [offset+1, offset+32] packed into a BIGINT."""
+    return (
+        "CAST(list_sum(list_transform(generate_series(0, 31), j -> "
+        f"CASE WHEN embedding[j + {offset + 1}] > 0 "
+        "THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT)"
+    )
+
+
+_BQ_ORACLE = f"""
+WITH packed AS (
+  SELECT vec_id, {_sql_pack_half(0)} AS lo, {_sql_pack_half(32)} AS hi
+  FROM embeddings),
+q AS (SELECT vec_id AS q_id, lo AS q_lo, hi AS q_hi FROM packed
+      WHERE vec_id < {_BQ_NQ}),
+c AS (SELECT * FROM packed WHERE vec_id >= {_BQ_NQ}),
+ham AS (SELECT q.q_id, c.vec_id AS cand_id,
+               CAST(bit_count(xor(c.lo, q.q_lo))
+                    + bit_count(xor(c.hi, q.q_hi)) AS BIGINT) AS hamming
+        FROM c CROSS JOIN q),
+pre AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY hamming, cand_id) AS rh
+        FROM ham),
+cand AS (SELECT * FROM pre WHERE rh <= {_BQ_R}),
+scored AS (
+  SELECT cand.q_id, cand.cand_id, cand.hamming,
+         round(list_dot_product(eq.embedding::DOUBLE[], ec.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(eq.embedding::DOUBLE[],
+                                        eq.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(ec.embedding::DOUBLE[],
+                                          ec.embedding::DOUBLE[]))), 6)
+           AS cos_sim
+  FROM cand
+  JOIN embeddings eq ON eq.vec_id = cand.q_id
+  JOIN embeddings ec ON ec.vec_id = cand.cand_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                                        ORDER BY cos_sim DESC, cand_id) AS rnk
+           FROM scored)
+SELECT q_id, cand_id, rnk AS rank, hamming, cos_sim
+FROM ranked WHERE rnk <= {_BQ_K}
+ORDER BY q_id, rank
+"""
+
+
+@register("binary_hamming_rerank_topk", _BQ_ORACLE)
+def q_binary_hamming_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit vector search: sign-quantize to 64 bits, prefilter by Hamming
+    distance, re-rank the survivors against exact vectors.
+
+    The 32x-compression pattern modern vector stores ship (binary
+    quantization + oversampled exact re-rank): the fixture embeddings are
+    zero-centered, so ``x > 0`` is the canonical sign quantizer — a
+    data-INDEPENDENT threshold, no training pass. Packing is a pure
+    projection (fold over the array into two 32-bit halves — no explode,
+    no shuffle, 16 bytes per vector); Hamming scoring is two xor +
+    bit_count integer ops inside whole-stage codegen against a broadcast
+    8-row query side; the prefilter rank window plans a WindowGroupLimit
+    (top-R per query, never a global sort); only R=4k candidates per
+    query ever touch the full-precision vectors. At 10^9 vectors the
+    scan side reads 16-byte codes instead of 256-byte floats — the exact
+    re-rank join is |Q|*R rows against a broadcast candidate list.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def pack_half(offset: int):
+        return F.expr(
+            "CAST(aggregate(sequence(0, 31), 0L, (acc, j) -> acc + "
+            f"IF(element_at(embedding, j + {offset + 1}) > 0, "
+            "CAST(power(2, j) AS BIGINT), 0L)) AS BIGINT)"
+        )
+
+    packed = emb.select(
+        "vec_id", pack_half(0).alias("lo"), pack_half(32).alias("hi")
+    )
+    q = packed.filter(F.col("vec_id") < _BQ_NQ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("lo").alias("q_lo"),
+        F.col("hi").alias("q_hi"),
+    )
+    c = packed.filter(F.col("vec_id") >= _BQ_NQ)
+    ham = c.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        F.col("vec_id").alias("cand_id"),
+        F.expr(
+            "CAST(bit_count(lo ^ q_lo) + bit_count(hi ^ q_hi) AS BIGINT)"
+        ).alias("hamming"),
+    )
+    from pyspark.sql import Window as W
+
+    rh = F.row_number().over(W.partitionBy("q_id").orderBy("hamming", "cand_id"))
+    cand = ham.withColumn("rh", rh).filter(F.col("rh") <= _BQ_R)
+
+    from vectordbfaiss_spark.functions.vector import cosine_similarity
+
+    eq = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    ec = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
+    )
+    scored = (
+        cand.join(ec, "cand_id")
+        .join(F.broadcast(eq), "q_id")
+        .select(
+            "q_id",
+            "cand_id",
+            "hamming",
+            F.round(cosine_similarity("qv", "cv"), 6).alias("cos_sim"),
+        )
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("q_id").orderBy(F.desc("cos_sim"), "cand_id")
+    )
+    return (
+        scored.withColumn("rank", rnk)
+        .filter(F.col("rank") <= _BQ_K)
+        .select("q_id", "cand_id", "rank", "hamming", "cos_sim")
+        .orderBy("q_id", "rank")
+    )

@@ -192,6 +192,7 @@ def _load() -> None:
         embedding_analysis,
         graph_cluster,
         ingest_e2e,
+        ops_diagnostics,
         pipeline_extras,
         ranking,
         reference_parity,
@@ -199,6 +200,7 @@ def _load() -> None:
         relational_ext,
         relational_more,
         scrub,
+        search_index,
         sketches_sql,
         sources_io,
         text_analysis,
