@@ -304,3 +304,77 @@ def q_ngram_novelty_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality-score calibration
+# ---------------------------------------------------------------------------
+
+_PCTS = [i / 10 for i in range(1, 10)]
+_PCTS_SQL = "[" + ", ".join(str(p) for p in _PCTS) + "]"
+_PCTS_SPARK = "array(" + ", ".join(str(p) for p in _PCTS) + ")"
+
+
+def _calibration_oracle() -> str:
+    from vectordbfaiss_spark.queries.text_analysis import _STOPLIST_SQL
+
+    return f"""
+WITH w AS (SELECT doc_id, string_split_regex(rtrim(text), '\\s+') AS words
+           FROM documents),
+m AS (SELECT doc_id, len(words) AS n_tokens,
+             len(list_filter(words, t -> list_contains({_STOPLIST_SQL}, t)))
+               AS n_stop,
+             len(list_distinct(words)) / len(words) AS ttr
+      FROM w),
+s AS (SELECT d.source,
+             round(0.4 * least(m.n_tokens / 64.0, 1.0)
+                 + 0.3 * least(m.n_stop / m.n_tokens * 3, 1.0)
+                 + 0.3 * least(m.ttr * 2, 1.0), 6) AS quality
+      FROM m JOIN documents d USING (doc_id)),
+ps AS (SELECT source, quantile_cont(quality, {_PCTS_SQL}) AS qs
+       FROM s GROUP BY 1),
+g AS (SELECT quantile_cont(quality, {_PCTS_SQL}) AS qs FROM s)
+SELECT ps.source, CAST(i * 10 AS BIGINT) AS pctile,
+       round(ps.qs[i], 6) AS src_q,
+       round(g.qs[i], 6) AS global_q,
+       round(ps.qs[i] - g.qs[i], 6) AS shift
+FROM ps CROSS JOIN g, unnest(generate_series(1, 9)) t(i)
+ORDER BY source, pctile
+"""
+
+
+@register("quality_calibration_deciles", _calibration_oracle())
+def q_quality_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-score deciles vs the global distribution.
+
+    Quality classifiers drift across sources: a 0.6 from a clean source
+    and a 0.6 from a boilerplate-heavy crawl are not the same document.
+    Before thresholding ("keep quality > X") a curation run reads this
+    table — per-source deciles next to the global ones, plus the shift —
+    and either picks per-source cutoffs or quantile-normalizes. Exact
+    interpolated percentiles over the 6dp-rounded score (both engines
+    interpolate linearly over identical inputs); one per-source aggregate
+    + a broadcast 9-row global frame — corpus touched once.
+    """
+    from vectordbfaiss_spark.operators import textstats as TS
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = TS.quality_score(docs, "doc_id", "text").select("doc_id", "quality")
+    s = scored.join(docs.select("doc_id", "source"), "doc_id")
+    ps = s.groupBy("source").agg(
+        F.expr(f"percentile(quality, {_PCTS_SPARK})").alias("qs")
+    )
+    g = s.agg(F.expr(f"percentile(quality, {_PCTS_SPARK})").alias("qs"))
+    ps2 = ps.select("source", F.posexplode("qs").alias("i", "src_raw"))
+    g2 = g.select(F.posexplode("qs").alias("i", "g_raw"))
+    return (
+        ps2.join(F.broadcast(g2), "i")
+        .select(
+            "source",
+            ((F.col("i") + 1) * 10).cast("long").alias("pctile"),
+            F.round("src_raw", 6).alias("src_q"),
+            F.round("g_raw", 6).alias("global_q"),
+            F.round(F.col("src_raw") - F.col("g_raw"), 6).alias("shift"),
+        )
+        .orderBy("source", "pctile")
+    )

@@ -101,6 +101,9 @@ def q_inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     per_doc = _tokens(docs).groupBy("token", "doc_id").agg(F.count("*").alias("tf"))
+    # two consumers (stats rollup + capped postings) — materialize the
+    # (token, doc) grain once or the whole tokenize+explode runs twice
+    per_doc = per_doc.localCheckpoint(eager=True)
     stats = per_doc.groupBy("token").agg(
         F.count("*").alias("df"), F.sum("tf").alias("tf_total")
     )
@@ -221,10 +224,13 @@ def q_rag_context_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries, bounded per query — no global window, no driver loop.
     """
     docs = load_table(spark, sf_dir, "documents")
-    terms = spark.createDataFrame([(t,) for t in _RAG_TERMS], ["term"])
+    # literal IN-list predicate, not a join: the term set is a query-time
+    # constant, so it belongs in codegen where it filters DURING the
+    # explode output scan
     tf = (
         _tokens(docs)
-        .join(F.broadcast(terms), F.col("token") == F.col("term"))
+        .filter(F.col("token").isin(*_RAG_TERMS))
+        .select(F.col("token").alias("term"), "doc_id")
         .groupBy("term", "doc_id")
         .agg(F.count("*").alias("tf"))
     )

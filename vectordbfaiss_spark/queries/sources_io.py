@@ -949,3 +949,57 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("min_id"),
         F.max("doc_id").cast("long").alias("max_id"),
     )
+
+
+_TAR_RT_ORACLE = """
+SELECT doc_id, lang, source,
+       md5(text) AS content_md5,
+       CAST(length(text) AS BIGINT) AS n_chars_rt
+FROM documents
+WHERE doc_id < 300
+"""
+
+
+@register("webdataset_tar_roundtrip", _TAR_RT_ORACLE)
+def q_webdataset_tar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-layout roundtrip: documents -> tar shards ({key}.txt +
+    {key}.json samples, shard-per-task, manifest on commit) -> shard-
+    parallel read back -> per-row checksums proving losslessness.
+
+    The tar-shard layout is how large multimodal training corpora ship
+    (sequential-read shards a dataloader streams); sources/tar_shards.py
+    documents the scale shape (N tasks -> N independent shards, atomic
+    publish, manifest-gated visibility). The roundtrip here is bounded to
+    300 docs — the contract being proven is the FORMAT (bytes in == bytes
+    out, metadata intact), not throughput; the write is 4 tasks -> 4
+    shards so the shard-per-task path (not a coalesce(1) special case) is
+    what's exercised.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from vectordbfaiss_spark.sources.tar_shards import TarShardsDataSource
+
+    spark.dataSource.register(TarShardsDataSource)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    out = os.path.join(
+        tempfile.gettempdir(), f"vdbf_tar_{abs(hash(sf_dir)) % 10**8}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        docs.select("doc_id", "text", "lang", "source")
+        .repartition(4)
+        .write.format("tar_shards")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    back = spark.read.format("tar_shards").option("path", out).load()
+    return back.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5("text").alias("content_md5"),
+        F.length("text").cast("long").alias("n_chars_rt"),
+    )
