@@ -297,3 +297,99 @@ def test_binary_hamming_plan_is_codegen_prefilter_no_sort(spark):
     assert "SortMergeJoin" not in plan
     # packing is a projection: no explode/aggregation before the prefilter
     assert "Generate" not in plan
+
+
+# ---------------------------------------------------------------------------
+# matryoshka_truncation_audit
+# ---------------------------------------------------------------------------
+
+def test_matryoshka_audit_matches_bruteforce(spark):
+    import numpy as np
+
+    from vectordbfaiss_spark.queries import vector_search as VS
+
+    rows = registry.queries()["matryoshka_truncation_audit"](spark, SF_DIR).collect()
+    assert [r["q_id"] for r in rows] == list(range(VS._MRL_NQ))
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+
+    def topk_ids(qv, dims):
+        q = qv[:dims]
+        scored = []
+        for cid, v in emb.items():
+            if cid < VS._MRL_NQ:
+                continue
+            c = v[:dims]
+            s = round(float(q @ c / (np.linalg.norm(q) * np.linalg.norm(c))), 6)
+            scored.append((-s, cid))
+        return {cid for _, cid in sorted(scored)[: VS._MRL_K]}
+
+    for r in rows:
+        full = topk_ids(emb[r["q_id"]], 64)
+        trunc = topk_ids(emb[r["q_id"]], VS._MRL_DIMS)
+        assert r["overlap_at_k"] == len(full & trunc)
+        assert r["overlap_frac"] == round(r["overlap_at_k"] / VS._MRL_K, 4)
+
+
+# ---------------------------------------------------------------------------
+# inverted_index_incremental
+# ---------------------------------------------------------------------------
+
+def test_incremental_index_merge_equals_rebuild(spark, docs_local):
+    rows = registry.queries()["inverted_index_incremental"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    assert all(r["matches_rebuild"] for r in rows)
+    # spot-check the top token's df/tf against brute force
+    df_all: Counter = Counter()
+    tf_all: Counter = Counter()
+    for doc_id, text in docs_local.items():
+        toks = _norm_tokens(text)
+        tf_all.update(toks)
+        for t in set(toks):
+            df_all[t] += 1
+    top = rows[0]
+    assert top["df"] == df_all[top["token"]]
+    assert top["tf_total"] == tf_all[top["token"]]
+
+
+# ---------------------------------------------------------------------------
+# search_snippet_extraction
+# ---------------------------------------------------------------------------
+
+def test_snippet_extraction_picks_densest_window(spark, docs_local):
+    from vectordbfaiss_spark.queries import search_index as SIX
+
+    rows = {
+        r["doc_id"]: r
+        for r in registry.queries()["search_snippet_extraction"](spark, SF_DIR).collect()
+    }
+    n_checked = 0
+    for doc_id, text in docs_local.items():
+        raw = [
+            re.sub(r"[^a-z0-9]", "", w)
+            for w in re.split(r"\s+", text.rstrip().lower())
+        ]
+        occ = [i for i, t in enumerate(raw) if t == SIX._SNIP_TERM]
+        if not occ:
+            assert doc_id not in rows
+            continue
+        best = max(
+            ((sum(1 for p in occ if a <= p < a + SIX._SNIP_WIN), -a), a)
+            for a in occ
+        )
+        (cnt, _), a = best
+        r = rows[doc_id]
+        assert (r["n_in_window"], r["offset"]) == (cnt, a)
+        # snippet is the raw (pre-normalization) token window
+        words = re.split(r"\s+", text.rstrip().lower())
+        assert r["snippet"] == " ".join(words[a : a + SIX._SNIP_WIN])
+        n_checked += 1
+    assert n_checked > 0
+
+
+def test_snippet_plan_no_cartesian(spark):
+    plan = _plan(registry.queries()["search_snippet_extraction"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -258,3 +258,191 @@ def q_rag_context_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= _RAG_BUDGET)
         .orderBy("term", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental inverted-index maintenance
+# ---------------------------------------------------------------------------
+
+_INC_TOP = 100
+
+
+def _sql_half_stats(tag: str, parity: int) -> str:
+    return f"""
+pd_{tag} AS (SELECT token, doc_id, count(*) AS tf FROM tok2
+             WHERE doc_id % 2 = {parity} GROUP BY 1, 2),
+st_{tag} AS (SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total
+             FROM pd_{tag} GROUP BY 1)"""
+
+
+_INC_ORACLE = f"""
+WITH {_SQL_TOKENS},
+{_sql_half_stats('s', 0)},
+{_sql_half_stats('b', 1)},
+merged AS (
+  SELECT coalesce(s.token, b.token) AS token,
+         coalesce(s.df, 0) + coalesce(b.df, 0) AS df,
+         coalesce(s.tf_total, 0) + coalesce(b.tf_total, 0) AS tf_total
+  FROM st_s s FULL OUTER JOIN st_b b ON s.token = b.token),
+rebuild AS (
+  SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total
+  FROM (SELECT token, doc_id, count(*) AS tf FROM tok2 GROUP BY 1, 2)
+  GROUP BY 1)
+SELECT m.token, m.df, m.tf_total,
+       (m.df = r.df AND m.tf_total = r.tf_total) AS matches_rebuild
+FROM merged m JOIN rebuild r ON m.token = r.token
+ORDER BY m.df DESC, m.token
+LIMIT {_INC_TOP}
+"""
+
+
+@register("inverted_index_incremental", _INC_ORACLE)
+def q_inverted_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance: merge a new batch's postings stats
+    into an existing index WITHOUT re-tokenizing the store, and prove the
+    merge equals a full rebuild in-query.
+
+    The production ingest shape (same contract as
+    ``dedup_minhash_incremental``): the store half (even doc_ids) stands
+    for the already-indexed corpus whose per-token aggregates are a
+    persisted artifact; the batch half (odd doc_ids) is the only text
+    tokenized at ingest time. df/tf are additive over disjoint doc sets,
+    so the merge is a full-outer join of two token-keyed aggregate frames
+    — |vocabulary|-sized, never corpus-sized. The full rebuild here is
+    the verification twin (the ``matches_rebuild`` boolean); a real
+    deployment never runs it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+
+    def stats(df):
+        per_doc = df.groupBy("token", "doc_id").agg(F.count("*").alias("tf"))
+        return per_doc.groupBy("token").agg(
+            F.count("*").alias("df"), F.sum("tf").alias("tf_total")
+        )
+
+    st_s = stats(toks.filter(F.col("doc_id") % 2 == 0))
+    st_b = stats(toks.filter(F.col("doc_id") % 2 == 1))
+    merged = (
+        st_s.withColumnRenamed("df", "df_s").withColumnRenamed("tf_total", "tf_s")
+        .join(
+            st_b.withColumnRenamed("df", "df_b").withColumnRenamed(
+                "tf_total", "tf_b"
+            ),
+            "token",
+            "full_outer",
+        )
+        .select(
+            "token",
+            (F.coalesce("df_s", F.lit(0)) + F.coalesce("df_b", F.lit(0))).alias(
+                "df"
+            ),
+            (F.coalesce("tf_s", F.lit(0)) + F.coalesce("tf_b", F.lit(0))).alias(
+                "tf_total"
+            ),
+        )
+    )
+    rebuild = stats(toks).withColumnRenamed("df", "df_r").withColumnRenamed(
+        "tf_total", "tf_r"
+    )
+    return (
+        merged.join(rebuild, "token")
+        .select(
+            "token",
+            "df",
+            "tf_total",
+            (
+                (F.col("df") == F.col("df_r"))
+                & (F.col("tf_total") == F.col("tf_r"))
+            ).alias("matches_rebuild"),
+        )
+        .orderBy(F.desc("df"), "token")
+        .limit(_INC_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Search snippet extraction
+# ---------------------------------------------------------------------------
+
+_SNIP_TERM = "vector"
+_SNIP_WIN = 10  # tokens
+
+_SNIP_ORACLE = f"""
+WITH w AS (SELECT doc_id,
+                  string_split_regex(rtrim(lower(text)), '\\s+') AS words
+           FROM documents),
+p AS (SELECT doc_id, i - 1 AS pos,
+             regexp_replace(words[i], '[^a-z0-9]', '', 'g') AS token
+      FROM w, unnest(generate_series(1, len(words))) AS t(i)),
+occ AS (SELECT doc_id, pos FROM p WHERE token = '{_SNIP_TERM}'),
+dens AS (SELECT a.doc_id, a.pos, count(*) AS n_in_window
+         FROM occ a JOIN occ b
+           ON a.doc_id = b.doc_id
+          AND b.pos >= a.pos AND b.pos < a.pos + {_SNIP_WIN}
+         GROUP BY 1, 2),
+best AS (SELECT doc_id, pos, n_in_window,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY n_in_window DESC, pos) AS rn
+         FROM dens)
+SELECT b.doc_id, b.pos AS offset, b.n_in_window,
+       array_to_string(list_slice(w.words, b.pos + 1,
+                                  b.pos + {_SNIP_WIN}), ' ') AS snippet
+FROM best b JOIN w ON b.doc_id = w.doc_id
+WHERE b.rn = 1
+ORDER BY b.doc_id
+"""
+
+
+@register("search_snippet_extraction", _SNIP_ORACLE)
+def q_search_snippet_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-window snippet per matching document: the densest
+    ``_SNIP_WIN``-token window (anchored at a term occurrence, ties to the
+    earliest offset) — what a search results page shows under each hit.
+
+    Candidate windows are anchored at TERM OCCURRENCES only, so the
+    density join is occurrences x occurrences within a doc (tiny, both
+    sides pre-filtered from the positional postings), joined on doc_id
+    with the window range as a residual — a hash join, not a cartesian
+    and never a windows x positions blow-up. The final snippet slice
+    touches only the winning offset per doc.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.rtrim(F.lower(F.col("text"))), r"\s+")
+    pos = fan_out(docs).select(
+        "doc_id", F.posexplode(words).alias("pos", "raw")
+    ).select(
+        "doc_id", "pos", F.regexp_replace("raw", "[^a-z0-9]", "").alias("token")
+    )
+    occ = pos.filter(F.col("token") == _SNIP_TERM).select("doc_id", "pos")
+    occ = occ.localCheckpoint(eager=True)  # anchors + window-members
+    b = occ.select(F.col("doc_id").alias("b_doc"), F.col("pos").alias("b_pos"))
+    dens = (
+        occ.join(
+            b,
+            (occ.doc_id == b.b_doc)
+            & (b.b_pos >= occ.pos)
+            & (b.b_pos < occ.pos + _SNIP_WIN),
+        )
+        .groupBy("doc_id", "pos")
+        .agg(F.count("*").alias("n_in_window"))
+    )
+    from pyspark.sql import Window as W2
+
+    rn = F.row_number().over(
+        W2.partitionBy("doc_id").orderBy(F.desc("n_in_window"), "pos")
+    )
+    best = dens.withColumn("rn", rn).filter(F.col("rn") == 1)
+    snip = docs.select("doc_id", words.alias("words"))
+    return (
+        best.join(snip, "doc_id")
+        .select(
+            "doc_id",
+            F.col("pos").alias("offset"),
+            "n_in_window",
+            F.array_join(
+                F.slice(F.col("words"), F.col("pos") + 1, _SNIP_WIN), " "
+            ).alias("snippet"),
+        )
+        .orderBy("doc_id")
+    )

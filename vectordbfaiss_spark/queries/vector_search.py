@@ -814,3 +814,104 @@ def q_binary_hamming_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "cand_id", "rank", "hamming", "cos_sim")
         .orderBy("q_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka-style dimension truncation audit
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = 16  # truncated prefix length (of 64)
+_MRL_NQ = 8
+_MRL_K = 10
+
+
+def _sql_rank_cte(tag: str, vec_expr: str) -> str:
+    """Per-query cosine top-k ranking CTE over ``vec_expr`` (full or
+    truncated), mirroring the engine's rounded-then-ranked convention."""
+    return f"""
+q_{tag} AS (SELECT vec_id AS q_id, {vec_expr} AS qv FROM embeddings
+            WHERE vec_id < {_MRL_NQ}),
+s_{tag} AS (
+  SELECT q.q_id, e.vec_id,
+         round(list_dot_product(q.qv, {vec_expr.replace('embedding', 'e.embedding')})
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product({vec_expr.replace('embedding', 'e.embedding')},
+                                          {vec_expr.replace('embedding', 'e.embedding')}))),
+               6) AS score
+  FROM q_{tag} q CROSS JOIN embeddings e
+  WHERE e.vec_id >= {_MRL_NQ}),
+r_{tag} AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY score DESC, vec_id) AS rnk
+  FROM s_{tag})"""
+
+
+_MRL_ORACLE = f"""
+WITH {_sql_rank_cte('full', 'embedding::DOUBLE[]')},
+{_sql_rank_cte('tr', 'list_slice(embedding, 1, {dims})::DOUBLE[]'.format(dims=_MRL_DIMS))},
+ov AS (
+  SELECT f.q_id, count(*) AS n_overlap
+  FROM (SELECT * FROM r_full WHERE rnk <= {_MRL_K}) f
+  JOIN (SELECT * FROM r_tr WHERE rnk <= {_MRL_K}) t
+    ON f.q_id = t.q_id AND f.vec_id = t.vec_id
+  GROUP BY 1)
+SELECT q.q_id AS q_id, coalesce(o.n_overlap, 0) AS overlap_at_k,
+       round(coalesce(o.n_overlap, 0) * 1.0 / {_MRL_K}, 4) AS overlap_frac
+FROM (SELECT DISTINCT q_id FROM r_full) q
+LEFT JOIN ov o ON q.q_id = o.q_id
+ORDER BY q_id
+"""
+
+
+@register("matryoshka_truncation_audit", _MRL_ORACLE)
+def q_matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank agreement between truncated-prefix (16-dim) and full (64-dim)
+    cosine rankings — the go/no-go audit for Matryoshka-style dimension
+    reduction (store/search the prefix, keep the tail for re-rank only).
+
+    Both rankings run through the same vectorized BLAS kernel
+    (score_topk_vectorized); the truncated side just slices the array
+    BEFORE the kernel, so its scan/shuffle carries dims/64 of the bytes —
+    exactly the saving the truncation buys at 10^9 vectors. Overlap@k is
+    a k-row-per-query join. A production decision reads this table:
+    overlap high -> truncate the serving index; low -> keep full dims.
+    """
+    from vectordbfaiss_spark.operators.topk import score_topk_vectorized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = emb.filter(F.col("vec_id") >= _MRL_NQ)
+
+    def ranking(df_q, df_c):
+        return score_topk_vectorized(df_q, df_c, k=_MRL_K).select(
+            F.col("query_id").alias("q_id"), "vec_id"
+        )
+
+    q_full = emb.filter(F.col("vec_id") < _MRL_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    full = ranking(q_full, cand)
+    trunc_vec = F.slice(F.col("embedding"), 1, _MRL_DIMS)
+    q_tr = emb.filter(F.col("vec_id") < _MRL_NQ).select(
+        F.col("vec_id").alias("query_id"), trunc_vec.alias("query_vec")
+    )
+    cand_tr = cand.select("vec_id", trunc_vec.alias("embedding"))
+    trunc = ranking(q_tr, cand_tr)
+
+    ov = (
+        full.join(trunc, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    qids = full.select("q_id").distinct()
+    return (
+        qids.join(ov, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("overlap_at_k"),
+            F.round(
+                F.coalesce(F.col("n_overlap"), F.lit(0)) / _MRL_K, 4
+            ).alias("overlap_frac"),
+        )
+        .orderBy("q_id")
+    )
