@@ -267,6 +267,36 @@ def q_rag_context_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INC_TOP = 100
 
 
+def token_stats_from_tokens(toks: DataFrame) -> DataFrame:
+    """(token, df, tf_total) from (doc_id, token) rows — the persisted
+    aggregate form of an inverted index's dictionary."""
+    per_doc = toks.groupBy("token", "doc_id").agg(F.count("*").alias("tf"))
+    return per_doc.groupBy("token").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("tf_total")
+    )
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """(token, df, tf_total) for a documents frame (doc_id, text, ...)."""
+    return token_stats_from_tokens(_tokens(docs))
+
+
+def merge_token_stats(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Additive merge of two token-stat frames over DISJOINT doc sets
+    (df and tf are additive only if no document is counted twice — the
+    caller's contract, same as dedup's incremental store). Vocabulary-
+    sized full-outer join; never touches any corpus text."""
+    a2 = a.withColumnRenamed("df", "df_a").withColumnRenamed("tf_total", "tf_a")
+    b2 = b.withColumnRenamed("df", "df_b").withColumnRenamed("tf_total", "tf_b")
+    return a2.join(b2, "token", "full_outer").select(
+        "token",
+        (F.coalesce("df_a", F.lit(0)) + F.coalesce("df_b", F.lit(0))).alias("df"),
+        (F.coalesce("tf_a", F.lit(0)) + F.coalesce("tf_b", F.lit(0))).alias(
+            "tf_total"
+        ),
+    )
+
+
 def _sql_half_stats(tag: str, parity: int) -> str:
     return f"""
 pd_{tag} AS (SELECT token, doc_id, count(*) AS tf FROM tok2
@@ -314,37 +344,12 @@ def q_inverted_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens(docs)
-
-    def stats(df):
-        per_doc = df.groupBy("token", "doc_id").agg(F.count("*").alias("tf"))
-        return per_doc.groupBy("token").agg(
-            F.count("*").alias("df"), F.sum("tf").alias("tf_total")
-        )
-
-    st_s = stats(toks.filter(F.col("doc_id") % 2 == 0))
-    st_b = stats(toks.filter(F.col("doc_id") % 2 == 1))
-    merged = (
-        st_s.withColumnRenamed("df", "df_s").withColumnRenamed("tf_total", "tf_s")
-        .join(
-            st_b.withColumnRenamed("df", "df_b").withColumnRenamed(
-                "tf_total", "tf_b"
-            ),
-            "token",
-            "full_outer",
-        )
-        .select(
-            "token",
-            (F.coalesce("df_s", F.lit(0)) + F.coalesce("df_b", F.lit(0))).alias(
-                "df"
-            ),
-            (F.coalesce("tf_s", F.lit(0)) + F.coalesce("tf_b", F.lit(0))).alias(
-                "tf_total"
-            ),
-        )
-    )
-    rebuild = stats(toks).withColumnRenamed("df", "df_r").withColumnRenamed(
-        "tf_total", "tf_r"
-    )
+    st_s = token_stats_from_tokens(toks.filter(F.col("doc_id") % 2 == 0))
+    st_b = token_stats_from_tokens(toks.filter(F.col("doc_id") % 2 == 1))
+    merged = merge_token_stats(st_s, st_b)
+    rebuild = token_stats_from_tokens(toks).withColumnRenamed(
+        "df", "df_r"
+    ).withColumnRenamed("tf_total", "tf_r")
     return (
         merged.join(rebuild, "token")
         .select(

@@ -87,6 +87,14 @@ _PRIORITY: tuple[str, ...] = (
     "zorder_layout_audit",
     "dsir_importance_weights",
     "hard_negative_mining",
+    # session-2 round-3 operators (same highest-risk-first rationale):
+    # the search-index / diagnostics / binary-quantization families
+    "inverted_index_build",
+    "kmv_overlap_sketch",
+    "binary_hamming_rerank_topk",
+    "webdataset_tar_roundtrip",
+    "matryoshka_truncation_audit",
+    "search_snippet_extraction",
     # never-driver-verified queries, natural registration order
     "corpus_health_report",
     "mixture_sampling_plan",
@@ -96,19 +104,13 @@ _PRIORITY: tuple[str, ...] = (
     "sequence_packing_bins",  # re-verify: rewritten shard-parallel in r3
     "stats_summary_lineitem",
     "q13_customer_distribution",
-    "min_max_by_orders",
     "ntile_percent_rank_orders",
-    "datetime_functions_orders",
     "grouping_sets_lineitem",
-    "null_handling_suppliers",
     "funnel_view_click_purchase",
     "retention_cohorts_weekly",
     "null_safe_join_status",
-    "array_set_functions",
-    "higher_order_array_funcs",
     "q16_supplier_relationship",
     "exists_not_exists_customers",
-    "unpivot_lineitem_measures",
     "daily_gapfill_event_counts",
     "latest_event_per_user",
     "q6_forecast_revenue",
@@ -128,6 +130,15 @@ _PRIORITY: tuple[str, ...] = (
     "window_nth_value_events",
     "scd2_event_intervals",
     # ---- driver's 50-row sample boundary lands here ----
+    # (the six relational basics below were demoted from the window to
+    # make room for the session-2 families: lowest-risk entries, heavily
+    # covered by the local oracle harness; head of round 4's rotation)
+    "min_max_by_orders",
+    "datetime_functions_orders",
+    "null_handling_suppliers",
+    "array_set_functions",
+    "higher_order_array_funcs",
+    "unpivot_lineitem_measures",
     "bitwise_agg_lineitem",
     "trending_types_daily_top2",
     "map_functions_events",
