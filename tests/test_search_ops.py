@@ -393,3 +393,93 @@ def test_snippet_plan_no_cartesian(spark):
     plan = _plan(registry.queries()["search_snippet_extraction"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# expectations_quarantine
+# ---------------------------------------------------------------------------
+
+def test_expectations_match_pandas_and_quarantine_dominates(spark):
+    from vectordbfaiss_spark.queries import ops_diagnostics as ODX
+
+    rows = {
+        r["rule"]: r
+        for r in registry.queries()["expectations_quarantine"](spark, SF_DIR).collect()
+    }
+    o = load_table(spark, SF_DIR, "orders").toPandas()
+    ckeys = set(
+        r["c_custkey"]
+        for r in load_table(spark, SF_DIR, "customer").select("c_custkey").collect()
+    )
+    v_price = (o["o_totalprice"] > ODX._EXP_PRICE_CAP)
+    v_date = (o["o_orderdate"] >= ODX._EXP_DATE_CAP)
+    v_status = ~o["o_orderstatus"].isin(["P", "O", "F"])
+    v_fk = ~o["o_custkey"].isin(list(ckeys))
+    assert rows["price_cap"]["n_violations"] == int(v_price.sum())
+    assert rows["date_window"]["n_violations"] == int(v_date.sum())
+    assert rows["status_domain"]["n_violations"] == int(v_status.sum())
+    assert rows["fk_customer"]["n_violations"] == int(v_fk.sum())
+    assert rows["any_rule"]["n_violations"] == int(
+        (v_price | v_date | v_status | v_fk).sum()
+    )
+    any_n = rows["any_rule"]["n_violations"]
+    for name in ("price_cap", "date_window", "status_domain", "fk_customer"):
+        assert rows[name]["n_violations"] <= any_n
+        assert rows[name]["passed"] == (rows[name]["n_violations"] == 0)
+
+
+def test_expectations_plan_is_single_scan_broadcast(spark):
+    plan = _plan(registry.queries()["expectations_quarantine"](spark, SF_DIR))
+    assert plan.count("Scan parquet") <= 2  # orders once + customer keys once
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# ranking_eval_metrics
+# ---------------------------------------------------------------------------
+
+def test_ranking_eval_matches_bruteforce(spark):
+    import math
+
+    import numpy as np
+
+    from vectordbfaiss_spark.queries import vector_search as VS
+
+    rows = {r["q_id"]: r for r in registry.queries()["ranking_eval_metrics"](spark, SF_DIR).collect()}
+    assert set(rows) == set(range(VS._MRL_NQ))
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+
+    def ranked(qv, dims):
+        q = qv[:dims]
+        scored = sorted(
+            (
+                -round(
+                    float(
+                        q @ v[:dims]
+                        / (np.linalg.norm(q) * np.linalg.norm(v[:dims]))
+                    ),
+                    6,
+                ),
+                cid,
+            )
+            for cid, v in emb.items()
+            if cid >= VS._MRL_NQ
+        )
+        return [cid for _, cid in scored[: VS._MRL_K]]
+
+    k = VS._MRL_K
+    idcg = sum((k + 1 - i) / math.log2(i + 1) for i in range(1, k + 1))
+    for q_id, r in rows.items():
+        truth = ranked(emb[q_id], 64)
+        sysr = ranked(emb[q_id], VS._MRL_DIMS)
+        t_rank = {cid: i + 1 for i, cid in enumerate(truth)}
+        hits = [(t_rank[c], i + 1) for i, c in enumerate(sysr) if c in t_rank]
+        assert r["recall_at_k"] == round(len(hits) / k, 6)
+        mrr = round(1.0 / min(rs for _, rs in hits), 6) if hits else 0.0
+        assert r["mrr"] == mrr
+        dcg = sum((k + 1 - rt) / math.log2(rs + 1) for rt, rs in hits)
+        assert abs(r["ndcg_at_k"] - dcg / idcg) < 1e-6
+        assert 0.0 <= r["ndcg_at_k"] <= 1.0 + 1e-9

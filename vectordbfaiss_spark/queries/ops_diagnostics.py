@@ -378,3 +378,107 @@ def q_quality_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source", "pctile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality expectations with quarantine accounting
+# ---------------------------------------------------------------------------
+
+_EXP_PRICE_CAP = 450000.0
+_EXP_DATE_CAP = "2000-01-01"
+
+_EXPECT_ORACLE = f"""
+WITH flagged AS (
+  SELECT CASE WHEN o.o_totalprice > {_EXP_PRICE_CAP} THEN 1 ELSE 0 END AS v_price,
+         CASE WHEN o.o_orderdate >= '{_EXP_DATE_CAP}' THEN 1 ELSE 0 END AS v_date,
+         CASE WHEN o.o_orderstatus NOT IN ('P', 'O', 'F') THEN 1 ELSE 0 END
+           AS v_status,
+         CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END AS v_fk
+  FROM orders o
+  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON o.o_custkey = c.c_custkey),
+agg AS (
+  SELECT count(*) AS n,
+         CAST(sum(v_price) AS BIGINT) AS price_cap,
+         CAST(sum(v_date) AS BIGINT) AS date_window,
+         CAST(sum(v_status) AS BIGINT) AS status_domain,
+         CAST(sum(v_fk) AS BIGINT) AS fk_customer,
+         CAST(sum(CASE WHEN v_price + v_date + v_status + v_fk > 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS any_rule
+  FROM flagged)
+SELECT t.rule, t.n_violations,
+       round(t.n_violations * 1.0 / a.n, 6) AS violation_rate,
+       t.n_violations = 0 AS passed
+FROM agg a, (
+  SELECT 'price_cap' AS rule, price_cap AS n_violations FROM agg
+  UNION ALL SELECT 'date_window', date_window FROM agg
+  UNION ALL SELECT 'status_domain', status_domain FROM agg
+  UNION ALL SELECT 'fk_customer', fk_customer FROM agg
+  UNION ALL SELECT 'any_rule', any_rule FROM agg) t
+ORDER BY t.rule
+"""
+
+
+@register("expectations_quarantine", _EXPECT_ORACLE)
+def q_expectations_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations over a fact table: per-rule
+    violation counts/rates plus the quarantine rowcount (rows failing ANY
+    rule) — the DLT-style expectations report a pipeline gates a publish
+    on.
+
+    All row-local rules evaluate as codegen'd CASE flags in ONE scan; the
+    referential rule rides the same pass as a broadcast left join against
+    the distinct key side. The per-rule report is an unpivot (stack) of a
+    single 1-row aggregate — rules can be added without new scans. At
+    100 TB this is exactly one fact-table read regardless of rule count.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust_keys = (
+        load_table(spark, sf_dir, "customer").select("c_custkey").distinct()
+    )
+    j = orders.join(
+        F.broadcast(cust_keys),
+        orders.o_custkey == cust_keys.c_custkey,
+        "left_outer",
+    )
+    v_price = F.when(F.col("o_totalprice") > _EXP_PRICE_CAP, 1).otherwise(0)
+    v_date = F.when(
+        F.col("o_orderdate") >= F.lit(_EXP_DATE_CAP).cast("timestamp"), 1
+    ).otherwise(0)
+    v_status = F.when(~F.col("o_orderstatus").isin("P", "O", "F"), 1).otherwise(0)
+    v_fk = F.when(F.col("c_custkey").isNull(), 1).otherwise(0)
+    flagged = j.select(
+        v_price.alias("v_price"),
+        v_date.alias("v_date"),
+        v_status.alias("v_status"),
+        v_fk.alias("v_fk"),
+    )
+    agg = flagged.agg(
+        F.count("*").alias("n"),
+        F.sum("v_price").alias("price_cap"),
+        F.sum("v_date").alias("date_window"),
+        F.sum("v_status").alias("status_domain"),
+        F.sum("v_fk").alias("fk_customer"),
+        F.sum(
+            F.when(
+                F.col("v_price") + F.col("v_date") + F.col("v_status")
+                + F.col("v_fk")
+                > 0,
+                1,
+            ).otherwise(0)
+        ).alias("any_rule"),
+    )
+    rules = agg.select(
+        "n",
+        F.expr(
+            "stack(5, 'price_cap', price_cap, 'date_window', date_window, "
+            "'status_domain', status_domain, 'fk_customer', fk_customer, "
+            "'any_rule', any_rule) AS (rule, n_violations)"
+        ),
+    )
+    return rules.select(
+        "rule",
+        "n_violations",
+        F.round(F.col("n_violations") / F.col("n"), 6).alias("violation_rate"),
+        (F.col("n_violations") == 0).alias("passed"),
+    ).orderBy("rule")

@@ -915,3 +915,93 @@ def q_matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("q_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# IR evaluation metrics: recall@k / MRR / nDCG@k
+# ---------------------------------------------------------------------------
+
+_EVAL_ORACLE = f"""
+WITH {_sql_rank_cte('full', 'embedding::DOUBLE[]')},
+{_sql_rank_cte('tr', 'list_slice(embedding, 1, {dims})::DOUBLE[]'.format(dims=_MRL_DIMS))},
+truth AS (SELECT q_id, vec_id, rnk AS rank_t FROM r_full WHERE rnk <= {_MRL_K}),
+sys AS (SELECT q_id, vec_id, rnk AS rank_s FROM r_tr WHERE rnk <= {_MRL_K}),
+hits AS (SELECT t.q_id, t.rank_t, s.rank_s
+         FROM truth t JOIN sys s ON t.q_id = s.q_id AND t.vec_id = s.vec_id),
+per_q AS (SELECT q_id, count(*) AS n_hit, min(rank_s) AS first_hit,
+                 sum(({_MRL_K} + 1 - rank_t) / log2(rank_s + 1.0)) AS dcg
+          FROM hits GROUP BY 1),
+idcg AS (SELECT sum(({_MRL_K} + 1 - i) / log2(i + 1.0)) AS v
+         FROM unnest(generate_series(1, {_MRL_K})) t(i)),
+qs AS (SELECT DISTINCT q_id FROM truth)
+SELECT qs.q_id AS q_id,
+       round(coalesce(p.n_hit, 0) / {_MRL_K}.0, 6) AS recall_at_k,
+       round(coalesce(1.0 / p.first_hit, 0.0), 6) AS mrr,
+       round(coalesce(p.dcg, 0.0) / i.v, 6) AS ndcg_at_k
+FROM qs CROSS JOIN idcg i
+LEFT JOIN per_q p ON qs.q_id = p.q_id
+ORDER BY q_id
+"""
+
+
+@register("ranking_eval_metrics", _EVAL_ORACLE)
+def q_ranking_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in retrieval evaluation: recall@k, MRR and nDCG@k of the
+    truncated-dimension ranking against the full-precision ranking as
+    graded ground truth (grade = k+1-rank of the true list).
+
+    A vector engine without an evaluation harness can't justify its own
+    approximations; this is the harness as a query. Both rankings run the
+    vectorized BLAS kernel; the metric computation is a k-row-per-query
+    join plus one aggregate — evaluation cost is O(Q*k), independent of
+    corpus size, so it can run after every index rebuild as a regression
+    gate. IDCG is computed in-query from the same series on both engines
+    (no cross-engine constant drift).
+    """
+    from vectordbfaiss_spark.operators.topk import score_topk_vectorized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = emb.filter(F.col("vec_id") >= _MRL_NQ)
+
+    def ranking(vec_expr):
+        q = emb.filter(F.col("vec_id") < _MRL_NQ).select(
+            F.col("vec_id").alias("query_id"), vec_expr.alias("query_vec")
+        )
+        c = cand.select("vec_id", vec_expr.alias("embedding"))
+        return score_topk_vectorized(q, c, k=_MRL_K).select(
+            F.col("query_id").alias("q_id"), "vec_id", "rank"
+        )
+
+    truth = ranking(F.col("embedding")).withColumnRenamed("rank", "rank_t")
+    sys_r = ranking(F.slice(F.col("embedding"), 1, _MRL_DIMS)).withColumnRenamed(
+        "rank", "rank_s"
+    )
+    hits = truth.join(sys_r, ["q_id", "vec_id"])
+    per_q = hits.groupBy("q_id").agg(
+        F.count("*").alias("n_hit"),
+        F.min("rank_s").alias("first_hit"),
+        F.sum(
+            (_MRL_K + 1 - F.col("rank_t")) / F.log2(F.col("rank_s") + 1.0)
+        ).alias("dcg"),
+    )
+    idcg = spark.range(1, _MRL_K + 1).agg(
+        F.sum((_MRL_K + 1 - F.col("id")) / F.log2(F.col("id") + 1.0)).alias("v")
+    )
+    qs = truth.select("q_id").distinct()
+    return (
+        qs.crossJoin(F.broadcast(idcg))
+        .join(per_q, "q_id", "left")
+        .select(
+            "q_id",
+            F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / float(_MRL_K), 6).alias(
+                "recall_at_k"
+            ),
+            F.round(
+                F.coalesce(1.0 / F.col("first_hit"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            F.round(
+                F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("v"), 6
+            ).alias("ndcg_at_k"),
+        )
+        .orderBy("q_id")
+    )
