@@ -85,3 +85,38 @@ def test_apply_merges_roundtrip(spark):
         final_pairs.update(zip(syms, syms[1:]))
     for pa, pb in merges:
         assert (pa, pb) not in final_pairs
+
+
+def test_encode_corpus_consistent_with_trained_merges(spark):
+    """bpe_encode_corpus: every output word's encoding replays the learned
+    merge list left-to-right by hand."""
+    from vectordbfaiss_spark import registry
+    from vectordbfaiss_spark.queries.bpe import _N_MERGES
+
+    sf = "/root/testdata/sf0.001"
+    merges = [
+        (r["pa"], r["pb"])
+        for r in registry.queries()["bpe_train_merges"](spark, sf)
+        .orderBy("iteration")
+        .collect()
+    ]
+    assert len(merges) == _N_MERGES
+
+    def encode(word: str) -> list[str]:
+        syms = list(word)
+        for pa, pb in merges:
+            out: list[str] = []
+            for s in syms:
+                if out and s == pb and out[-1] == pa:
+                    out[-1] = pa + pb
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    rows = registry.queries()["bpe_encode_corpus"](spark, sf).collect()
+    assert rows, "no encoded rows"
+    for r in rows:
+        expect = encode(r["word"])
+        assert r["encoded"].split(" ") == expect
+        assert r["n_tokens"] == len(expect) <= len(r["word"])

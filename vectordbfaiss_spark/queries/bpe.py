@@ -71,3 +71,74 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return train_bpe_merges(docs, _N_MERGES)
+
+
+_ENC_TOP = 30
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """Trainer oracle extended one step: apply the n-th merge too, then
+    read the ENCODED dictionary (the inference artifact) instead of the
+    merge table."""
+    base = _bpe_oracle(n_merges)
+    final_rewrite = f""",
+w{n_merges} AS (
+  SELECT s.word, s.freq,
+         list_reduce(s.syms, (acc, x) -> CASE
+             WHEN x = b.pb AND (acc = b.pa OR ends_with(acc, ' ' || b.pa))
+             THEN substr(acc, 1, length(acc) - length(b.pa)) || b.pa || b.pb
+             ELSE acc || ' ' || x END) AS seq
+  FROM (SELECT word, freq, string_split(seq, ' ') AS syms FROM w{n_merges - 1}) s,
+       b{n_merges} b
+)"""
+    head = base.split("\nSELECT CAST(1")[0]  # CTEs only, minus the UNION tail
+    return (
+        head
+        + final_rewrite
+        + f"""
+SELECT word, freq, seq AS encoded,
+       CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_tokens
+FROM w{n_merges}
+ORDER BY freq DESC, word
+LIMIT {_ENC_TOP}
+"""
+    )
+
+
+@register("bpe_encode_corpus", _bpe_encode_oracle(_N_MERGES))
+def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer INFERENCE with the learned artifact: train the 5-rule
+    merge table, then encode the corpus dictionary with it (one codegen'd
+    fold per rule, merges shipped as literals) and emit the top-30 words
+    with their encoded sequences and token counts.
+
+    This is the apply-side every training pipeline runs at far greater
+    volume than training: the merge table is collected once (n_merges
+    rows — the tokenizer artifact, driver-side by design, like any model
+    checkpoint), and encoding is |vocab|-parallel expression work with NO
+    joins or shuffles per rule. The oracle replays training AND the final
+    application round with the identical string fold.
+    """
+    from vectordbfaiss_spark.operators.bpe import (
+        apply_bpe_merges,
+        train_bpe_merges,
+        word_freq_dict,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["pa"], r["pb"])
+        for r in train_bpe_merges(docs, _N_MERGES).orderBy("iteration").collect()
+    ]
+    encoded = apply_bpe_merges(word_freq_dict(docs), merges)
+    return (
+        encoded.select(
+            "word",
+            "freq",
+            F.col("seq").alias("encoded"),
+            F.size(F.split(F.col("seq"), " ")).cast("long").alias("n_tokens"),
+        )
+        .orderBy(F.desc("freq"), "word")
+        .limit(_ENC_TOP)
+    )
