@@ -483,3 +483,15 @@ def test_ranking_eval_matches_bruteforce(spark):
         dcg = sum((k + 1 - rt) / math.log2(rs + 1) for rt, rs in hits)
         assert abs(r["ndcg_at_k"] - dcg / idcg) < 1e-6
         assert 0.0 <= r["ndcg_at_k"] <= 1.0 + 1e-9
+
+
+def test_session_family_plans_have_no_sort_merge_join(spark):
+    """Kernel/window outputs carry no stats, so AQE can't save these joins
+    itself — the explicit hints must hold (audited at sf0.01, pinned here)."""
+    for name in (
+        "matryoshka_truncation_audit",
+        "ranking_eval_metrics",
+        "inverted_index_incremental",
+    ):
+        plan = _plan(registry.queries()[name](spark, SF_DIR))
+        assert "SortMergeJoin" not in plan, name

@@ -288,6 +288,10 @@ def merge_token_stats(a: DataFrame, b: DataFrame) -> DataFrame:
     sized full-outer join; never touches any corpus text."""
     a2 = a.withColumnRenamed("df", "df_a").withColumnRenamed("tf_total", "tf_a")
     b2 = b.withColumnRenamed("df", "df_b").withColumnRenamed("tf_total", "tf_b")
+    # full-outer can't broadcast; hash-join the vocabulary-keyed sides
+    # instead of paying SortMergeJoin's per-partition sorts (dictionary
+    # rows are narrow and hash-partition evenly on token)
+    a2 = a2.hint("SHUFFLE_HASH")
     return a2.join(b2, "token", "full_outer").select(
         "token",
         (F.coalesce("df_a", F.lit(0)) + F.coalesce("df_b", F.lit(0))).alias("df"),
@@ -351,7 +355,7 @@ def q_inverted_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "df", "df_r"
     ).withColumnRenamed("tf_total", "tf_r")
     return (
-        merged.join(rebuild, "token")
+        merged.hint("SHUFFLE_HASH").join(rebuild, "token")
         .select(
             "token",
             "df",

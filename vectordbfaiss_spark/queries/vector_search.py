@@ -898,14 +898,16 @@ def q_matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     cand_tr = cand.select("vec_id", trunc_vec.alias("embedding"))
     trunc = ranking(q_tr, cand_tr)
 
+    # both rankings are Q*k rows by contract, but they come out of
+    # mapInPandas+window with no stats — hint the broadcast AQE can't infer
     ov = (
-        full.join(trunc, ["q_id", "vec_id"])
+        full.join(F.broadcast(trunc), ["q_id", "vec_id"])
         .groupBy("q_id")
         .agg(F.count("*").alias("n_overlap"))
     )
     qids = full.select("q_id").distinct()
     return (
-        qids.join(ov, "q_id", "left")
+        qids.join(F.broadcast(ov), "q_id", "left")
         .select(
             "q_id",
             F.coalesce(F.col("n_overlap"), F.lit(0)).alias("overlap_at_k"),
@@ -976,7 +978,8 @@ def q_ranking_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     sys_r = ranking(F.slice(F.col("embedding"), 1, _MRL_DIMS)).withColumnRenamed(
         "rank", "rank_s"
     )
-    hits = truth.join(sys_r, ["q_id", "vec_id"])
+    # Q*k-bounded kernel outputs carry no stats: hint the broadcast
+    hits = truth.join(F.broadcast(sys_r), ["q_id", "vec_id"])
     per_q = hits.groupBy("q_id").agg(
         F.count("*").alias("n_hit"),
         F.min("rank_s").alias("first_hit"),
@@ -990,7 +993,7 @@ def q_ranking_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = truth.select("q_id").distinct()
     return (
         qs.crossJoin(F.broadcast(idcg))
-        .join(per_q, "q_id", "left")
+        .join(F.broadcast(per_q), "q_id", "left")
         .select(
             "q_id",
             F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / float(_MRL_K), 6).alias(
