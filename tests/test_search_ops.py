@@ -495,3 +495,44 @@ def test_session_family_plans_have_no_sort_merge_join(spark):
     ):
         plan = _plan(registry.queries()[name](spark, SF_DIR))
         assert "SortMergeJoin" not in plan, name
+
+
+# ---------------------------------------------------------------------------
+# Edge cases: empty inputs through the new family's operators
+# ---------------------------------------------------------------------------
+
+def test_token_stats_and_merge_handle_empty_sides(spark):
+    from vectordbfaiss_spark.queries.search_index import (
+        merge_token_stats,
+        token_stats,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    empty = docs.filter("doc_id < 0")
+    assert token_stats(empty).count() == 0
+    full = token_stats(docs)
+    merged = merge_token_stats(full, token_stats(empty))
+    a = {r["token"]: (r["df"], r["tf_total"]) for r in full.collect()}
+    b = {r["token"]: (r["df"], r["tf_total"]) for r in merged.collect()}
+    assert a == b  # empty side is the identity
+
+
+def test_phrase_and_snippet_absent_term_yield_empty(spark):
+    from vectordbfaiss_spark.queries import search_index as SIX
+
+    docs = load_table(spark, SF_DIR, "documents")
+    # a token that cannot survive normalization (too short after strip)
+    from pyspark.sql import functions as F
+
+    words = F.split(F.rtrim(F.lower(F.col("text"))), r"\s+")
+    pos = docs.select("doc_id", F.posexplode(words).alias("pos", "raw")).select(
+        "doc_id",
+        "pos",
+        F.regexp_replace("raw", "[^a-z0-9]", "").alias("token"),
+    )
+    assert pos.filter(F.col("token") == "zzzznotaword").count() == 0
+    # empty posting streams flow through the joins without error
+    a = pos.filter(F.col("token") == "zzzznotaword").select("doc_id", "pos")
+    b = a.select(F.col("doc_id").alias("b_doc"), F.col("pos").alias("b_pos"))
+    out = a.join(b, (a.doc_id == b.b_doc) & (b.b_pos == a.pos + 1)).count()
+    assert out == 0

@@ -64,6 +64,14 @@ def q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     factor ``skew_salted_event_totals`` (this registry) applies by hand.
     The key-count frame is corpus-sized/|keys|; everything after it is
     O(keys) -> O(1) aggregation plus a broadcast of one stats row.
+
+    Scale caveat, stated honestly: ``percentile`` is EXACT and buffers
+    all |keys| count values in one aggregation — fine up to ~10^7 keys
+    (they're one long each), but at 10^9+ keys swap p50/p99 to
+    ``approx_percentile`` (same column, sketch-bounded memory); exact is
+    kept here because the oracle hash-compare needs cross-engine-exact
+    interpolation and |keys| is the SMALL side of any skew problem worth
+    diagnosing.
     """
     ev = load_table(spark, sf_dir, "events")
     per_key = ev.groupBy("user_id").agg(F.count("*").alias("key_rows"))
@@ -163,7 +171,11 @@ def q_kmv_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source vocabulary overlap from k-minimum-values sketches.
 
     Estimates |A|, |B|, |A u B| and |A n B| for two sources' distinct
-    3-shingle sets from k=256-value sketches (Bar-Yossef et al.'s KMV:
+    3-shingle HASH sets (the engine-shared md5 bucket, M=16^6 — at that
+    hash width, collisions shave ~|A|/2M from the truth; both the
+    estimates AND the exact twins live in hash space so the comparison
+    is apples-to-apples, and a production run at 10^9 shingles widens to
+    a 64-bit hash, same plan) from k=256-value sketches (Bar-Yossef et al.'s KMV:
     the k-th smallest of n uniform hashes sits near k/n of the hash
     space, so (k-1)*M/h_k estimates n; the intersection is estimated
     from the fraction rho of the union sketch present in both sets).
