@@ -536,3 +536,23 @@ def test_phrase_and_snippet_absent_term_yield_empty(spark):
     b = a.select(F.col("doc_id").alias("b_doc"), F.col("pos").alias("b_pos"))
     out = a.join(b, (a.doc_id == b.b_doc) & (b.b_pos == a.pos + 1)).count()
     assert out == 0
+
+
+# ---------------------------------------------------------------------------
+# fingerprint_attribution
+# ---------------------------------------------------------------------------
+
+def test_fingerprint_attribution_recovers_the_source(spark):
+    from vectordbfaiss_spark.queries import text_analysis as TA
+
+    rows = registry.queries()["fingerprint_attribution"](spark, SF_DIR).collect()
+    by_probe: dict[int, list] = {}
+    for r in rows:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    assert set(by_probe) == set(range(TA._ATTR_NPROBES))
+    for probe_id, prs in by_probe.items():
+        prs.sort(key=lambda r: r["rank"])
+        # winnowing theorem: the true source must top the attribution list
+        assert prs[0]["doc_id"] == probe_id and prs[0]["self_match"]
+        counts = [r["n_shared"] for r in prs]
+        assert counts == sorted(counts, reverse=True)

@@ -639,3 +639,122 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("fps").alias("fp_min"),
         F.md5(F.array_join(F.array_sort("fps"), "")).alias("fp_set_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fingerprint reverse-lookup (attribution)
+# ---------------------------------------------------------------------------
+
+_ATTR_NPROBES = 3  # snippets cut from the first docs (in-query, so the
+_ATTR_OFF = 100  # probe text tracks whatever fixture the driver generates)
+_ATTR_LEN = 200
+_ATTR_TOPN = 3
+
+
+def _winnow_fps_sql(src: str, id_col: str, text_expr: str) -> str:
+    """Winnowing fingerprint set (same k/w as winnowing_fingerprints)."""
+    return f"""(
+  SELECT {id_col},
+         list_distinct(list_transform(
+             generate_series(1, greatest(1, len(hashes) - {_WIN_W} + 1)),
+             j -> list_min(list_slice(hashes, j, j + {_WIN_W} - 1)))) AS fps
+  FROM (
+    SELECT {id_col},
+           list_transform(generate_series(1, greatest(1, length(t) - {_WIN_K} + 1)),
+                          i -> md5(substr(t, i, {_WIN_K}))) AS hashes
+    FROM (SELECT {id_col}, {text_expr} AS t FROM {src}) x
+  ) h)"""
+
+
+_ATTR_ORACLE = f"""
+WITH doc_fp AS (
+  SELECT doc_id, unnest(fps) AS fp
+  FROM {_winnow_fps_sql('(SELECT doc_id, text FROM documents WHERE text IS NOT NULL)',
+                        'doc_id', 'lower(text)')} t
+), probe_fp AS (
+  SELECT probe_id, unnest(fps) AS fp
+  FROM {_winnow_fps_sql(
+      f'(SELECT doc_id AS probe_id, substr(text, {_ATTR_OFF}, {_ATTR_LEN}) AS text '
+      f'FROM documents WHERE doc_id < {_ATTR_NPROBES})',
+      'probe_id', 'lower(text)')} t
+), shared AS (
+  SELECT p.probe_id, d.doc_id, count(*) AS n_shared
+  FROM probe_fp p JOIN doc_fp d ON p.fp = d.fp
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT probe_id, doc_id, n_shared,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY n_shared DESC, doc_id) AS rnk
+  FROM shared)
+SELECT probe_id, doc_id, n_shared, rnk AS rank,
+       probe_id = doc_id AS self_match
+FROM ranked WHERE rnk <= {_ATTR_TOPN}
+ORDER BY probe_id, rank
+"""
+
+
+@register("fingerprint_attribution", _ATTR_ORACLE)
+def q_fingerprint_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse fingerprint lookup: which corpus documents does a quoted
+    snippet come from? Probe snippets (cut in-query from the first docs,
+    so the query tracks any regenerated fixture) are winnowed with the
+    SAME k/w as the corpus index; attribution = fingerprint-equality join
+    + count, top-N sources per probe. The winnowing theorem guarantees a
+    snippet overlapping a doc by >= w+k-1 chars shares a fingerprint, so
+    the true source surfaces with the maximum count (self_match marks
+    it — rank 1 expected).
+
+    Scale shape: the corpus fingerprint explode is the INDEX (built once,
+    ~len/w entries per doc); probes are tiny; the join is equi on the
+    fingerprint hash and the per-probe ranking is a WindowGroupLimit.
+    This is memorization/contamination attribution at corpus scale — the
+    reverse direction of crossdoc_span_dedup.
+    """
+    from vectordbfaiss_spark.session import fan_out
+
+    def winnow_fps(df, id_col):
+        hashes = F.expr(
+            f"transform(sequence(1, greatest(1, length(t) - {_WIN_K - 1})),"
+            f" i -> md5(substr(t, i, {_WIN_K})))"
+        )
+        sel = F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(1, size(h) - {_WIN_W - 1})),"
+                f" j -> array_min(slice(h, j, {_WIN_W})))"
+            )
+        )
+        return (
+            df.select(id_col, F.lower("text").alias("t"))
+            .select(id_col, hashes.alias("h"))
+            .select(id_col, F.explode(sel).alias("fp"))
+        )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    doc_fp = winnow_fps(fan_out(docs), "doc_id")
+    probes = docs.filter(F.col("doc_id") < _ATTR_NPROBES).select(
+        F.col("doc_id").alias("probe_id"),
+        F.substring("text", _ATTR_OFF, _ATTR_LEN).alias("text"),
+    )
+    probe_fp = winnow_fps(probes, "probe_id")
+    shared = (
+        doc_fp.join(F.broadcast(probe_fp), "fp")
+        .groupBy("probe_id", "doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    from pyspark.sql import Window as W2
+
+    rnk = F.row_number().over(
+        W2.partitionBy("probe_id").orderBy(F.desc("n_shared"), "doc_id")
+    )
+    return (
+        shared.withColumn("rank", rnk)
+        .filter(F.col("rank") <= _ATTR_TOPN)
+        .select(
+            "probe_id",
+            "doc_id",
+            "n_shared",
+            "rank",
+            (F.col("probe_id") == F.col("doc_id")).alias("self_match"),
+        )
+        .orderBy("probe_id", "rank")
+    )
