@@ -324,3 +324,47 @@ def test_dsir_bucket_distributions_are_broadcast(spark):
     side would be the classic scale mistake."""
     plan = _plan(registry.queries()["dsir_importance_weights"](spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 1 or plan.count("BroadcastExchange") >= 2
+
+
+# ---------------------------------------------------------------------------
+# Session-3 lifecycle queries: scan-level efficiency pins
+# ---------------------------------------------------------------------------
+
+def test_ivf_tombstone_filter_is_scan_adjacent(spark):
+    """The tombstone predicate runs as a codegen filter directly over the
+    index scan (modulo can't prune row groups — see the query docstring),
+    and the search plan stays join-light."""
+    q = registry.queries()["ivf_tombstone_search"](spark, SF_DIR)
+    plan = _plan(q)
+    assert re.search(r"Filter .*vec_id#\d+L? % 5", plan), plan[:3000]
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_schema_evolution_prunes_columns(spark):
+    """mergeSchema must not defeat column pruning: the merged-footer scan
+    reads only the projected columns, and o_orderdate (present in BOTH
+    generations' source rows but never projected) stays out of ReadSchema."""
+    q = registry.queries()["schema_evolution_read"](spark, SF_DIR)
+    plan = _plan(q)
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m, plan[:3000]
+    assert "o_orderdate" not in m.group(1)
+    assert "o_totalprice" in m.group(1)
+
+
+def test_vector_crud_plan_shape(spark):
+    """The CRUD store is three scans + a no-shuffle union feeding the BLAS
+    kernel — no join of any kind before the final Q*k window."""
+    q = registry.queries()["vector_store_crud_search"](spark, SF_DIR)
+    plan = _plan(q)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Union" in plan
+
+
+def test_ivf_append_no_joins_before_window(spark):
+    q = registry.queries()["ivf_append_search"](spark, SF_DIR)
+    plan = _plan(q)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

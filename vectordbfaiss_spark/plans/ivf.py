@@ -267,3 +267,38 @@ def ivf_search(
         F.round(dot(F.col(query_vec), F.col(index_vec)), 6).alias("score"),
     )
     return topk(pairs, k, query_id, index_id)
+
+
+def ivf_index_append(
+    delta: DataFrame,
+    centroids,
+    delta_path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Append a new batch to a TRAINED index as a delta segment — FAISS
+    ``index.add()`` semantics for the partitioned-parquet layout.
+
+    The coarse quantizer is NOT retrained (the standard IVF contract:
+    centroids are a published model artifact; drift is handled by periodic
+    rebuilds — see ``embedding_drift_report`` for the trigger signal). The
+    batch is normalized exactly like the base build, assigned to its
+    nearest existing centroid, and written cluster-partitioned into a
+    SEPARATE delta directory: the base artifact stays immutable, readers
+    union base + delta (both partition-pruned by the same cluster_id
+    predicate), and compaction folds deltas into the base on rebuild.
+    Work is |delta|-proportional — nothing over the base corpus runs.
+    """
+    norm = delta.withColumn(
+        vec_col, l2_normalize(F.col(vec_col)).cast("array<float>")
+    )
+    assigned = (
+        _nearest_centroids(norm, vec_col, centroids, 1)
+        .select("*", F.element_at("cluster_ids", 1).alias("cluster_id"))
+        .drop("cluster_ids")
+    )
+    (
+        assigned.repartition("cluster_id")
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(delta_path)
+    )

@@ -373,6 +373,10 @@ def q_quality_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = load_table(spark, sf_dir, "documents")
     scored = TS.quality_score(docs, "doc_id", "text").select("doc_id", "quality")
     s = scored.join(docs.select("doc_id", "source"), "doc_id")
+    # two consumers (per-source + global percentiles): materialize the
+    # 2-column scored frame once, or the stopword-scan expression tree
+    # runs twice over the corpus
+    s = s.localCheckpoint(eager=True)
     ps = s.groupBy("source").agg(
         F.expr(f"percentile(quality, {_PCTS_SPARK})").alias("qs")
     )

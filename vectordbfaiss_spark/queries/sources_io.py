@@ -1003,3 +1003,150 @@ def q_webdataset_tar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("content_md5"),
         F.length("text").cast("long").alias("n_chars_rt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution: mergeSchema read over two table generations
+# ---------------------------------------------------------------------------
+
+_SCHEMA_EVO_ORACLE = """
+SELECT CAST(1 + o_orderkey % 2 AS INTEGER) AS gen,
+       count(*) AS n,
+       count(CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END) AS n_status,
+       round(sum(o_totalprice), 4) AS total_price
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("schema_evolution_read", _SCHEMA_EVO_ORACLE)
+def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet GENERATIONS of the same table —
+    gen=1 written before a column existed (o_orderkey, o_custkey,
+    o_totalprice), gen=2 with the added ``o_orderstatus`` — read back as
+    ONE table via partition discovery + ``mergeSchema``. Old files surface
+    the new column as NULL, which the per-generation non-null count pins.
+
+    This is the 100 TB reality of long-lived tables: columns get added over
+    years of writes and a scan must union schemas without rewriting old
+    data. ``mergeSchema`` reconciles footers at planning time (per-file
+    footer reads, no data pass); the per-generation aggregate still gets
+    normal column pruning — only the three projected columns are read.
+    The oracle replays both generations from the source table.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    tmp = os.path.join(
+        tempfile.gettempdir(), f"vdbf_schemaevo_{abs(hash(sf_dir)) % 10**8}"
+    )
+    gen1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    gen2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    gen1.write.mode("overwrite").parquet(os.path.join(tmp, "gen=1"))
+    gen2.write.mode("overwrite").parquet(os.path.join(tmp, "gen=2"))
+    back = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", tmp)
+        .parquet(os.path.join(tmp, "gen=1"), os.path.join(tmp, "gen=2"))
+    )
+    return back.groupBy(F.col("gen").cast("int").alias("gen")).agg(
+        F.count("*").alias("n"),
+        F.count("o_orderstatus").alias("n_status"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF delta append (FAISS index.add(): new batch into a trained index)
+# ---------------------------------------------------------------------------
+
+def _ivf_append_oracle() -> str:
+    from vectordbfaiss_spark.queries.vector_search import _ROUTED_LITS
+
+    return f"""
+WITH qr AS (SELECT [{_ROUTED_LITS}]::REAL[]::DOUBLE[] AS q),
+nq AS (
+  SELECT list_transform(q, x -> CAST(x / sqrt(list_dot_product(q, q)) AS REAL))::DOUBLE[] AS qv
+  FROM qr
+),
+corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 200000, list_reverse(embedding::DOUBLE[])
+  FROM embeddings WHERE vec_id % 13 = 2
+  UNION ALL
+  SELECT 999999, [{_ROUTED_LITS}]::REAL[]::DOUBLE[]
+),
+nv AS (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(x / sqrt(list_dot_product(e, e)) AS REAL))::DOUBLE[] AS v
+  FROM corpus
+),
+s AS (SELECT vec_id, round(list_dot_product(nq.qv, nv.v), 6) AS score FROM nv, nq)
+SELECT vec_id, score,
+       vec_id >= 200000 AS from_delta,
+       row_number() OVER (ORDER BY score DESC, vec_id) AS rnk
+FROM s ORDER BY score DESC, vec_id LIMIT 20
+"""
+
+
+@register("ivf_append_search", _ivf_append_oracle())
+def q_ivf_append_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index LIFECYCLE: a new ingest batch appended to the PUBLISHED IVF
+    index without retraining (plans.ivf.ivf_index_append — FAISS
+    ``index.add()``), then one search over base + delta. The delta batch
+    (vec_id % 13 == 2, vectors REVERSED so they are genuinely new
+    directions, ids offset +200000) is assigned to the frozen centroids
+    and written as a cluster-partitioned delta segment; the base artifact
+    stays immutable. The search unions the two segment sets — the same
+    cluster_id routing predicate partition-prunes BOTH — so serving cost
+    is unchanged and append cost is |delta|-proportional. Full probe makes
+    the answer exact: the oracle replays base ∪ reversed-delta in SQL, so
+    a missing/mis-assigned delta row is a hash mismatch (delta rows DO
+    surface in the checked top-20). Completes the index lifecycle:
+    build (`ivf_disk_search`) → append (here) → delete
+    (`ivf_tombstone_search`) → rebuild-on-drift (`embedding_drift_report`).
+    """
+    import pathlib
+
+    from vectordbfaiss_spark.plans.ivf import (
+        build_ivf_index,
+        corpus_fingerprint,
+        ivf_index_append,
+        ivf_search,
+    )
+    from vectordbfaiss_spark.queries.vector_search import _routed_query_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fp = corpus_fingerprint(f"{sf_dir}/embeddings.parquet")
+    out = f"/root/repo/spark-warehouse/ivf_index_{pathlib.Path(sf_dir).name}"
+    delta_out = f"{out}_delta"
+    centroids = build_ivf_index(emb, out, n_clusters=8, seed=42, corpus_key=fp)
+    delta = emb.filter(F.col("vec_id") % 13 == 2).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.reverse("embedding").alias("embedding"),
+        "label",
+    ).unionByName(
+        # a PLANTED row equal to the query vector: rank-1 by construction
+        # at every SF, so the append is always observably load-bearing
+        spark.createDataFrame(
+            [(999999, _routed_query_vec(), -1)],
+            "vec_id long, embedding array<float>, label int",
+        )
+    )
+    ivf_index_append(delta, centroids, delta_out)
+    index = spark.read.parquet(out).unionByName(
+        spark.read.parquet(delta_out), allowMissingColumns=False
+    )
+    queries = spark.createDataFrame(
+        [(0, _routed_query_vec())], "query_id long, query_vec array<float>"
+    )
+    hits = ivf_search(index, queries, centroids, k=20, nprobe=8)
+    return hits.select(
+        "vec_id",
+        "score",
+        (F.col("vec_id") >= 200000).alias("from_delta"),
+        F.col("rank").cast("long").alias("rnk"),
+    )

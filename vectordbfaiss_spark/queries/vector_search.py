@@ -1008,3 +1008,162 @@ def q_ranking_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vector-store CRUD lifecycle (FAISS remove_ids/add parity: delete + upsert
+# + search over the resulting store)
+# ---------------------------------------------------------------------------
+
+_CRUD_ORACLE = """
+WITH upd AS (
+    SELECT vec_id, list_transform(embedding::DOUBLE[], x -> 0.5 * x + 0.25) AS v
+    FROM embeddings WHERE vec_id % 23 = 5
+), ins AS (
+    SELECT vec_id + 100000 AS vec_id,
+           list_transform(embedding::DOUBLE[], x -> -x) AS v
+    FROM embeddings WHERE vec_id % 31 = 7
+), base AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    WHERE vec_id % 17 <> 3 AND vec_id % 23 <> 5
+), store AS (
+    SELECT * FROM base UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins
+), q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < 10
+), s AS (
+    SELECT q.query_id, st.vec_id,
+           round(
+             list_dot_product(q.qv, st.v)
+             / (sqrt(list_dot_product(q.qv, q.qv))
+                * sqrt(list_dot_product(st.v, st.v))),
+             6) AS score
+    FROM q CROSS JOIN store st
+), r AS (
+    SELECT query_id, vec_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+    FROM s
+)
+SELECT query_id, vec_id, score, rnk,
+       (vec_id >= 100000 OR vec_id % 23 = 5) AS from_upsert
+FROM r WHERE rnk <= 5
+"""
+
+
+@register("vector_store_crud_search", _CRUD_ORACLE)
+def q_vector_store_crud_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-store WRITE lifecycle, then search: the FAISS operational
+    surface (`remove_ids` + `add`, faiss IndexIDMap semantics the reference
+    would reach for to mutate its store) as one declarative plan.
+
+    * tombstone batch: ids with vec_id % 17 == 3 are deleted;
+    * upsert batch: ids with vec_id % 23 == 5 are RE-embedded (elementwise
+      0.5*x + 0.25 stands in for a new model revision) and ids with
+      vec_id % 31 == 7 are INSERTED as new rows (vec_id + 100000, negated
+      vector). Deletes apply first, upserts win over deletes.
+    * search: the unchanged outside-world query batch (first 10 original
+      embeddings), exact cosine top-5 over the post-CRUD store through the
+      vectorized BLAS kernel.
+
+    At scale each piece stays shuffle-free until the final Q*k window: the
+    tombstone/update predicates are scan filters, the union is a no-shuffle
+    concat of three scans of the same parquet, and scoring is the
+    mapInPandas kernel (O(partitions*Q*k) shuffle rows). The oracle replays
+    the exact double-precision CRUD arithmetic, so a tombstoned id leaking
+    into (or an upsert missing from) any top-5 is a hash mismatch.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    embd = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    upd = embd.filter(F.col("vec_id") % 23 == 5).select(
+        "vec_id", F.transform("v", lambda x: x * 0.5 + 0.25).alias("v")
+    )
+    ins = embd.filter(F.col("vec_id") % 31 == 7).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("v", lambda x: -x).alias("v"),
+    )
+    base = embd.filter(
+        (F.col("vec_id") % 17 != 3) & (F.col("vec_id") % 23 != 5)
+    )
+    store = base.unionByName(upd).unionByName(ins)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    winners = score_topk_vectorized(queries, store, k=5, index_vec="v")
+    return winners.select(
+        "query_id",
+        "vec_id",
+        "score",
+        F.col("rank").cast("long").alias("rnk"),
+        ((F.col("vec_id") >= 100000) | (F.col("vec_id") % 23 == 5)).alias(
+            "from_upsert"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tombstone-aware IVF serving (delete without rebuild)
+# ---------------------------------------------------------------------------
+
+_IVF_TOMBSTONE_ORACLE = f"""
+WITH qr AS (SELECT [{_ROUTED_LITS}]::REAL[]::DOUBLE[] AS q),
+nq AS (
+  SELECT list_transform(q, x -> CAST(x / sqrt(list_dot_product(q, q)) AS REAL))::DOUBLE[] AS qv
+  FROM qr
+),
+nv AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+            x -> CAST(x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS REAL))::DOUBLE[] AS v
+  FROM embeddings
+  WHERE vec_id % 5 <> 0
+),
+s AS (SELECT vec_id, round(list_dot_product(nq.qv, nv.v), 6) AS score FROM nv, nq)
+SELECT vec_id, score,
+       row_number() OVER (ORDER BY score DESC, vec_id) AS rnk
+FROM s ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
+@register("ivf_tombstone_search", _IVF_TOMBSTONE_ORACLE)
+def q_ivf_tombstone_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-aware serving from the PUBLISHED IVF index — FAISS
+    ``remove_ids`` semantics without touching the index files: the
+    tombstone set (vec_id % 5 == 0 here) is applied as a scan-adjacent
+    filter on the cluster-partitioned parquet, then the standard nprobe
+    search runs over the survivors. This is how an index serves deletes
+    between compactions; the periodic `build_ivf_index` rebuild makes
+    them physical. Scale honesty: a predicate like this stays inside
+    whole-stage codegen at the scan but does NOT prune parquet row groups
+    (modulo is not a pushable filter) — a production tombstone set is an
+    explicit id list served as a broadcast anti-join (bounded: deletes
+    between compactions), or deletion vectors in the file format. The
+    filter shape here keeps the oracle exact. Full probe, so the routed
+    answer is EXACT and the oracle hash-checks that no tombstoned vector
+    leaks into the top-k (complement: `vector_store_crud_search` proves
+    the store-level CRUD).
+    """
+    import pathlib
+
+    from vectordbfaiss_spark.plans.ivf import (
+        build_ivf_index,
+        corpus_fingerprint,
+        ivf_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = f"/root/repo/spark-warehouse/ivf_index_{pathlib.Path(sf_dir).name}"
+    centroids = build_ivf_index(
+        emb, out, n_clusters=8, seed=42,
+        corpus_key=corpus_fingerprint(f"{sf_dir}/embeddings.parquet"),
+    )
+    index = spark.read.parquet(out).filter(F.col("vec_id") % 5 != 0)
+    qvec = _routed_query_vec()
+    queries = spark.createDataFrame(
+        [(0, qvec)], "query_id long, query_vec array<float>"
+    )
+    hits = ivf_search(index, queries, centroids, k=10, nprobe=8)
+    return hits.select(
+        "vec_id", "score", F.col("rank").cast("long").alias("rnk")
+    )

@@ -95,6 +95,12 @@ _PRIORITY: tuple[str, ...] = (
     "webdataset_tar_roundtrip",
     "matryoshka_truncation_audit",
     "search_snippet_extraction",
+    # session-3 round-3 operators: vector-store lifecycle (FAISS
+    # remove_ids/add parity) + schema-evolution source read
+    "vector_store_crud_search",
+    "ivf_tombstone_search",
+    "ivf_append_search",
+    "schema_evolution_read",
     # never-driver-verified queries, natural registration order
     "corpus_health_report",
     "mixture_sampling_plan",
@@ -102,7 +108,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_survivors",
     "leakage_safe_split_assign",
     "sequence_packing_bins",  # re-verify: rewritten shard-parallel in r3
-    "stats_summary_lineitem",
     "q13_customer_distribution",
     "ntile_percent_rank_orders",
     "grouping_sets_lineitem",
@@ -122,17 +127,18 @@ _PRIORITY: tuple[str, ...] = (
     "range_join_orders_events",
     "approx_percentiles_order_value",
     "sessionize_events_batch",
-    "regexp_extract_all_docs",
     "interval_join_click_purchase",
-    "median_mode_orders",
     "session_window_builtin",
     "skew_salted_event_totals",  # streaming-twin family: all 4 in-window
     "window_nth_value_events",
-    "scd2_event_intervals",
     # ---- driver's 50-row sample boundary lands here ----
-    # (the six relational basics below were demoted from the window to
-    # make room for the session-2 families: lowest-risk entries, heavily
+    "scd2_event_intervals",
+    # (the relational basics below were demoted from the window to make
+    # room for the session-2/3 families: lowest-risk entries, heavily
     # covered by the local oracle harness; head of round 4's rotation)
+    "stats_summary_lineitem",
+    "regexp_extract_all_docs",
+    "median_mode_orders",
     "min_max_by_orders",
     "datetime_functions_orders",
     "null_handling_suppliers",
