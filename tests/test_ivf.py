@@ -108,3 +108,38 @@ def test_ivf_corrupt_meta_sidecar_rebuilds(spark, tmp_path):
     with open(meta_path) as fh:
         meta = json.load(fh)  # readable again
     assert meta["params"]["corpus_key"] == "k1"
+
+
+def test_ivf_delta_append_is_build_once(spark, tmp_path):
+    """A delta segment with a matching delta_key is left in place; a
+    changed key (new batch fingerprint) republishes; a corrupt sidecar
+    falls through to a rewrite instead of erroring."""
+    import os
+
+    from vectordbfaiss_spark.plans.ivf import build_ivf_index, ivf_index_append
+    from vectordbfaiss_spark.session import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = str(tmp_path / "ivf")
+    centroids = build_ivf_index(emb, out, n_clusters=4, seed=42)
+    delta = emb.filter(F.col("vec_id") % 7 == 0)
+    dpath = str(tmp_path / "ivf_delta")
+
+    ivf_index_append(delta, centroids, dpath, delta_key="batch-v1")
+    stamp = os.path.getmtime(os.path.join(dpath, "_SUCCESS"))
+    ivf_index_append(delta, centroids, dpath, delta_key="batch-v1")
+    assert os.path.getmtime(os.path.join(dpath, "_SUCCESS")) == stamp  # reused
+
+    ivf_index_append(delta, centroids, dpath, delta_key="batch-v2")
+    stamp2 = os.path.getmtime(os.path.join(dpath, "_SUCCESS"))
+    assert stamp2 != stamp  # key change republishes
+
+    with open(os.path.join(dpath, "_delta_meta.json"), "w") as fh:
+        fh.write('{"par')  # truncated sidecar: crash-mid-publish shape
+    ivf_index_append(delta, centroids, dpath, delta_key="batch-v2")
+    assert os.path.getmtime(os.path.join(dpath, "_SUCCESS")) != stamp2
+
+    # the delta segment is cluster-partitioned like the base
+    assert any(
+        p.startswith("cluster_id=") for p in os.listdir(dpath)
+    )

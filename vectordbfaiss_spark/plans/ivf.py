@@ -274,6 +274,7 @@ def ivf_index_append(
     centroids,
     delta_path: str,
     vec_col: str = "embedding",
+    delta_key: str | None = None,
 ) -> None:
     """Append a new batch to a TRAINED index as a delta segment — FAISS
     ``index.add()`` semantics for the partitioned-parquet layout.
@@ -287,7 +288,30 @@ def ivf_index_append(
     union base + delta (both partition-pruned by the same cluster_id
     predicate), and compaction folds deltas into the base on rebuild.
     Work is |delta|-proportional — nothing over the base corpus runs.
+
+    A delta segment is itself a PUBLISHED ARTIFACT: pass ``delta_key``
+    (any stable fingerprint of the batch, e.g. corpus_fingerprint of its
+    source) and an existing segment with the same key is left in place —
+    the same build-once contract as the base index. The sidecar is
+    written atomically (write-then-rename) AFTER the parquet publish, so
+    a crash mid-write can never leave a matching key over partial data.
     """
+    import json
+    import os
+
+    meta_path = os.path.join(delta_path, "_delta_meta.json")
+    params = {"delta_key": delta_key, "vec_col": vec_col}
+    if delta_key is not None and os.path.isfile(meta_path) and os.path.isfile(
+        os.path.join(delta_path, "_SUCCESS")
+    ):
+        try:
+            with open(meta_path) as fh:
+                meta = json.load(fh)
+        except (json.JSONDecodeError, OSError):
+            meta = {}
+        if meta.get("params") == params:
+            return
+
     norm = delta.withColumn(
         vec_col, l2_normalize(F.col(vec_col)).cast("array<float>")
     )
@@ -302,3 +326,56 @@ def ivf_index_append(
         .partitionBy("cluster_id")
         .parquet(delta_path)
     )
+    tmp_path = meta_path + ".tmp"
+    with open(tmp_path, "w") as fh:
+        json.dump({"params": params}, fh)
+    os.replace(tmp_path, meta_path)
+
+
+def ivf_compact(
+    spark,
+    base_path: str,
+    delta_paths: list[str],
+    out_path: str,
+    compact_key: str | None = None,
+) -> None:
+    """Fold delta segments into a new base artifact — the maintenance step
+    that closes the append/delete lifecycle (FAISS ``merge_from``; Delta/
+    Iceberg ``OPTIMIZE`` for the layout). Reads base + deltas (already
+    cluster-assigned — compaction does NOT re-train or re-assign), and
+    rewrites one well-formed cluster-partitioned table: small delta files
+    disappear, and each cluster's rows land in one task's output again.
+
+    Publish is build-once under ``compact_key`` (same contract as
+    :func:`build_ivf_index`) and atomic at the sidecar: a crash mid-write
+    leaves no matching key over partial data, so the next call redoes it.
+    """
+    import json
+    import os
+
+    meta_path = os.path.join(out_path, "_compact_meta.json")
+    params = {"compact_key": compact_key}
+    if compact_key is not None and os.path.isfile(meta_path) and os.path.isfile(
+        os.path.join(out_path, "_SUCCESS")
+    ):
+        try:
+            with open(meta_path) as fh:
+                meta = json.load(fh)
+        except (json.JSONDecodeError, OSError):
+            meta = {}
+        if meta.get("params") == params:
+            return
+
+    merged = spark.read.parquet(base_path)
+    for p in delta_paths:
+        merged = merged.unionByName(spark.read.parquet(p))
+    (
+        merged.repartition("cluster_id")
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(out_path)
+    )
+    tmp_path = meta_path + ".tmp"
+    with open(tmp_path, "w") as fh:
+        json.dump({"params": params}, fh)
+    os.replace(tmp_path, meta_path)

@@ -1136,10 +1136,69 @@ def q_ivf_append_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id long, embedding array<float>, label int",
         )
     )
-    ivf_index_append(delta, centroids, delta_out)
+    # build-once: the delta batch is a pure function of the source corpus
+    # (filter + reverse + planted literal), so the corpus fingerprint is a
+    # valid segment key — regenerated fixtures rebuild, reruns skip
+    ivf_index_append(delta, centroids, delta_out, delta_key=fp)
     index = spark.read.parquet(out).unionByName(
         spark.read.parquet(delta_out), allowMissingColumns=False
     )
+    queries = spark.createDataFrame(
+        [(0, _routed_query_vec())], "query_id long, query_vec array<float>"
+    )
+    hits = ivf_search(index, queries, centroids, k=20, nprobe=8)
+    return hits.select(
+        "vec_id",
+        "score",
+        (F.col("vec_id") >= 200000).alias("from_delta"),
+        F.col("rank").cast("long").alias("rnk"),
+    )
+
+
+@register("ivf_compact_search", _ivf_append_oracle())
+def q_ivf_compact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index COMPACTION (plans.ivf.ivf_compact — FAISS ``merge_from`` /
+    layout ``OPTIMIZE``): fold the delta segment of `ivf_append_search`
+    into a fresh single-segment base, then search the compacted artifact.
+    The oracle is the SAME SQL as the append query — compaction must be
+    content-neutral, and hash-equality against the base∪delta replay
+    proves no row was lost, duplicated, or re-assigned in the fold. At
+    scale this is the maintenance job that caps per-cluster file counts
+    (delta segments accumulate one file set per ingest batch; the fold
+    rewrites each cluster in one task) — serving cost returns to one
+    file set per cluster and tombstones become physical at the same
+    moment. Build-once under (corpus fingerprint)-derived keys end to end.
+    """
+    import pathlib
+
+    from vectordbfaiss_spark.plans.ivf import (
+        build_ivf_index,
+        corpus_fingerprint,
+        ivf_compact,
+        ivf_index_append,
+        ivf_search,
+    )
+    from vectordbfaiss_spark.queries.vector_search import _routed_query_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fp = corpus_fingerprint(f"{sf_dir}/embeddings.parquet")
+    out = f"/root/repo/spark-warehouse/ivf_index_{pathlib.Path(sf_dir).name}"
+    delta_out = f"{out}_delta"
+    compact_out = f"{out}_compacted"
+    centroids = build_ivf_index(emb, out, n_clusters=8, seed=42, corpus_key=fp)
+    delta = emb.filter(F.col("vec_id") % 13 == 2).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.reverse("embedding").alias("embedding"),
+        "label",
+    ).unionByName(
+        spark.createDataFrame(
+            [(999999, _routed_query_vec(), -1)],
+            "vec_id long, embedding array<float>, label int",
+        )
+    )
+    ivf_index_append(delta, centroids, delta_out, delta_key=fp)
+    ivf_compact(spark, out, [delta_out], compact_out, compact_key=fp)
+    index = spark.read.parquet(compact_out)
     queries = spark.createDataFrame(
         [(0, _routed_query_vec())], "query_id long, query_vec array<float>"
     )

@@ -100,7 +100,9 @@ _PRIORITY: tuple[str, ...] = (
     "vector_store_crud_search",
     "ivf_tombstone_search",
     "ivf_append_search",
+    "ivf_compact_search",
     "schema_evolution_read",
+    "entity_resolution_golden",
     # never-driver-verified queries, natural registration order
     "corpus_health_report",
     "mixture_sampling_plan",
@@ -111,8 +113,6 @@ _PRIORITY: tuple[str, ...] = (
     "q13_customer_distribution",
     "ntile_percent_rank_orders",
     "grouping_sets_lineitem",
-    "funnel_view_click_purchase",
-    "retention_cohorts_weekly",
     "null_safe_join_status",
     "q16_supplier_relationship",
     "exists_not_exists_customers",
@@ -133,6 +133,8 @@ _PRIORITY: tuple[str, ...] = (
     "window_nth_value_events",
     # ---- driver's 50-row sample boundary lands here ----
     "scd2_event_intervals",
+    "funnel_view_click_purchase",
+    "retention_cohorts_weekly",
     # (the relational basics below were demoted from the window to make
     # room for the session-2/3 families: lowest-risk entries, heavily
     # covered by the local oracle harness; head of round 4's rotation)
