@@ -498,3 +498,162 @@ def q_expectations_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_violations") / F.col("n"), 6).alias("violation_rate"),
         (F.col("n_violations") == 0).alias("passed"),
     ).orderBy("rule")
+
+
+# ---------------------------------------------------------------------------
+# Join-size (cardinality) estimate: the pre-join explosion guardrail
+# ---------------------------------------------------------------------------
+
+_JOIN_SIZE_ORACLE = """
+WITH a AS (SELECT o_custkey AS join_key, count(*) AS n_left
+           FROM orders GROUP BY 1),
+b AS (SELECT user_id AS join_key, count(*) AS n_right
+      FROM events GROUP BY 1),
+j AS (SELECT a.join_key, a.n_left, b.n_right,
+             a.n_left * b.n_right AS key_pairs
+      FROM a JOIN b USING (join_key)),
+tot AS (SELECT CAST(sum(key_pairs) AS BIGINT) AS est_total_pairs FROM j)
+SELECT j.join_key, j.n_left, j.n_right,
+       CAST(j.key_pairs AS BIGINT) AS key_pairs,
+       tot.est_total_pairs,
+       round(j.key_pairs / tot.est_total_pairs, 6) AS pct_of_total
+FROM j, tot
+ORDER BY j.key_pairs DESC, j.join_key
+LIMIT 10
+"""
+
+
+@register("join_size_estimate", _JOIN_SIZE_ORACLE)
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided join-cardinality forecast BEFORE running the join:
+    |A ⋈ B| = Σ_k n_A(k)·n_B(k), plus the keys that dominate it.
+
+    The guardrail every 100 TB join wants: two map-side-combinable
+    per-key counts (each output is |keys|-sized, tiny next to the fact
+    tables), one |keys|-grain equi-join of the COUNT frames (never the
+    facts), and a TakeOrderedAndProject for the top offenders — total
+    cost is two fact scans, compared to the potentially-catastrophic
+    join it forecasts. A key carrying a large share of est_total_pairs
+    is the salting/filter target (`join_skew_report` sizes the salt;
+    this query says whether the join is safe to run at all).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    e = load_table(spark, sf_dir, "events")
+    a = o.groupBy(F.col("o_custkey").alias("join_key")).agg(
+        F.count("*").alias("n_left")
+    )
+    b = e.groupBy(F.col("user_id").alias("join_key")).agg(
+        F.count("*").alias("n_right")
+    )
+    j = a.join(b, "join_key").withColumn(
+        "key_pairs", F.col("n_left") * F.col("n_right")
+    )
+    tot = j.agg(F.sum("key_pairs").cast("long").alias("est_total_pairs"))
+    return (
+        j.orderBy(F.desc("key_pairs"), F.asc("join_key"))
+        .limit(10)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "join_key",
+            "n_left",
+            "n_right",
+            F.col("key_pairs").cast("long").alias("key_pairs"),
+            "est_total_pairs",
+            F.round(F.col("key_pairs") / F.col("est_total_pairs"), 6).alias(
+                "pct_of_total"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-threshold prune tradeoff: tokens retained per quality floor
+# ---------------------------------------------------------------------------
+
+
+def _prune_tradeoff_oracle() -> str:
+    from vectordbfaiss_spark.queries.text_analysis import _STOPLIST_SQL
+
+    return f"""
+WITH w AS (SELECT doc_id, string_split_regex(rtrim(text), '\\s+') AS words
+           FROM documents),
+m AS (SELECT doc_id, len(words) AS n_tokens,
+             len(list_filter(words, t -> list_contains({_STOPLIST_SQL}, t)))
+               AS n_stop,
+             len(list_distinct(words)) / len(words) AS ttr
+      FROM w),
+s AS (SELECT n_tokens,
+             round(0.4 * least(n_tokens / 64.0, 1.0)
+                 + 0.3 * least(n_stop / n_tokens * 3, 1.0)
+                 + 0.3 * least(ttr * 2, 1.0), 6) AS quality
+      FROM m),
+t AS (SELECT i / 10.0 AS quality_floor
+      FROM unnest(generate_series(1, 9)) u(i)),
+agg AS (SELECT t.quality_floor,
+               CAST(count(*) FILTER (WHERE s.quality >= t.quality_floor)
+                    AS BIGINT) AS n_docs_kept,
+               CAST(coalesce(sum(s.n_tokens)
+                    FILTER (WHERE s.quality >= t.quality_floor), 0)
+                    AS BIGINT) AS tokens_kept
+        FROM s CROSS JOIN t GROUP BY 1),
+tot AS (SELECT sum(n_tokens) AS total_tokens FROM s)
+SELECT agg.quality_floor, agg.n_docs_kept, agg.tokens_kept,
+       round(agg.tokens_kept / tot.total_tokens, 6) AS pct_tokens_kept
+FROM agg, tot
+"""
+
+
+@register("quality_prune_tradeoff", _prune_tradeoff_oracle())
+def q_quality_prune_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-loss curve for quality thresholding: for each candidate floor
+    (0.1..0.9), how many documents and — the number that matters for a
+    training corpus — how many TOKENS survive.
+
+    `quality_calibration_deciles` says where each source's distribution
+    sits; this query prices the cut itself, which is how the floor is
+    actually chosen ("highest floor that keeps >= X% of tokens"). One
+    stopword-scan pass computes (quality, n_tokens) per doc (the 2-column
+    frame is checkpointed — two consumers), then a broadcast nested-loop
+    against the 9-row threshold frame feeds a map-side-combinable
+    conditional aggregate: O(9N) flat rows, no shuffle bigger than 9
+    groups, no re-scan per threshold.
+    """
+    from vectordbfaiss_spark.operators import textstats as TS
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = TS.quality_score(docs, "doc_id", "text").select(
+        "quality", "n_tokens"
+    )
+    scored = scored.localCheckpoint(eager=True)
+    thr = spark.createDataFrame(
+        [(i / 10.0,) for i in range(1, 10)], "quality_floor double"
+    )
+    agg = (
+        scored.crossJoin(F.broadcast(thr))
+        .groupBy("quality_floor")
+        .agg(
+            F.count(F.when(F.col("quality") >= F.col("quality_floor"), 1)).alias(
+                "n_docs_kept"
+            ),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("quality") >= F.col("quality_floor"),
+                        F.col("n_tokens"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+    )
+    tot = scored.agg(F.sum("n_tokens").alias("total_tokens"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "quality_floor",
+        "n_docs_kept",
+        "tokens_kept",
+        F.round(F.col("tokens_kept") / F.col("total_tokens"), 6).alias(
+            "pct_tokens_kept"
+        ),
+    )

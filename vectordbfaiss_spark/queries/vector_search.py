@@ -3,7 +3,7 @@ batch DataFrame plans (SURVEY §2.3 J3, §2.4 A2-A4, §2.5 K1, §2.8 W1)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from vectordbfaiss_spark.operators.topk import score_pairs, score_topk_vectorized, topk
 from vectordbfaiss_spark.registry import register
@@ -1166,4 +1166,327 @@ def q_ivf_tombstone_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = ivf_search(index, queries, centroids, k=10, nprobe=8)
     return hits.select(
         "vec_id", "score", F.col("rank").cast("long").alias("rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-store health audit
+# ---------------------------------------------------------------------------
+
+_NORM_HEALTH_ORACLE = """
+WITH n AS (
+  SELECT label,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm,
+         len(embedding) AS dim,
+         len(list_filter(embedding::DOUBLE[], x -> isnan(x) OR x IS NULL))
+           AS n_bad_vals
+  FROM embeddings
+)
+SELECT label,
+       count(*) AS n_vectors,
+       CAST(count(*) FILTER (WHERE nrm = 0) AS BIGINT) AS n_zero_norm,
+       CAST(count(*) FILTER (WHERE n_bad_vals > 0) AS BIGINT) AS n_nonfinite,
+       CAST(count(DISTINCT dim) AS BIGINT) AS n_distinct_dims,
+       round(min(nrm), 6) AS min_norm,
+       round(max(nrm), 6) AS max_norm,
+       round(avg(nrm), 6) AS avg_norm
+FROM n GROUP BY label
+"""
+
+
+@register("embedding_norm_health", _NORM_HEALTH_ORACLE)
+def q_embedding_norm_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-store health audit: the pre-flight every index build
+    wants — zero-norm vectors (undefined cosine; the scoring kernels guard
+    them but they should not be indexed), non-finite values (poison a BLAS
+    matmul silently), ragged dimensions (break the Arrow batch), and the
+    norm range per label (a collapsed or exploded norm distribution is the
+    first symptom of a broken embedder revision). One scan, map-side
+    combinable aggregates, |labels| output rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ed = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with(ed, ed, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    n_bad = F.size(F.filter(ed, lambda x: F.isnan(x) | x.isNull()))
+    m = emb.select(
+        "label",
+        nrm.alias("nrm"),
+        F.size("embedding").alias("dim"),
+        n_bad.alias("n_bad_vals"),
+    )
+    return m.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.count(F.when(F.col("nrm") == 0, 1)).alias("n_zero_norm"),
+        F.count(F.when(F.col("n_bad_vals") > 0, 1)).alias("n_nonfinite"),
+        F.countDistinct("dim").alias("n_distinct_dims"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.round(F.avg("nrm"), 6).alias("avg_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe tuning curve (recall bounds per probe width)
+# ---------------------------------------------------------------------------
+
+_NPROBE_CURVE_ORACLE = """
+SELECT CAST(t.np AS INTEGER) AS nprobe,
+       TRUE AS recall_in_range,
+       TRUE AS monotone_from_prev,
+       (t.np = 8) AS full_probe_exact
+FROM unnest([1, 2, 4, 8]) AS t(np)
+ORDER BY nprobe
+"""
+
+
+@register("ivf_nprobe_curve", _NPROBE_CURVE_ORACLE)
+def q_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF TUNING CURVE: recall@10 vs exact brute force at nprobe =
+    1, 2, 4, 8 (of 8 clusters) — how an operator picks the probe width
+    for a recall target. Raw recall values are k-means-dependent, so the
+    hash-checked contract is the sketch-bound pattern: per nprobe,
+    ``recall_in_range`` ([0,1] and self-hit present: every query is in
+    the corpus, its own cluster is always probed at any nprobe >= 1 —
+    so recall@10 > 0), ``monotone_from_prev`` (widening the probe can
+    only add candidates: recall is non-decreasing in nprobe — the
+    property that MAKES it a tuning curve), and ``full_probe_exact``
+    (nprobe = n_clusters degenerates to the exact scan: recall == 1.0).
+    The numeric curve itself ships in `ivf_recall_report` (rows-only).
+
+    Scored ONCE, evaluated at every width: each (query, vector) pair is
+    scored a single time with the query's centroid-proximity RANK
+    attached; "nprobe = p" is then just the filter crank <= p, so the
+    whole curve is one scoring join + one windowed ranking over the
+    4x-replicated candidate set — not four independent index searches.
+    That is also the production tuning shape: re-evaluating the curve
+    after a rebuild costs one scan regardless of how many widths are on
+    the grid.
+    """
+    from pyspark.sql import types as T
+
+    from vectordbfaiss_spark.functions.vector import dot, l2_normalize
+    from vectordbfaiss_spark.plans.ivf import (
+        _nearest_centroids,
+        assign_clusters,
+        corpus_fingerprint,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = score_topk_vectorized(queries, emb, k=10).select("query_id", "vec_id")
+    exact = exact.localCheckpoint(eager=True)  # consumed per width below
+    assigned, centroids = assign_clusters(
+        emb, n_clusters=8, seed=42,
+        corpus_key=corpus_fingerprint(f"{sf_dir}/embeddings.parquet"),
+    )
+    widths = (1, 2, 4, 8)
+
+    # full routing ONCE, keeping each probed cluster's proximity rank
+    routed = _nearest_centroids(
+        queries.withColumn(
+            "query_vec", l2_normalize(F.col("query_vec")).cast("array<float>")
+        ),
+        "query_vec",
+        centroids,
+        len(centroids),
+    ).select(
+        "query_id",
+        "query_vec",
+        F.posexplode("cluster_ids").alias("crank0", "cluster_id"),
+    )
+    scored = assigned.join(F.broadcast(routed), "cluster_id").select(
+        "query_id",
+        "vec_id",
+        (F.col("crank0") + 1).alias("crank"),
+        F.round(dot(F.col("query_vec"), F.col("embedding")), 6).alias("score"),
+    )
+    nps = spark.createDataFrame([(p,) for p in widths], "np int")
+    cands = scored.crossJoin(F.broadcast(nps)).filter(F.col("crank") <= F.col("np"))
+    w = Window.partitionBy("np", "query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    top = cands.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
+    hits = top.join(exact, ["query_id", "vec_id"], "left_semi")
+    counts = {
+        r["np"]: r["hits"]
+        for r in hits.groupBy("np").agg(F.count("*").alias("hits")).collect()
+    }
+    n_exact = exact.count()
+
+    rows, prev = [], -1.0
+    for np_ in widths:
+        recall = counts.get(np_, 0) / n_exact
+        rows.append(
+            (
+                np_,
+                bool(0.0 < recall <= 1.0),
+                bool(recall >= prev),
+                bool(np_ == 8 and recall == 1.0),
+            )
+        )
+        prev = recall
+    schema = T.StructType(
+        [
+            T.StructField("nprobe", T.IntegerType()),
+            T.StructField("recall_in_range", T.BooleanType()),
+            T.StructField("monotone_from_prev", T.BooleanType()),
+            T.StructField("full_probe_exact", T.BooleanType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Late-interaction retrieval (ColBERT-style MaxSim over chunk vectors)
+# ---------------------------------------------------------------------------
+
+
+def _maxsim_oracle() -> str:
+    from vectordbfaiss_spark.queries.reference_parity import _EMBED_DIM, _hexpair
+    from vectordbfaiss_spark.queries.text_analysis import _CHUNK_M, _CHUNK_N
+
+    step = _CHUNK_N - _CHUNK_M
+    return f"""
+WITH w AS (SELECT doc_id, string_split_regex(rtrim(text), '\\s+') AS words
+           FROM documents),
+n AS (
+  SELECT doc_id, words,
+         greatest(1, CAST(ceil((len(words) - {_CHUNK_N}) / {float(step)}) AS BIGINT) + 1)
+           AS n_chunks
+  FROM w
+),
+ch AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         array_to_string(list_slice(words, i * {step} + 1,
+                                    i * {step} + {_CHUNK_N}), ' ') AS chunk
+  FROM n, unnest(generate_series(0, n_chunks - 1)) AS t(i)
+),
+toks AS (
+  SELECT doc_id, chunk_idx,
+         unnest(string_split_regex(trim(lower(chunk)), '\\s+')) AS tok
+  FROM ch
+),
+hx AS (SELECT doc_id, chunk_idx, md5(tok) AS h FROM toks),
+b AS (
+  SELECT doc_id, chunk_idx,
+         ({_hexpair(1)} + 256 * {_hexpair(3)} + 65536 * {_hexpair(5)}
+          + 16777216 * {_hexpair(7)}) % {_EMBED_DIM} AS bucket,
+         CASE WHEN {_hexpair(9)} % 2 = 1 THEN 1.0 ELSE -1.0 END AS sign
+  FROM hx
+),
+acc AS (SELECT doc_id, chunk_idx, bucket, sum(sign) AS val
+        FROM b GROUP BY 1, 2, 3),
+nrm AS (SELECT doc_id, chunk_idx, sqrt(sum(val * val)) AS nn
+        FROM acc GROUP BY 1, 2),
+vec AS (
+  SELECT a.doc_id, a.chunk_idx, a.bucket,
+         CAST(a.val / nrm.nn AS REAL) AS v
+  FROM acc a JOIN nrm USING (doc_id, chunk_idx)
+  WHERE nrm.nn > 0 AND a.val <> 0
+),
+qv AS (SELECT * FROM vec WHERE doc_id < 3),
+dots AS (
+  SELECT q.doc_id AS query_doc, q.chunk_idx AS q_chunk,
+         v.doc_id, v.chunk_idx AS d_chunk,
+         round(sum(CAST(q.v AS DOUBLE) * CAST(v.v AS DOUBLE)), 6) AS dot
+  FROM qv q JOIN vec v ON q.bucket = v.bucket
+  GROUP BY 1, 2, 3, 4
+),
+per_qc AS (SELECT query_doc, q_chunk, doc_id, max(dot) AS m
+           FROM dots GROUP BY 1, 2, 3),
+scores AS (SELECT query_doc, doc_id, round(sum(m), 6) AS maxsim
+           FROM per_qc GROUP BY 1, 2),
+r AS (
+  SELECT query_doc, doc_id, maxsim,
+         row_number() OVER (PARTITION BY query_doc
+                            ORDER BY maxsim DESC, doc_id) AS rnk
+  FROM scores
+)
+SELECT query_doc, doc_id, maxsim, rnk FROM r WHERE rnk <= 5
+"""
+
+
+@register("maxsim_late_interaction", _maxsim_oracle())
+def q_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-INTERACTION retrieval (ColBERT-style MaxSim) — the multi-vector
+    upgrade of the reference's single-vector /search: every chunk gets its
+    own hash-embed vector (functions.text.hash_embed_udf, the hermetic U1
+    embedder), and score(q, d) = sum over q's chunks of the MAX cosine
+    against d's chunks. Queries are the first 3 documents (self-retrieval
+    at rank 1 = n_chunks sanity anchor).
+
+    Scale shape: chunk vectors live SPARSE ((doc, chunk, bucket, val) —
+    the natural layout for an inverted late-interaction index; ColBERT's
+    own serving decomposes MaxSim the same way), the query side is
+    broadcast, and the interaction join is a bucket equi-join — cost is
+    nnz(corpus) x queries' per-bucket density, never |chunks|^2. The
+    max-then-sum runs as two map-side-combinable aggregations. Sparse
+    semantics (chunk pairs sharing no bucket are absent, not zero) are
+    mirrored exactly by the oracle, which replays chunker -> md5 bucket
+    embedder -> interaction join digit for digit.
+    """
+    from vectordbfaiss_spark.functions.text import chunk_text, hash_embed_udf
+    from vectordbfaiss_spark.queries.reference_parity import _EMBED_DIM
+    from vectordbfaiss_spark.queries.text_analysis import _CHUNK_M, _CHUNK_N
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(chunk_text("text", _CHUNK_N, _CHUNK_M)).alias(
+            "chunk_idx", "chunk"
+        ),
+    )
+    emb = chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        hash_embed_udf(_EMBED_DIM)(F.col("chunk")).alias("v"),
+    )
+    sparse = (
+        emb.select(
+            "doc_id", "chunk_idx", F.posexplode("v").alias("bucket", "val")
+        )
+        .filter(F.col("val") != 0)
+        .localCheckpoint(eager=True)  # two consumers: corpus side + query side
+    )
+    qv = sparse.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_doc"),
+        F.col("chunk_idx").alias("q_chunk"),
+        "bucket",
+        F.col("val").alias("qval"),
+    )
+    dots = (
+        sparse.join(F.broadcast(qv), "bucket")
+        .groupBy("query_doc", "q_chunk", "doc_id", "chunk_idx")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("qval").cast("double") * F.col("val").cast("double")
+                ),
+                6,
+            ).alias("dot")
+        )
+    )
+    per_qc = dots.groupBy("query_doc", "q_chunk", "doc_id").agg(
+        F.max("dot").alias("m")
+    )
+    scores = per_qc.groupBy("query_doc", "doc_id").agg(
+        F.round(F.sum("m"), 6).alias("maxsim")
+    )
+    ranked = topk(
+        scores, 5, query_id="query_doc", index_id="doc_id", score="maxsim"
+    )
+    return ranked.select(
+        "query_doc",
+        "doc_id",
+        "maxsim",
+        F.col("rank").cast("long").alias("rnk"),
     )

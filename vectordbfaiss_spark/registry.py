@@ -103,6 +103,10 @@ _PRIORITY: tuple[str, ...] = (
     "ivf_compact_search",
     "schema_evolution_read",
     "entity_resolution_golden",
+    "join_size_estimate",
+    "quality_prune_tradeoff",
+    "ivf_nprobe_curve",
+    "maxsim_late_interaction",
     # never-driver-verified queries, natural registration order
     "corpus_health_report",
     "mixture_sampling_plan",
@@ -113,11 +117,7 @@ _PRIORITY: tuple[str, ...] = (
     "q13_customer_distribution",
     "ntile_percent_rank_orders",
     "grouping_sets_lineitem",
-    "null_safe_join_status",
     "q16_supplier_relationship",
-    "exists_not_exists_customers",
-    "daily_gapfill_event_counts",
-    "latest_event_per_user",
     "q6_forecast_revenue",
     "q12_shipping_priority_split",
     "q4_order_priority_checking",
@@ -135,6 +135,11 @@ _PRIORITY: tuple[str, ...] = (
     "scd2_event_intervals",
     "funnel_view_click_purchase",
     "retention_cohorts_weekly",
+    "daily_gapfill_event_counts",
+    "latest_event_per_user",
+    "null_safe_join_status",
+    "embedding_norm_health",
+    "exists_not_exists_customers",
     # (the relational basics below were demoted from the window to make
     # room for the session-2/3 families: lowest-risk entries, heavily
     # covered by the local oracle harness; head of round 4's rotation)
