@@ -143,3 +143,37 @@ def test_ivf_delta_append_is_build_once(spark, tmp_path):
     assert any(
         p.startswith("cluster_id=") for p in os.listdir(dpath)
     )
+
+
+def test_ivf_compact_rekeys_on_new_segments(spark, tmp_path):
+    """Compacting with an unchanged compact_key but MORE segments must
+    re-fold (the delta set is part of the build-once params) — a key-only
+    check would serve the first fold forever while segments accumulate."""
+    from vectordbfaiss_spark.plans.ivf import build_ivf_index, ivf_compact, ivf_index_append
+    from vectordbfaiss_spark.session import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = str(tmp_path / "base")
+    centroids = build_ivf_index(emb, base, n_clusters=4, seed=42)
+    d1, d2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    ivf_index_append(emb.filter(F.col("vec_id") % 7 == 0), centroids, d1)
+    out = str(tmp_path / "compacted")
+    ivf_compact(spark, base, [d1], out, compact_key="k")
+    n1 = spark.read.parquet(out).count()
+
+    ivf_index_append(
+        emb.filter(F.col("vec_id") % 7 == 1).withColumn(
+            "vec_id", F.col("vec_id") + 10_000
+        ),
+        centroids, d2,
+    )
+    # same key, wider delta set -> must re-fold and include d2's rows
+    ivf_compact(spark, base, [d1, d2], out, compact_key="k")
+    n2 = spark.read.parquet(out).count()
+    assert n2 > n1
+
+    # identical (key, delta set) -> reused, no rewrite
+    import os
+    stamp = os.path.getmtime(os.path.join(out, "_SUCCESS"))
+    ivf_compact(spark, base, [d1, d2], out, compact_key="k")
+    assert os.path.getmtime(os.path.join(out, "_SUCCESS")) == stamp

@@ -183,10 +183,6 @@ def build_ivf_index(
     disk-search path) then pay the k-means fit + partitioned write ONCE per
     corpus version. Pass ``corpus_key=None`` to always rebuild.
     """
-    import json
-    import os
-
-    meta_path = os.path.join(out_path, "_ivf_meta.json")
     # out_path can outlive a regenerated source corpus (the fixture parquet
     # is rewritten in place between rounds) — a plain path-valued corpus_key
     # would serve stale clusters. Callers should pass corpus_fingerprint().
@@ -196,25 +192,14 @@ def build_ivf_index(
         "n_clusters": n_clusters,
         "seed": seed,
     }
-    if corpus_key is not None and os.path.isfile(meta_path) and os.path.isfile(
-        os.path.join(out_path, "_SUCCESS")
-    ):
-        try:
-            with open(meta_path) as fh:
-                meta = json.load(fh)
-            meta["centroids"]  # a sidecar missing its payload is corrupt
-        except (json.JSONDecodeError, KeyError, OSError):
-            # a crash mid-publish can leave a truncated sidecar next to a
-            # valid _SUCCESS — treat any unreadable meta as "no index" and
-            # fall through to a rebuild rather than erroring forever
-            meta = {}
-        if meta.get("params") == params:
-            # seed the in-process centroid cache too, so assign_clusters
-            # callers with the same key skip the k-means fit as well
-            _CENTROID_CACHE[(corpus_key, vec_col, n_clusters, seed)] = meta[
-                "centroids"
-            ]
-            return meta["centroids"]
+    meta = _published_meta(out_path, "_ivf_meta.json", params, payload_key="centroids")
+    if corpus_key is not None and meta is not None:
+        # seed the in-process centroid cache too, so assign_clusters
+        # callers with the same key skip the k-means fit as well
+        _CENTROID_CACHE[(corpus_key, vec_col, n_clusters, seed)] = meta[
+            "centroids"
+        ]
+        return meta["centroids"]
 
     assigned, centroids = assign_clusters(
         index, vec_col, n_clusters, seed, corpus_key=corpus_key
@@ -225,13 +210,51 @@ def build_ivf_index(
         .partitionBy("cluster_id")
         .parquet(out_path)
     )
-    # publish the sidecar atomically: write-then-rename so a crash mid-dump
-    # can never leave a truncated _ivf_meta.json next to a valid _SUCCESS
+    _publish_sidecar(
+        out_path, "_ivf_meta.json", {"params": params, "centroids": centroids}
+    )
+    return centroids
+
+
+def _published_meta(
+    artifact_path: str, meta_name: str, params: dict, payload_key: str | None = None
+) -> dict | None:
+    """Build-once check shared by every published-artifact writer: return
+    the sidecar dict iff the artifact is COMPLETE (_SUCCESS present),
+    its sidecar parses, its recorded params equal ``params``, and (when
+    ``payload_key`` is given) the payload is present. Any corruption — a
+    truncated sidecar from a crash mid-publish, a missing payload —
+    returns None so the caller rebuilds instead of erroring forever."""
+    import json
+    import os
+
+    meta_path = os.path.join(artifact_path, meta_name)
+    if not (
+        os.path.isfile(meta_path)
+        and os.path.isfile(os.path.join(artifact_path, "_SUCCESS"))
+    ):
+        return None
+    try:
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if payload_key is not None:
+            meta[payload_key]  # a sidecar missing its payload is corrupt
+    except (json.JSONDecodeError, KeyError, OSError):
+        return None
+    return meta if meta.get("params") == params else None
+
+
+def _publish_sidecar(artifact_path: str, meta_name: str, payload: dict) -> None:
+    """Atomic sidecar publish: write-then-rename, so a crash mid-dump can
+    never leave a truncated meta file next to a valid _SUCCESS."""
+    import json
+    import os
+
+    meta_path = os.path.join(artifact_path, meta_name)
     tmp_path = meta_path + ".tmp"
     with open(tmp_path, "w") as fh:
-        json.dump({"params": params, "centroids": centroids}, fh)
+        json.dump(payload, fh)
     os.replace(tmp_path, meta_path)
-    return centroids
 
 
 def ivf_search(
@@ -289,28 +312,21 @@ def ivf_index_append(
     predicate), and compaction folds deltas into the base on rebuild.
     Work is |delta|-proportional — nothing over the base corpus runs.
 
-    A delta segment is itself a PUBLISHED ARTIFACT: pass ``delta_key``
-    (any stable fingerprint of the batch, e.g. corpus_fingerprint of its
-    source) and an existing segment with the same key is left in place —
-    the same build-once contract as the base index. The sidecar is
-    written atomically (write-then-rename) AFTER the parquet publish, so
-    a crash mid-write can never leave a matching key over partial data.
+    A delta segment is itself a PUBLISHED ARTIFACT: pass ``delta_key`` —
+    a fingerprint of EVERYTHING that determines the batch content (its
+    source corpus AND the recipe that derives the batch from it; a
+    source-only key silently serves a stale segment after a recipe
+    change) — and an existing segment with the same key is left in
+    place, the same build-once contract as the base index. The sidecar
+    is written atomically (write-then-rename) AFTER the parquet publish,
+    so a crash mid-write can never leave a matching key over partial
+    data.
     """
-    import json
-    import os
-
-    meta_path = os.path.join(delta_path, "_delta_meta.json")
     params = {"delta_key": delta_key, "vec_col": vec_col}
-    if delta_key is not None and os.path.isfile(meta_path) and os.path.isfile(
-        os.path.join(delta_path, "_SUCCESS")
-    ):
-        try:
-            with open(meta_path) as fh:
-                meta = json.load(fh)
-        except (json.JSONDecodeError, OSError):
-            meta = {}
-        if meta.get("params") == params:
-            return
+    if delta_key is not None and _published_meta(
+        delta_path, "_delta_meta.json", params
+    ) is not None:
+        return
 
     norm = delta.withColumn(
         vec_col, l2_normalize(F.col(vec_col)).cast("array<float>")
@@ -326,10 +342,7 @@ def ivf_index_append(
         .partitionBy("cluster_id")
         .parquet(delta_path)
     )
-    tmp_path = meta_path + ".tmp"
-    with open(tmp_path, "w") as fh:
-        json.dump({"params": params}, fh)
-    os.replace(tmp_path, meta_path)
+    _publish_sidecar(delta_path, "_delta_meta.json", {"params": params})
 
 
 def ivf_compact(
@@ -346,25 +359,23 @@ def ivf_compact(
     rewrites one well-formed cluster-partitioned table: small delta files
     disappear, and each cluster's rows land in one task's output again.
 
-    Publish is build-once under ``compact_key`` (same contract as
-    :func:`build_ivf_index`) and atomic at the sidecar: a crash mid-write
-    leaves no matching key over partial data, so the next call redoes it.
+    Publish is build-once under (``compact_key``, the DELTA SET): the
+    folded segment list is part of the sidecar params, so a later call
+    with new segments re-compacts even under an unchanged key — a
+    key-only check would silently keep serving the first fold forever
+    while fresh segments accumulate. Atomic at the sidecar: a crash
+    mid-write leaves no matching params over partial data.
     """
-    import json
     import os
 
-    meta_path = os.path.join(out_path, "_compact_meta.json")
-    params = {"compact_key": compact_key}
-    if compact_key is not None and os.path.isfile(meta_path) and os.path.isfile(
-        os.path.join(out_path, "_SUCCESS")
-    ):
-        try:
-            with open(meta_path) as fh:
-                meta = json.load(fh)
-        except (json.JSONDecodeError, OSError):
-            meta = {}
-        if meta.get("params") == params:
-            return
+    params = {
+        "compact_key": compact_key,
+        "deltas": sorted(os.path.basename(p.rstrip("/")) for p in delta_paths),
+    }
+    if compact_key is not None and _published_meta(
+        out_path, "_compact_meta.json", params
+    ) is not None:
+        return
 
     merged = spark.read.parquet(base_path)
     for p in delta_paths:
@@ -375,7 +386,4 @@ def ivf_compact(
         .partitionBy("cluster_id")
         .parquet(out_path)
     )
-    tmp_path = meta_path + ".tmp"
-    with open(tmp_path, "w") as fh:
-        json.dump({"params": params}, fh)
-    os.replace(tmp_path, meta_path)
+    _publish_sidecar(out_path, "_compact_meta.json", {"params": params})

@@ -306,8 +306,12 @@ reach(id, label) AS (
 ),
 comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
 golden AS (
-  SELECT c.component, k.rec_id, k.name, k.src
-  FROM comp c JOIN keyed k ON c.id = k.rec_id
+  -- singletons matter: a record with no fuzzy match is its own entity
+  -- (coalesce keeps it), not a dropped row — the golden table must hold
+  -- ONE row per entity for the whole population
+  SELECT coalesce(c.component, k.rec_id) AS component,
+         k.rec_id, k.name, k.src
+  FROM keyed k LEFT JOIN comp c ON c.id = k.rec_id
 )
 SELECT component AS entity_id,
        count(*) AS n_records,
@@ -335,7 +339,9 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``connected_components`` used by the dedup family (O(log d) rounds,
       checkpointed);
     * golden record per component: min rec_id survivor's name + the
-      merged source list.
+      merged source list — covering the WHOLE population: records with
+      no fuzzy match anywhere are singleton entities (left-join +
+      coalesce back in), not dropped rows.
 
     The DuckDB oracle replays blocking, edit-distance verify, and the
     closure as a recursive CTE — the whole pipeline is hash-checked.
@@ -376,7 +382,12 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.rec_id").alias("src"), F.col("b.rec_id").alias("dst"))
     )
     comp = connected_components(pairs)
-    golden = comp.join(keyed, comp.id == keyed.rec_id)
+    # union singletons back: connected_components only emits nodes with an
+    # edge, but an unmatched record is still an entity — left-join +
+    # coalesce makes the golden table cover the whole population
+    golden = keyed.join(comp, keyed.rec_id == comp.id, "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col("rec_id"))
+    )
     return golden.groupBy(F.col("component").alias("entity_id")).agg(
         F.count("*").alias("n_records"),
         F.min_by("name", "rec_id").alias("canonical_name"),

@@ -548,6 +548,10 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = a.join(b, "join_key").withColumn(
         "key_pairs", F.col("n_left") * F.col("n_right")
     )
+    # two consumers (global sum + top-10): materialize the |keys|-grain
+    # frame once so both fact tables really are scanned exactly once —
+    # the cost contract the docstring advertises
+    j = j.localCheckpoint(eager=True)
     tot = j.agg(F.sum("key_pairs").cast("long").alias("est_total_pairs"))
     return (
         j.orderBy(F.desc("key_pairs"), F.asc("join_key"))

@@ -1062,6 +1062,12 @@ def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF delta append (FAISS index.add(): new batch into a trained index)
 # ---------------------------------------------------------------------------
 
+# version stamp for the append-batch derivation recipe (mod-13 filter,
+# reverse, +200000 offset, planted routed-query row): part of every
+# delta/compact key so artifact reuse tracks code, not just fixtures
+_DELTA_RECIPE = "rev13+200000planted-v1"
+
+
 def _ivf_append_oracle() -> str:
     from vectordbfaiss_spark.queries.vector_search import _ROUTED_LITS
 
@@ -1136,10 +1142,11 @@ def q_ivf_append_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id long, embedding array<float>, label int",
         )
     )
-    # build-once: the delta batch is a pure function of the source corpus
-    # (filter + reverse + planted literal), so the corpus fingerprint is a
-    # valid segment key — regenerated fixtures rebuild, reruns skip
-    ivf_index_append(delta, centroids, delta_out, delta_key=fp)
+    # build-once: the segment key fingerprints the source corpus AND the
+    # derivation recipe — a recipe edit (modulo, offset, planted vector)
+    # must republish even when the fixtures are unchanged, or the stored
+    # segment silently diverges from the oracle's replay
+    ivf_index_append(delta, centroids, delta_out, delta_key=f"{fp}|{_DELTA_RECIPE}")
     index = spark.read.parquet(out).unionByName(
         spark.read.parquet(delta_out), allowMissingColumns=False
     )
@@ -1196,8 +1203,10 @@ def q_ivf_compact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id long, embedding array<float>, label int",
         )
     )
-    ivf_index_append(delta, centroids, delta_out, delta_key=fp)
-    ivf_compact(spark, out, [delta_out], compact_out, compact_key=fp)
+    ivf_index_append(delta, centroids, delta_out, delta_key=f"{fp}|{_DELTA_RECIPE}")
+    ivf_compact(
+        spark, out, [delta_out], compact_out, compact_key=f"{fp}|{_DELTA_RECIPE}"
+    )
     index = spark.read.parquet(compact_out)
     queries = spark.createDataFrame(
         [(0, _routed_query_vec())], "query_id long, query_vec array<float>"

@@ -1248,17 +1248,24 @@ ORDER BY nprobe
 
 @register("ivf_nprobe_curve", _NPROBE_CURVE_ORACLE)
 def q_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The IVF TUNING CURVE: recall@10 vs exact brute force at nprobe =
-    1, 2, 4, 8 (of 8 clusters) — how an operator picks the probe width
-    for a recall target. Raw recall values are k-means-dependent, so the
-    hash-checked contract is the sketch-bound pattern: per nprobe,
-    ``recall_in_range`` ([0,1] and self-hit present: every query is in
-    the corpus, its own cluster is always probed at any nprobe >= 1 —
-    so recall@10 > 0), ``monotone_from_prev`` (widening the probe can
-    only add candidates: recall is non-decreasing in nprobe — the
-    property that MAKES it a tuning curve), and ``full_probe_exact``
-    (nprobe = n_clusters degenerates to the exact scan: recall == 1.0).
-    The numeric curve itself ships in `ivf_recall_report` (rows-only).
+    """The IVF TUNING CURVE: recall@10 at nprobe = 1, 2, 4, 8 (of 8
+    clusters) against the FULL-PROBE ranking of the same scoring kernel —
+    how an operator picks the probe width for a recall target. Raw recall
+    values are k-means-dependent, so the hash-checked contract is the
+    sketch-bound pattern: per nprobe, ``recall_in_range`` ([0,1] and
+    self-hit present: every query is in the corpus, its own cluster is
+    always probed at any nprobe >= 1 — so recall@10 > 0),
+    ``monotone_from_prev`` (under one scoring kernel and the
+    deterministic (score DESC, id ASC) total order, a candidate that
+    displaces a baseline hit from top-10 must itself be a baseline hit —
+    so recall is provably non-decreasing in nprobe), and
+    ``full_probe_exact`` (nprobe = n_clusters IS the baseline by
+    construction — the degeneracy pin). The baseline is deliberately the
+    SAME float32-quantized kernel, not the float64 brute-force kernel:
+    cross-kernel top-10 agreement can flip on sub-rounding-grid ties
+    (this repo's rule: ANN vs exact is recall-MEASURED, never
+    hash-asserted — that comparison ships in `ivf_recall_report` /
+    `ivf_recall_bound`).
 
     Scored ONCE, evaluated at every width: each (query, vector) pair is
     scored a single time with the query's centroid-proximity RANK
@@ -1282,8 +1289,6 @@ def q_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 30).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    exact = score_topk_vectorized(queries, emb, k=10).select("query_id", "vec_id")
-    exact = exact.localCheckpoint(eager=True)  # consumed per width below
     assigned, centroids = assign_clusters(
         emb, n_clusters=8, seed=42,
         corpus_key=corpus_fingerprint(f"{sf_dir}/embeddings.parquet"),
@@ -1314,13 +1319,18 @@ def q_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("np", "query_id").orderBy(
         F.desc("score"), F.asc("vec_id")
     )
-    top = cands.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
-    hits = top.join(exact, ["query_id", "vec_id"], "left_semi")
+    top = (
+        cands.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .localCheckpoint(eager=True)  # two consumers: baseline + hit counts
+    )
+    baseline = top.filter(F.col("np") == 8).select("query_id", "vec_id")
+    hits = top.join(baseline, ["query_id", "vec_id"], "left_semi")
     counts = {
         r["np"]: r["hits"]
         for r in hits.groupBy("np").agg(F.count("*").alias("hits")).collect()
     }
-    n_exact = exact.count()
+    n_exact = baseline.count()
 
     rows, prev = [], -1.0
     for np_ in widths:
