@@ -393,3 +393,116 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("name", "rec_id").alias("canonical_name"),
         F.array_join(F.sort_array(F.collect_set("src")), ",").alias("sources"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental entity resolution: new batch vs the resolved store
+# ---------------------------------------------------------------------------
+
+_ER_INCR_ORACLE = """
+WITH store AS (
+  SELECT c_custkey AS entity_id, c_name AS name, c_nationkey AS nation,
+         right(c_name, 6) AS bk
+  FROM customer
+),
+batch AS (
+  SELECT c_custkey + 1000000 AS rec_id,
+         replace(c_name, 'Customer#', 'Cstmer#') AS name,
+         c_nationkey AS nation, 'web' AS src
+  FROM customer WHERE c_custkey % 9 = 4
+  UNION ALL
+  SELECT c_custkey + 2000000, replace(c_name, 'Customer#', 'Customers#'),
+         c_nationkey, 'import'
+  FROM customer WHERE c_custkey % 3 = 1
+  UNION ALL
+  SELECT c_custkey + 3000000,
+         'NewCo#' || right(c_name, 9), c_nationkey, 'feed'
+  FROM customer WHERE c_custkey % 11 = 3
+),
+kb AS (SELECT *, right(name, 6) AS bk FROM batch),
+m AS (
+  SELECT kb.rec_id, kb.src,
+         min(s.entity_id) AS hit
+  FROM kb LEFT JOIN store s
+    ON kb.bk = s.bk AND kb.nation = s.nation
+   AND levenshtein(kb.name, s.name) <= 2
+  GROUP BY 1, 2
+)
+SELECT rec_id, src,
+       coalesce(hit, rec_id) AS entity_id,
+       (hit IS NULL) AS is_new_entity
+FROM m
+"""
+
+
+@register("entity_resolution_incremental", _ER_INCR_ORACLE)
+def q_entity_resolution_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL entity resolution — the production ingest shape the
+    batch query (`entity_resolution_golden`) compacts into: each new feed
+    record is matched against the RESOLVED STORE only (blocking equi-join
+    on (name tail, nation), in-block levenshtein verify), never against
+    other new records and never store-vs-store. Matched records adopt the
+    store's entity_id; unmatched ones (the 'feed' source here — names no
+    store record resembles) mint their own. Work is |batch|-proportional:
+    the store side enters only through the hash equi-join on the block
+    key, so a billion-entity store costs one shuffled/broadcast lookup,
+    not a re-resolution — the same contract as
+    `dedup_minhash_incremental`. min() over in-block matches keeps the
+    assignment deterministic if blocking ever over-generates.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    store = c.select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_name").alias("s_name"),
+        F.col("c_nationkey").alias("nation"),
+        F.substring("c_name", -6, 6).alias("bk"),
+    )
+    batch = (
+        c.filter(F.col("c_custkey") % 9 == 4)
+        .select(
+            (F.col("c_custkey") + 1000000).alias("rec_id"),
+            F.regexp_replace("c_name", "Customer#", "Cstmer#").alias("name"),
+            F.col("c_nationkey").alias("nation"),
+            F.lit("web").alias("src"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 3 == 1).select(
+                (F.col("c_custkey") + 2000000).alias("rec_id"),
+                F.regexp_replace("c_name", "Customer#", "Customers#").alias(
+                    "name"
+                ),
+                F.col("c_nationkey").alias("nation"),
+                F.lit("import").alias("src"),
+            )
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 11 == 3).select(
+                (F.col("c_custkey") + 3000000).alias("rec_id"),
+                F.concat(
+                    F.lit("NewCo#"), F.substring("c_name", -9, 9)
+                ).alias("name"),
+                F.col("c_nationkey").alias("nation"),
+                F.lit("feed").alias("src"),
+            )
+        )
+    )
+    kb = batch.withColumn("bk", F.substring(F.col("name"), -6, 6))
+    matched = (
+        kb.join(
+            store,
+            (kb.bk == store.bk)
+            & (kb.nation == store.nation)
+            & (F.levenshtein(kb.name, store.s_name) <= 2),
+            "left",
+        )
+        .groupBy("rec_id", "src")
+        .agg(F.min("entity_id").alias("hit"))
+    )
+    return matched.select(
+        "rec_id",
+        "src",
+        F.coalesce(F.col("hit"), F.col("rec_id")).alias("entity_id"),
+        F.col("hit").isNull().alias("is_new_entity"),
+    )

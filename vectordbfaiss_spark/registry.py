@@ -103,10 +103,12 @@ _PRIORITY: tuple[str, ...] = (
     "ivf_compact_search",
     "schema_evolution_read",
     "entity_resolution_golden",
+    "entity_resolution_incremental",
     "join_size_estimate",
     "quality_prune_tradeoff",
     "ivf_nprobe_curve",
     "maxsim_late_interaction",
+    "snapshot_vacuum_audit",
     # never-driver-verified queries, natural registration order
     "corpus_health_report",
     "mixture_sampling_plan",
@@ -115,8 +117,6 @@ _PRIORITY: tuple[str, ...] = (
     "leakage_safe_split_assign",
     "sequence_packing_bins",  # re-verify: rewritten shard-parallel in r3
     "q13_customer_distribution",
-    "ntile_percent_rank_orders",
-    "grouping_sets_lineitem",
     "q16_supplier_relationship",
     "q6_forecast_revenue",
     "q12_shipping_priority_split",
@@ -140,6 +140,8 @@ _PRIORITY: tuple[str, ...] = (
     "null_safe_join_status",
     "embedding_norm_health",
     "exists_not_exists_customers",
+    "ntile_percent_rank_orders",
+    "grouping_sets_lineitem",
     # (the relational basics below were demoted from the window to make
     # room for the session-2/3 families: lowest-risk entries, heavily
     # covered by the local oracle harness; head of round 4's rotation)
