@@ -142,3 +142,80 @@ def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "word")
         .limit(_ENC_TOP)
     )
+
+
+def _bpe_fertility_oracle(n_merges: int) -> str:
+    """Encode oracle extended with a per-language weighted rollup: join the
+    encoded dictionary back onto per-(lang, word) frequencies."""
+    enc = _bpe_encode_oracle(n_merges)
+    head = enc.split("\nSELECT word, freq, seq AS encoded")[0]
+    return (
+        head
+        + f""",
+lw AS (
+  SELECT lang, word, count(*) AS freq
+  FROM (SELECT lang, unnest(string_split_regex(rtrim(text), '\\s+')) AS word
+        FROM documents)
+  GROUP BY 1, 2
+)
+SELECT lw.lang,
+       CAST(sum(lw.freq) AS BIGINT) AS n_words,
+       CAST(sum(lw.freq * len(string_split(w.seq, ' '))) AS BIGINT)
+         AS n_bpe_tokens,
+       round(sum(lw.freq * len(string_split(w.seq, ' ')))
+             / CAST(sum(lw.freq) AS DOUBLE), 6) AS fertility
+FROM lw JOIN w{n_merges} w ON lw.word = w.word
+GROUP BY 1
+"""
+    )
+
+
+@register("bpe_fertility_by_lang", _bpe_fertility_oracle(_N_MERGES))
+def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY (BPE tokens per word) per language — the
+    number a multilingual pipeline watches before committing to a
+    tokenizer: a language whose fertility is far above the corpus mean
+    pays proportionally more sequence length (and training compute) per
+    word, the classic under-represented-language tokenizer penalty.
+
+    Composition, all |vocab|-grain after the first agg: train the merge
+    table (5 rules), encode the DISTINCT-word dictionary once (never the
+    running text), join encoded lengths back onto per-(lang, word)
+    frequencies — an equi-join on word between two dictionary-sized
+    frames — and roll up occurrence-weighted token counts per language.
+    The oracle replays training, encoding, and the weighted rollup.
+    """
+    from pyspark.sql import functions as F
+
+    from vectordbfaiss_spark.operators.bpe import (
+        apply_bpe_merges,
+        train_bpe_merges,
+        word_freq_dict,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["pa"], r["pb"])
+        for r in train_bpe_merges(docs, _N_MERGES).orderBy("iteration").collect()
+    ]
+    encoded = apply_bpe_merges(word_freq_dict(docs), merges).select(
+        "word", F.size(F.split(F.col("seq"), " ")).alias("n_tok")
+    )
+    lw = (
+        docs.select(
+            "lang",
+            F.explode(F.split(F.rtrim(F.col("text")), r"\s+")).alias("word"),
+        )
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("freq"))
+    )
+    j = lw.join(encoded, "word")
+    return j.groupBy("lang").agg(
+        F.sum("freq").cast("long").alias("n_words"),
+        F.sum(F.col("freq") * F.col("n_tok")).cast("long").alias("n_bpe_tokens"),
+        F.round(
+            F.sum(F.col("freq") * F.col("n_tok"))
+            / F.sum("freq").cast("double"),
+            6,
+        ).alias("fertility"),
+    )

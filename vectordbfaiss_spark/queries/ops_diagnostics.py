@@ -661,3 +661,67 @@ def q_quality_prune_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_tokens_kept"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private-style noised release (seeded Laplace mechanism)
+# ---------------------------------------------------------------------------
+
+_DP_SCALE = 10.0  # Laplace scale b (sensitivity 1 / epsilon 0.1)
+_DP_DENOM = 16 ** 6  # _hash_bucket range
+
+
+def _dp_oracle() -> str:
+    from vectordbfaiss_spark.queries.curation import _sql_hash_bucket
+
+    bucket = _sql_hash_bucket("'dp-v1|' || event_type")
+    return f"""
+WITH c AS (
+  SELECT event_type, count(*) AS n FROM events GROUP BY 1
+),
+u AS (
+  SELECT event_type, n,
+         ({bucket} + 0.5) / {_DP_DENOM}.0 - 0.5 AS v
+  FROM c
+)
+SELECT event_type,
+       round(n + (-{_DP_SCALE} * sign(v) * ln(1.0 - 2.0 * abs(v))), 4)
+         AS noised_count,
+       {_DP_SCALE} AS laplace_scale
+FROM u
+"""
+
+
+@register("dp_noised_event_counts", _dp_oracle())
+def q_dp_noised_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism noised release of per-type event counts — the
+    shape a privacy-bounded stats endpoint uses (sensitivity-1 count +
+    Laplace(b) noise; here b=10, i.e. epsilon=0.1). The noise is SEEDED:
+    uniform u in (-1/2, 1/2) from the engine-shared md5 bucket of a
+    versioned key ('dp-v1|' || group), mapped through the Laplace inverse
+    CDF -b*sign(u)*ln(1-2|u|) — so releases are reproducible run-to-run
+    (and testable: the oracle replays the mechanism digit for digit),
+    while changing the seed version rotates the noise. True counts never
+    appear in the output. Privacy honesty: deterministic per-key noise
+    means REPEATED releases of the same key don't compound privacy loss
+    like fresh randomness would, but it also means the noise is
+    predictable to anyone knowing the seed — production systems keep the
+    seed secret or use true randomness with a privacy accountant; the
+    MECHANISM and its Spark shape (one map-side-combinable count + O(1)
+    per-group expression work) are what this query pins.
+    """
+    from vectordbfaiss_spark.queries.curation import _hash_bucket
+
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("event_type").agg(F.count("*").alias("n"))
+    v = (
+        (_hash_bucket(F.concat(F.lit("dp-v1|"), F.col("event_type"))) + 0.5)
+        / F.lit(float(_DP_DENOM))
+        - 0.5
+    )
+    noise = -F.lit(_DP_SCALE) * F.signum(v) * F.log(1.0 - 2.0 * F.abs(v))
+    return c.select(
+        "event_type",
+        F.round(F.col("n") + noise, 4).alias("noised_count"),
+        F.lit(_DP_SCALE).alias("laplace_scale"),
+    )

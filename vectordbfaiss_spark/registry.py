@@ -132,6 +132,10 @@ _PRIORITY: tuple[str, ...] = (
     "skew_salted_event_totals",  # streaming-twin family: all 4 in-window
     "window_nth_value_events",
     # ---- driver's 50-row sample boundary lands here ----
+    # (head of round 4's rotation: the session-3 queries that no longer
+    # fit the packed window, then the demoted relational basics)
+    "bpe_fertility_by_lang",
+    "dp_noised_event_counts",
     "scd2_event_intervals",
     "funnel_view_click_purchase",
     "retention_cohorts_weekly",
