@@ -368,3 +368,36 @@ def test_ivf_append_no_joins_before_window(spark):
     plan = _plan(q)
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_maxsim_interaction_plan_shape(spark):
+    """The late-interaction join must be a hash equi-join on bucket with
+    the query side broadcast — never a cartesian over chunk pairs."""
+    q = registry.queries()["maxsim_late_interaction"](spark, SF_DIR)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_er_store_side_is_equi_join(spark):
+    """Incremental ER's store lookup is an equi-join on the blocking key
+    (levenshtein only as a residual filter inside the block) — the
+    |batch|-proportional contract."""
+    q = registry.queries()["entity_resolution_incremental"](spark, SF_DIR)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan
+    # the edit-distance verify must be a join residual, not a join-free
+    # all-pairs filter stage
+    assert re.search(r"Join.*levenshtein", plan, re.IGNORECASE) or (
+        "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+        or "SortMergeJoin" in plan
+    )
+
+
+def test_fertility_dictionary_grain_join(spark):
+    """BPE fertility joins two dictionary-grain frames — no cartesian, no
+    per-rule shuffle (merges are literal folds)."""
+    q = registry.queries()["bpe_fertility_by_lang"](spark, SF_DIR)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan
