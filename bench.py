@@ -93,6 +93,19 @@ def main() -> None:
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     wanted = set(subset.split(",")) if subset else None
     _load_start = list(os.getloadavg())
+    # Contamination gate (round-3 verdict): a 1-min load average >> 0 from
+    # OUTSIDE this process before we start timing means another workload is
+    # sharing the cores and the whole tail inflates ~12-40% with identical
+    # plans (adjudicated in SCALE.md). Make that un-ignorable: flag the run
+    # in BOTH the stdout JSON and the sidecar, and warn on stderr.
+    contaminated = _load_start[0] > 1.0
+    if contaminated:
+        print(
+            f"WARNING: load_avg_1min={_load_start[0]:.2f} > 1.0 before timing "
+            "started — another workload is sharing this host; timings will be "
+            "inflated. Re-run on an idle box for a comparable record.",
+            file=sys.stderr,
+        )
 
     timings: dict[str, float] = {}
     for name, fn in sorted(registry.queries().items()):
@@ -119,6 +132,7 @@ def main() -> None:
             {
                 "sf": sf,
                 "n_queries": len(timings),
+                "contaminated": contaminated,
                 "load_avg_start": _load_start,
                 "load_avg_end": list(load_after),
                 "queries": timings,
@@ -144,6 +158,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
+                "contaminated": contaminated,
                 # total grows with registry coverage; median is the
                 # coverage-independent number to track across rounds
                 "median_sec": median,

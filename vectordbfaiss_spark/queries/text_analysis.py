@@ -221,7 +221,9 @@ def q_relevant_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("relevant_tokens")
     )
-    tmp = os.path.join(tempfile.gettempdir(), f"vdbf_rel_{abs(hash(sf_dir)) % 10**8}")
+    from vectordbfaiss_spark.queries.sources_io import _sf_digest
+
+    tmp = os.path.join(tempfile.gettempdir(), f"vdbf_rel_{_sf_digest(sf_dir)}")
     report.write.mode("overwrite").option("header", "true").csv(tmp)
     schema = T2.StructType(
         [

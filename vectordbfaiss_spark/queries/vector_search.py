@@ -1129,20 +1129,23 @@ FROM s ORDER BY score DESC, vec_id LIMIT 10
 @register("ivf_tombstone_search", _IVF_TOMBSTONE_ORACLE)
 def q_ivf_tombstone_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delete-aware serving from the PUBLISHED IVF index — FAISS
-    ``remove_ids`` semantics without touching the index files: the
-    tombstone set (vec_id % 5 == 0 here) is applied as a scan-adjacent
-    filter on the cluster-partitioned parquet, then the standard nprobe
-    search runs over the survivors. This is how an index serves deletes
-    between compactions; the periodic `build_ivf_index` rebuild makes
-    them physical. Scale honesty: a predicate like this stays inside
-    whole-stage codegen at the scan but does NOT prune parquet row groups
-    (modulo is not a pushable filter) — a production tombstone set is an
-    explicit id list served as a broadcast anti-join (bounded: deletes
-    between compactions), or deletion vectors in the file format. The
-    filter shape here keeps the oracle exact. Full probe, so the routed
-    answer is EXACT and the oracle hash-checks that no tombstoned vector
-    leaks into the top-k (complement: `vector_store_crud_search` proves
-    the store-level CRUD).
+    ``remove_ids`` semantics without touching the index files. The
+    tombstone set is materialized as an explicit id TABLE (here derived
+    by a single-column projected scan standing in for the delete log;
+    vec_id % 5 == 0 keeps the oracle exactly replayable) and served as a
+    BROADCAST ANTI-JOIN against the cluster-partitioned index scan, then
+    the standard nprobe search runs over the survivors. This is the
+    production shape for deletes between compactions: the delete log is
+    bounded (compaction resets it), so it always broadcasts, the index
+    scan keeps its partition pruning AND row-group pruning intact (no
+    non-pushable predicate on the big side), and the anti-join hash probe
+    costs O(1) per surviving row. The periodic `build_ivf_index` rebuild
+    (see `ivf_compact_search`) makes deletes physical. Full probe, so the
+    routed answer is EXACT and the oracle hash-checks that no tombstoned
+    vector leaks into the top-k (complement: `vector_store_crud_search`
+    proves the store-level CRUD). Plan pinned in tests/test_plans.py:
+    BroadcastHashJoin LeftAnti adjacent to the index scan, no modulo
+    predicate on the index side.
     """
     import pathlib
 
@@ -1158,7 +1161,12 @@ def q_ivf_tombstone_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, out, n_clusters=8, seed=42,
         corpus_key=corpus_fingerprint(f"{sf_dir}/embeddings.parquet"),
     )
-    index = spark.read.parquet(out).filter(F.col("vec_id") % 5 != 0)
+    # Delete log: bounded id list (projected scan of the id column only —
+    # in production this is the tombstone sidecar, not the corpus).
+    tombstones = emb.select("vec_id").filter(F.col("vec_id") % 5 == 0)
+    index = spark.read.parquet(out).join(
+        F.broadcast(tombstones), "vec_id", "left_anti"
+    )
     qvec = _routed_query_vec()
     queries = spark.createDataFrame(
         [(0, qvec)], "query_id long, query_vec array<float>"

@@ -65,75 +65,29 @@ _loaded = False
 # the same window:
 #   round 1 verified the first 50 of the natural module order;
 #   round 2 front-loaded the per-operator primaries (50/50 green);
-#   round 3 (this order): two sentinels that must stay green every round,
-#   then every query with NO driver-verified row in rounds 1-2, in their
-#   natural registration order (per CORRECTNESS_r01/r02: 73 unique queries
-#   verified, 83 never sampled). Rows-only entries are NOT curated out of
-#   the window — the gate sees the registry as it is; new round-3 queries
-#   join their natural position in the never-verified block. The ~35
-#   never-verified queries that still fall past position 50 are the head of
-#   round 4's rotation.
+#   round 3 rotated to the round-3 additions + the never-verified backlog
+#   (cumulative driver-sampled after r3: 120/224);
+#   round 4 (this order): registry growth FROZEN except the two new PQ
+#   bound twins (the round-3 verdict's ask), window = the two sentinels,
+#   the two NEW bound twins, the REWRITTEN `ivf_tombstone_search`
+#   (modulo scan -> broadcast anti-join), then the next 45 queries with no
+#   driver row in rounds 1-3, in natural registration order — including
+#   the whole ANN rows-only family, so the driver proves it can execute
+#   them (they record `no_oracle` rows; that is the declared contract).
+#   The ~58 still-unsampled queries past position 50 are the head of
+#   round 5's rotation.
 _PRIORITY: tuple[str, ...] = (
     # sentinels: flagship operators re-proven every round
     "topk_search",
     "ingest_index_build",
-    # NEW round-3 operators: highest-risk code, driver-proven first
-    "pii_redact_docs",
-    "url_normalize_filter",
-    "crossdoc_span_scrub",
-    "semdedup_prune",
-    "semdedup_witness_bound",
-    "merge_upsert_docs",
-    "zorder_layout_audit",
-    "dsir_importance_weights",
-    "hard_negative_mining",
-    # session-2 round-3 operators (same highest-risk-first rationale):
-    # the search-index / diagnostics / binary-quantization families
-    "inverted_index_build",
-    "kmv_overlap_sketch",
-    "binary_hamming_rerank_topk",
-    "webdataset_tar_roundtrip",
-    "matryoshka_truncation_audit",
-    "search_snippet_extraction",
-    # session-3 round-3 operators: vector-store lifecycle (FAISS
-    # remove_ids/add parity) + schema-evolution source read
-    "vector_store_crud_search",
+    # NEW round-4 queries: hash-checked recall/self-retrieval bounds that
+    # make the rows-only PQ family driver-checkable
+    "pq_recall_bound",
+    "ivfpq_recall_bound",
+    # REWRITTEN round 4: tombstones now a broadcast anti-join id table
     "ivf_tombstone_search",
-    "ivf_append_search",
-    "ivf_compact_search",
-    "schema_evolution_read",
-    "entity_resolution_golden",
-    "entity_resolution_incremental",
-    "join_size_estimate",
-    "quality_prune_tradeoff",
-    "ivf_nprobe_curve",
-    "maxsim_late_interaction",
-    "snapshot_vacuum_audit",
-    # never-driver-verified queries, natural registration order
-    "corpus_health_report",
-    "mixture_sampling_plan",
-    "dedup_minhash_incremental",
-    "dedup_survivors",
-    "leakage_safe_split_assign",
-    "sequence_packing_bins",  # re-verify: rewritten shard-parallel in r3
-    "q13_customer_distribution",
-    "q16_supplier_relationship",
-    "q6_forecast_revenue",
-    "q12_shipping_priority_split",
-    "q4_order_priority_checking",
-    "q10_returned_item_revenue",
-    "q14_promo_revenue_pct",
-    "q18_large_volume_orders",
-    "range_join_orders_events",
-    "approx_percentiles_order_value",
-    "sessionize_events_batch",
-    "interval_join_click_purchase",
-    "session_window_builtin",
-    "skew_salted_event_totals",  # streaming-twin family: all 4 in-window
-    "window_nth_value_events",
-    # ---- driver's 50-row sample boundary lands here ----
-    # (head of round 4's rotation: the session-3 queries that no longer
-    # fit the packed window, then the demoted relational basics)
+    # never-driver-verified (rounds 1-3), natural registration order:
+    # session-3 tails, relational basics, sketches, the ANN family
     "bpe_fertility_by_lang",
     "dp_noised_event_counts",
     "scd2_event_intervals",
@@ -146,9 +100,6 @@ _PRIORITY: tuple[str, ...] = (
     "exists_not_exists_customers",
     "ntile_percent_rank_orders",
     "grouping_sets_lineitem",
-    # (the relational basics below were demoted from the window to make
-    # room for the session-2/3 families: lowest-risk entries, heavily
-    # covered by the local oracle harness; head of round 4's rotation)
     "stats_summary_lineitem",
     "regexp_extract_all_docs",
     "median_mode_orders",
@@ -182,6 +133,9 @@ _PRIORITY: tuple[str, ...] = (
     "ivf_recall_bound",
     "pq_topk_search",
     "pq_rerank_topk",
+    # ---- driver's 50-row sample boundary lands here ----
+    # (head of round 5's rotation: the rest of the never-verified pool,
+    # natural registration order)
     "ivfpq_topk_search",
     "sqlite_roundtrip_docs",
     "snapshot_pinned_read_docs",
@@ -206,6 +160,41 @@ _PRIORITY: tuple[str, ...] = (
     "label_centroids",
     "embedding_drift_report",
     "sql_routed_topk_multi",
+    "bpe_train_merges",
+    "bpe_encode_corpus",
+    "sequence_packing_payload",
+    "bigram_logprob_quality",
+    "setsim_prefix_join",
+    "minhash_quality_audit",
+    "knn_graph_edges",
+    "mutual_knn_components",
+    "knn_graph_blocked",
+    "embedding_standardize",
+    "embedding_pca_project",
+    "knn_graph_incremental",
+    "kcenter_coreset_select",
+    "label_propagation_knn",
+    "ridge_probe_auc",
+    "pagerank_neardup_graph",
+    "join_skew_report",
+    "ngram_novelty_scoring",
+    "fingerprint_attribution",
+    "quality_calibration_deciles",
+    "expectations_quarantine",
+    "bloom_prefilter_join",
+    "source_temperature_weights",
+    "event_transition_matrix",
+    "length_bucketed_batches",
+    "event_sequence_pattern",
+    "top_event_paths",
+    "mad_outlier_events",
+    "daily_trend_ols",
+    "selfrep_span_scrub",
+    "phrase_search_postings",
+    "rag_context_budget_pack",
+    "inverted_index_incremental",
+    "snapshot_diff_report",
+    "ranking_eval_metrics",
 )
 
 
