@@ -33,6 +33,11 @@ def test_bench_emits_driver_contract_json(tmp_path):
     d = json.loads(line)
     assert d["unit"] == "sec" and d["sf"] == 0.001
     assert d["value"] > 0 and isinstance(d["metric"], str)
+    # contamination flag (round-3 verdict): both artifacts must carry it
+    # so a loaded-box run can never masquerade as a comparable record
+    assert isinstance(d["contaminated"], bool)
     with open(env["SPARK_GRAFT_BENCH_OUT"]) as f:
         side = json.load(f)
     assert set(side["queries"]) == {"q1_pricing_summary", "topk_search"}
+    assert isinstance(side["contaminated"], bool)
+    assert side["contaminated"] == (side["load_avg_start"][0] > 1.0)

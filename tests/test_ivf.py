@@ -177,3 +177,36 @@ def test_ivf_compact_rekeys_on_new_segments(spark, tmp_path):
     stamp = os.path.getmtime(os.path.join(out, "_SUCCESS"))
     ivf_compact(spark, base, [d1, d2], out, compact_key="k")
     assert os.path.getmtime(os.path.join(out, "_SUCCESS")) == stamp
+
+
+def test_ivf_compact_rekeys_on_republished_delta_content(spark, tmp_path):
+    """Compacting with an unchanged compact_key and the SAME delta
+    basenames must still re-fold when a segment's CONTENT identity
+    changed (its delta_key rotated on republish) — a basename-only check
+    would silently serve the stale fold."""
+    from vectordbfaiss_spark.plans.ivf import (
+        build_ivf_index,
+        ivf_compact,
+        ivf_index_append,
+    )
+    from vectordbfaiss_spark.session import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = str(tmp_path / "base")
+    centroids = build_ivf_index(emb, base, n_clusters=4, seed=42)
+    d1 = str(tmp_path / "d1")
+    ivf_index_append(
+        emb.filter(F.col("vec_id") % 7 == 0), centroids, d1, delta_key="v1"
+    )
+    out = str(tmp_path / "compacted")
+    ivf_compact(spark, base, [d1], out, compact_key="k")
+    n1 = spark.read.parquet(out).count()
+
+    # republish the SAME path with more rows under a rotated delta_key
+    ivf_index_append(
+        emb.filter((F.col("vec_id") % 7 == 0) | (F.col("vec_id") % 7 == 2)),
+        centroids, d1, delta_key="v2",
+    )
+    ivf_compact(spark, base, [d1], out, compact_key="k")
+    n2 = spark.read.parquet(out).count()
+    assert n2 > n1, "republished delta content was not re-folded"

@@ -108,7 +108,7 @@ def test_incremental_er_assignments_are_consistent_with_batch(spark):
     web_imp = inc[inc.src.isin(["web", "import"])]
     # the perturbed feeds always match their original: entity_id is the
     # source custkey (rec_id minus the feed offset)
-    offs = {"web": 1000000, "import": 2000000}
+    offs = {"web": 1000000000, "import": 2000000000}
     for _, r in web_imp.iterrows():
         assert r["entity_id"] == r["rec_id"] - offs[r["src"]]
         assert not r["is_new_entity"]

@@ -406,3 +406,24 @@ def test_fertility_dictionary_grain_join(spark):
     q = registry.queries()["bpe_fertility_by_lang"](spark, SF_DIR)
     plan = _plan(q)
     assert "CartesianProduct" not in plan
+
+
+def test_pq_recall_bound_no_corpus_shuffle_joins(spark):
+    """The PQ bound twin composes the exact kernel, ADC shortlist, and
+    exact re-rank in one plan: every join must be broadcast (query
+    matrices, shortlist id sets, per-query hit counts — all bounded),
+    never a corpus-shuffling SMJ or a cartesian."""
+    q = registry.queries()["pq_recall_bound"](spark, SF_DIR)
+    plan = _plan(q)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ivfpq_recall_bound_no_corpus_shuffle_joins(spark):
+    """Same contract for the composed IVF+PQ bound."""
+    q = registry.queries()["ivfpq_recall_bound"](spark, SF_DIR)
+    plan = _plan(q)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

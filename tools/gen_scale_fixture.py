@@ -15,10 +15,19 @@ perturbation, so dedup/shingle/ANN workloads don't degenerate into
 - embeddings: copy 0 identical; copies 1-9 nudge element 1 by c*0.001
   (queries l2-normalize, so this keeps vectors distinct but
   near-duplicate — the hard case for ANN routing).
+- TPC-H star: region/nation stay fixed (true dims don't scale);
+  customer/supplier/part/orders/lineitem replicate with EVERY key
+  column (primary + foreign) shifted by the same per-copy stride, so
+  referential integrity holds within each copy and join fan-outs match
+  the original's — groups keyed on non-id columns (returnflag, brand,
+  priority) keep their cardinality and get 10x rows each, which is how
+  real TPC-H scaling behaves.
+- events: event_id/user_id shifted; timestamps unchanged (each copy is
+  a disjoint user population over the same time range, so sessionize/
+  window workloads scale by population, not by frame length).
 
-Output: .scratch/sf1.0/{documents,embeddings}.parquet (gitignored;
-regenerate any time — fully deterministic). Only the tables the headline
-spot-check queries read are scaled.
+Output: .scratch/sf1.0/*.parquet (gitignored; regenerate any time —
+fully deterministic).
 
 Usage: python tools/gen_scale_fixture.py [src_dir] [out_dir]
 """
@@ -63,7 +72,40 @@ def main() -> None:
           ORDER BY vec_id
         ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
     """)
-    for t in ("documents", "embeddings"):
+    # TPC-H star: fixed dims copied verbatim; scaling tables replicated
+    # with all id columns (PK + FK) shifted by the same per-copy stride
+    shifted = {
+        "region": [],
+        "nation": [],
+        "customer": ["c_custkey"],
+        "supplier": ["s_suppkey"],
+        "part": ["p_partkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+        "events": ["event_id", "user_id"],
+    }
+    for t, keys in shifted.items():
+        if not keys:  # true dimension: one copy
+            con.sql(
+                f"COPY (SELECT * FROM '{src}/{t}.parquet') "
+                f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+            )
+            continue
+        cols = [r[0] for r in con.sql(
+            f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'"
+        ).fetchall()]
+        sel = ", ".join(
+            f"{col} + c * {STRIDE} AS {col}" if col in keys else col
+            for col in cols
+        )
+        con.sql(f"""
+            COPY (
+              SELECT {sel}
+              FROM '{src}/{t}.parquet', range({COPIES}) t(c)
+              ORDER BY {keys[0]}
+            ) TO '{out}/{t}.parquet' (FORMAT PARQUET)
+        """)
+    for t in sorted(list(shifted) + ["documents", "embeddings"]):
         n = con.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
         print(f"{out}/{t}.parquet: {n} rows")
 

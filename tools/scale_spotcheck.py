@@ -26,12 +26,20 @@ from collections import Counter
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 QUERIES = [
+    # the six the round-3 verdict named
     "topk_search",
     "dedup_minhash_lsh",
     "dedup_minhash_incremental",
     "ivf_disk_search",
     "sequence_packing_bins",
     "crossdoc_span_scrub",
+    # relational / streaming-twin / index-build headliners over the
+    # FK-consistent replicated star (gen_scale_fixture.py)
+    "q1_pricing_summary",
+    "q10_returned_item_revenue",
+    "skew_salted_event_totals",
+    "sessionize_events_batch",
+    "inverted_index_build",
 ]
 
 _NODE = re.compile(r"^[\s:+\-*(]*(\d+\)\s*)?([A-Za-z][A-Za-z0-9]+)")

@@ -442,8 +442,11 @@ def q_ivf_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ivf_search(assigned, queries, centroids, k=10, nprobe=4).select(
         "query_id", "vec_id"
     )
+    # every join side below is Q-bounded (top-k outputs / per-query rows):
+    # broadcast explicitly — post-window frames carry no stats, and an
+    # unhinted plan degrades to sort-merge joins over bounded data
     hits = (
-        exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        exact.join(F2.broadcast(approx), ["query_id", "vec_id"], "left_semi")
         .groupBy("query_id")
         .agg(F2.count("*").alias("n_hits"))
     )
@@ -452,8 +455,8 @@ def q_ivf_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         queries.select("query_id")
-        .join(hits, "query_id", "left")
-        .join(self_found, "query_id", "left")
+        .join(F2.broadcast(hits), "query_id", "left")
+        .join(F2.broadcast(self_found), "query_id", "left")
         .select(
             "query_id",
             F2.coalesce("self_found", F2.lit(False)).alias("self_found"),
@@ -622,8 +625,11 @@ def q_pq_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = pq_search_rerank(
         pq_encode(emb, books), queries, books, k=10, refine=8
     ).select("query_id", "vec_id")
+    # every join side below is Q-bounded (top-k outputs / per-query rows):
+    # broadcast explicitly — post-window frames carry no stats, and an
+    # unhinted plan degrades to sort-merge joins over bounded data
     hits = (
-        exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        exact.join(F2.broadcast(approx), ["query_id", "vec_id"], "left_semi")
         .groupBy("query_id")
         .agg(F2.count("*").alias("n_hits"))
     )
@@ -632,8 +638,8 @@ def q_pq_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         queries.select("query_id")
-        .join(hits, "query_id", "left")
-        .join(self_found, "query_id", "left")
+        .join(F2.broadcast(hits), "query_id", "left")
+        .join(F2.broadcast(self_found), "query_id", "left")
         .select(
             "query_id",
             F2.coalesce("self_found", F2.lit(False)).alias("self_found"),
@@ -681,8 +687,11 @@ def q_ivfpq_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ivfpq_search(
         pq_encode(assigned, books), queries, centroids, books, k=10, nprobe=4
     ).select("query_id", "vec_id")
+    # every join side below is Q-bounded (top-k outputs / per-query rows):
+    # broadcast explicitly — post-window frames carry no stats, and an
+    # unhinted plan degrades to sort-merge joins over bounded data
     hits = (
-        exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        exact.join(F2.broadcast(approx), ["query_id", "vec_id"], "left_semi")
         .groupBy("query_id")
         .agg(F2.count("*").alias("n_hits"))
     )
@@ -691,8 +700,8 @@ def q_ivfpq_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         queries.select("query_id")
-        .join(hits, "query_id", "left")
-        .join(self_found, "query_id", "left")
+        .join(F2.broadcast(hits), "query_id", "left")
+        .join(F2.broadcast(self_found), "query_id", "left")
         .select(
             "query_id",
             F2.coalesce("self_found", F2.lit(False)).alias("self_found"),
