@@ -427,3 +427,32 @@ def test_ivfpq_recall_bound_no_corpus_shuffle_joins(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_open_vocabulary_tables_never_broadcast(spark):
+    """The 100x scale step (SCALE.md round 4) showed Catalyst's
+    post-aggregate estimates plan corpus-grain frames — span->keeper
+    tables, per-doc length/starts tables, open-vocabulary LM/stats
+    tables, posting lists — as broadcast builds, which OOM once the
+    corpus outgrows the estimate. These queries pin the SHUFFLE_HASH
+    hints that keep such joins shuffle-side at any scale; bounded
+    broadcasts (query-term df, benchmark shingles, scalar stats) remain
+    allowed."""
+    expectations = {
+        # name -> (max BroadcastHashJoins allowed, min ShuffledHashJoins)
+        "crossdoc_span_scrub": (0, 2),
+        "ngram_novelty_scoring": (0, 1),
+        "unigram_logprob_quality": (0, 1),
+        "bigram_logprob_quality": (0, 2),
+        "inverted_index_build": (0, 1),
+        "phrase_search_postings": (0, 1),
+        "search_snippet_extraction": (0, 2),
+        "benchmark_decontamination": (1, 1),  # bench-shingle broadcast stays
+        "bm25_doc_ranking": (1, 1),           # query-term df broadcast stays
+    }
+    for name, (max_bhj, min_shj) in expectations.items():
+        q = registry.queries()[name](spark, SF_DIR)
+        plan = _plan(q)
+        assert plan.count("BroadcastHashJoin") <= max_bhj, (name, plan[:2000])
+        assert plan.count("ShuffledHashJoin") >= min_shj, (name, plan[:2000])
+        assert "SortMergeJoin" not in plan, name

@@ -29,7 +29,7 @@ perturbation, so dedup/shingle/ANN workloads don't degenerate into
 Output: .scratch/sf1.0/*.parquet (gitignored; regenerate any time —
 fully deterministic).
 
-Usage: python tools/gen_scale_fixture.py [src_dir] [out_dir]
+Usage: python tools/gen_scale_fixture.py [src_dir] [out_dir] [copies]
 """
 
 from __future__ import annotations
@@ -40,13 +40,13 @@ import sys
 import duckdb
 
 STRIDE = 10_000_000
-COPIES = 10
 
 
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(repo, ".scratch", "sf1.0")
+    copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.sql(f"""
@@ -56,7 +56,7 @@ def main() -> None:
                  lang, source,
                  CASE WHEN c = 0 THEN n_chars
                       ELSE length('c' || c || ' ' || text) END AS n_chars
-          FROM '{src}/documents.parquet', range({COPIES}) t(c)
+          FROM '{src}/documents.parquet', range({copies}) t(c)
           ORDER BY doc_id
         ) TO '{out}/documents.parquet' (FORMAT PARQUET)
     """)
@@ -68,7 +68,7 @@ def main() -> None:
                         [CAST(embedding[1] + c * 0.001 AS FLOAT)],
                         embedding[2:]) END AS embedding,
                  label
-          FROM '{src}/embeddings.parquet', range({COPIES}) t(c)
+          FROM '{src}/embeddings.parquet', range({copies}) t(c)
           ORDER BY vec_id
         ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
     """)
@@ -101,7 +101,7 @@ def main() -> None:
         con.sql(f"""
             COPY (
               SELECT {sel}
-              FROM '{src}/{t}.parquet', range({COPIES}) t(c)
+              FROM '{src}/{t}.parquet', range({copies}) t(c)
               ORDER BY {keys[0]}
             ) TO '{out}/{t}.parquet' (FORMAT PARQUET)
         """)

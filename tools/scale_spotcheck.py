@@ -78,10 +78,18 @@ def main() -> None:
     out_json = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         repo, ".scratch", "scale_spotcheck.json"
     )
-    sf_dirs = {
-        "sf0.1": "/root/testdata/sf0.1",
-        "sf1.0": os.path.join(repo, ".scratch", "sf1.0"),
-    }
+    # override the step via env: SPOTCHECK_SF_DIRS="sf0.1=/path,sf10=/path"
+    # and SPOTCHECK_QUERIES="a,b,c" (e.g. the 100x subset in SCALE.md)
+    dirs_env = os.environ.get("SPOTCHECK_SF_DIRS")
+    if dirs_env:
+        sf_dirs = dict(kv.split("=", 1) for kv in dirs_env.split(","))
+    else:
+        sf_dirs = {
+            "sf0.1": "/root/testdata/sf0.1",
+            "sf1.0": os.path.join(repo, ".scratch", "sf1.0"),
+        }
+    q_env = os.environ.get("SPOTCHECK_QUERIES")
+    queries = q_env.split(",") if q_env else QUERIES
     spark = get_spark(
         app_name="scale-spotcheck",
         driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
@@ -90,28 +98,39 @@ def main() -> None:
     q = registry.queries()
     result: dict = {"load_avg_start": load0, "contaminated": load0 > 1.0, "runs": {}}
     for sf_name, sf_dir in sf_dirs.items():
-        for name in QUERIES:
-            times = []
-            for _ in range(2):
-                t0 = time.perf_counter()
-                q[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                times.append(round(time.perf_counter() - t0, 3))
-            df = q[name](spark, sf_dir)
-            result["runs"][f"{sf_name}/{name}"] = {
-                "cold_sec": times[0],
-                "warm_sec": times[1],
-                "rows": df.count(),
-                "plan": plan_histogram(df),
-            }
-            print(f"{sf_name:7s} {name:28s} cold={times[0]:7.2f}s warm={times[1]:7.2f}s")
-    print("\nwarm-run ratios (sf1.0 / sf0.1; data ratio = 10x):")
-    for name in QUERIES:
-        a = result["runs"][f"sf0.1/{name}"]
-        b = result["runs"][f"sf1.0/{name}"]
+        for name in queries:
+            try:
+                times = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    q[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                    times.append(round(time.perf_counter() - t0, 3))
+                df = q[name](spark, sf_dir)
+                result["runs"][f"{sf_name}/{name}"] = {
+                    "cold_sec": times[0],
+                    "warm_sec": times[1],
+                    "rows": df.count(),
+                    "plan": plan_histogram(df),
+                }
+                print(f"{sf_name:7s} {name:28s} cold={times[0]:7.2f}s warm={times[1]:7.2f}s", flush=True)
+            except Exception as e:  # a query that DIES at scale is the
+                # most important datum this tool can produce — record it
+                # and keep measuring the rest
+                msg = str(e).split("\n")[0][:300]
+                result["runs"][f"{sf_name}/{name}"] = {"error": msg}
+                print(f"{sf_name:7s} {name:28s} ERROR {msg[:120]}", flush=True)
+    base, target = list(sf_dirs)[0], list(sf_dirs)[-1]
+    print(f"\nwarm-run ratios ({target} / {base}):")
+    for name in queries:
+        a = result["runs"][f"{base}/{name}"]
+        b = result["runs"][f"{target}/{name}"]
+        if "error" in a or "error" in b:
+            print(f"  {name:28s}   FAILED: {(b.get('error') or a.get('error'))[:100]}")
+            continue
         ratio = round(b["warm_sec"] / max(a["warm_sec"], 1e-9), 2)
         same = "same-plan" if a["plan"] == b["plan"] else "PLAN-CHANGED"
-        result["runs"][f"sf1.0/{name}"]["ratio_vs_sf0.1"] = ratio
-        result["runs"][f"sf1.0/{name}"]["plan_shape_unchanged"] = a["plan"] == b["plan"]
+        result["runs"][f"{target}/{name}"][f"ratio_vs_{base}"] = ratio
+        result["runs"][f"{target}/{name}"]["plan_shape_unchanged"] = a["plan"] == b["plan"]
         print(f"  {name:28s} {ratio:6.2f}x  {same}")
     os.makedirs(os.path.dirname(out_json), exist_ok=True)
     with open(out_json, "w") as fh:

@@ -332,7 +332,10 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("shingle").alias("n_shingles")
     )
     return (
-        totals.join(hits, "doc_id")
+        # totals is corpus-grain; hits is bounded only by how much of the
+        # corpus is contaminated (not provably small) — shuffle-hash on
+        # the shared doc_id key, never a broadcast build of either
+        totals.join(hits.hint("SHUFFLE_HASH"), "doc_id")
         .filter(F.col("n_hits") > 0)
         .select(
             "doc_id",
@@ -369,8 +372,13 @@ def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cheap statistical stand-in for model-based perplexity filtering
     (docs full of rare junk score high, formulaic boilerplate scores
     low; both tails get inspected before training). The model IS a
-    vocab-sized aggregate: broadcast back over one token explode, so
-    scoring any corpus is one shuffle (the per-doc aggregate)."""
+    vocab-sized aggregate joined back over one token explode — but the
+    raw-token vocabulary grows with the corpus (Heaps' law plus junk
+    tokens), so the model join is SHUFFLE_HASH, not broadcast: at 100 TB
+    an open-vocabulary table is GBs, and the 100x scale step showed
+    Catalyst's post-aggregate estimates will happily plan such tables as
+    broadcast builds until they OOM (SCALE.md). A production variant
+    that caps the vocab (top-K + OOV bucket) can re-earn the broadcast."""
     from vectordbfaiss_spark.session import fan_out
 
     docs = load_table(spark, sf_dir, "documents")
@@ -380,7 +388,7 @@ def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = toks.groupBy("tok").agg(F.count("*").alias("c"))
     n = toks.agg(F.count("*").alias("total"))
     return (
-        toks.join(F.broadcast(g), "tok")
+        toks.join(g.hint("SHUFFLE_HASH"), "tok")
         .crossJoin(F.broadcast(n))
         .groupBy("doc_id")
         .agg(
@@ -794,10 +802,14 @@ def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     NLL of p(w_i | w_{i-1}) under the corpus's own add-1-smoothed bigram
     model — one modeling step past `unigram_logprob_quality` toward the
     perplexity filters production pipelines run, with the same shape: the
-    model is two aggregates (bigram counts + context counts, Zipf-bounded
-    vocab-sized tables), joined back over one bigram explode; no
-    broadcast hint on the model tables — bigram vocab can outgrow a
-    broadcast at corpus scale, AQE decides from observed sizes."""
+    model is two aggregates (bigram counts + context counts), joined
+    back over one bigram explode. The model joins carry explicit
+    SHUFFLE_HASH hints: bigram vocab outgrows a broadcast at corpus
+    scale, and leaving it to the planner is NOT safe — AQE only converts
+    shuffle joins TO broadcast from observed sizes, while the STATIC
+    planner converts the other way from estimates and can pick a
+    broadcast build it cannot afford (measured at the 100x step,
+    SCALE.md)."""
     from vectordbfaiss_spark.session import fan_out
 
     docs = load_table(spark, sf_dir, "documents")
@@ -823,8 +835,8 @@ def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("tok").alias("vocab"))
     )
     return (
-        bi.join(cab, ["wa", "wb"])
-        .join(ca, "wa")
+        bi.join(cab.hint("SHUFFLE_HASH"), ["wa", "wb"])
+        .join(ca.hint("SHUFFLE_HASH"), "wa")
         .crossJoin(F.broadcast(v))
         .groupBy("doc_id")
         .agg(

@@ -440,9 +440,12 @@ def q_minhash_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordbfaiss_spark.operators.setsim import prefix_filter_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
+    # candidate-pair-sized frame with two consumers (the detection semi-
+    # join and the n_candidates count): materialize once or the whole
+    # shingle->minhash->band pipeline runs twice
     cand = minhash_band_candidates(
         docs, "doc_id", "text", n=3, num_hashes=_NUM_HASHES, rows_per_band=_ROWS_PER_BAND
-    )
+    ).localCheckpoint(eager=True)
     exact = (
         prefix_filter_jaccard_pairs(
             exploded_shingles(docs, "doc_id", "text", n=3), "doc_id", "shingle"

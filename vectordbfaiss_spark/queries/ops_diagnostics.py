@@ -299,6 +299,13 @@ def q_ngram_novelty_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle, join first-occurrence back on shingle, per-doc rollup. The
     first-occurrence frame is |vocabulary|-sized (not corpus-sized), and
     nothing is windowed or collected — the same shape at 10^9 docs.
+
+    The shingle join carries an explicit SHUFFLE_HASH hint: the shingle
+    vocabulary grows with the corpus (heavy-tailed — most 3-shingles are
+    near-unique), but Catalyst's post-aggregate estimate shrinks it
+    under the broadcast threshold; at the 100x local scale step the
+    unhinted plan tried to broadcast the multi-GiB first-occurrence
+    table (same failure mode as crossdoc_span_scrub — see SCALE.md).
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = exploded_shingles(docs, "doc_id", "text", 3)
@@ -307,7 +314,7 @@ def q_ngram_novelty_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
     )
     return (
-        sh.join(first, "shingle")
+        sh.join(first.hint("SHUFFLE_HASH"), "shingle")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),

@@ -72,10 +72,13 @@ FROM ranked WHERE rnk <= 10
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 documents for the query {vector, hash, join}
     (k1=1.2, b=0.75, Lucene idf). Plan: one explode feeds three hash
-    aggregates (tf, dl, df); df and the scalar (avgdl, N) row are
-    vocabulary/O(1)-sized and broadcast, so the only heavy shuffle is the
-    tf aggregate keyed on (doc_id, tok) — partial aggregation map-side.
-    The final top-10 is a TakeOrderedAndProject, not a full sort."""
+    aggregates (tf, dl, df); df (restricted to the QUERY terms before
+    aggregation — |terms| rows) and the scalar (avgdl, N) row are
+    bounded and broadcast. The per-doc length table dl is CORPUS-grain,
+    so its join is explicitly SHUFFLE_HASH — Catalyst's post-aggregate
+    estimate otherwise plans it as a broadcast build, which OOMs at
+    corpus scale (measured at the 100x step, SCALE.md). The final top-10
+    is a TakeOrderedAndProject, not a full sort."""
     docs = load_table(spark, sf_dir, "documents")
     toks = fan_out(docs).select(
         "doc_id", F.explode(F.split(F.rtrim("text"), r"\s+")).alias("tok")
@@ -90,7 +93,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_term = (
         tf.join(F.broadcast(df), "tok")
-        .join(dl, "doc_id")
+        .join(dl.hint("SHUFFLE_HASH"), "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",

@@ -226,7 +226,16 @@ def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     on span → per-doc collect_set of flagged starts → ONE left join onto
     the corpus and a codegen'd higher-order filter rebuilds the text. No
     all-pairs stage anywhere; the span table can be md5-compressed at
-    100 TB (16-byte keys) exactly like crossdoc_span_dedup."""
+    100 TB (16-byte keys) exactly like crossdoc_span_dedup.
+
+    Both joins carry explicit SHUFFLE_HASH hints: the build sides (the
+    span→keeper table, the per-doc flagged-starts table) are
+    CORPUS-PROPORTIONAL, but Catalyst's post-aggregate selectivity
+    estimate shrinks them under the broadcast threshold — at a 100x
+    local scale step the unhinted plan materialized a 4.5 GiB span-table
+    broadcast and OOM'd the session. Measured, not hypothetical
+    (SCALE.md round-4 section); plan-pinned no-broadcast in
+    tests/test_plans.py."""
     from vectordbfaiss_spark.operators.dedup import gram_array
     from vectordbfaiss_spark.session import fan_out
 
@@ -244,7 +253,7 @@ def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
     )
     flagged = (
-        spans.join(dup, "span")
+        spans.join(dup.hint("SHUFFLE_HASH"), "span")
         .filter(F.col("doc_id") != F.col("keeper"))
         .groupBy("doc_id")
         .agg(F.collect_set("start").alias("starts"))
@@ -252,7 +261,7 @@ def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select(
         "doc_id", F.split(F.rtrim("text"), r"\s+").alias("words")
     )
-    j = base.join(flagged, "doc_id", "left").withColumn(
+    j = base.join(flagged.hint("SHUFFLE_HASH"), "doc_id", "left").withColumn(
         "starts_c",
         F.coalesce(F.col("starts"), F.array().cast("array<int>")),
     )

@@ -118,7 +118,11 @@ def q_inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("postings")
     )
     return (
-        stats.join(post, "token")
+        # both sides are vocabulary-grain aggregates already partitioned
+        # by token: SHUFFLE_HASH reuses that partitioning and keeps the
+        # planner from broadcasting an open-vocabulary table (the 100x
+        # scale step showed post-aggregate estimates make it try)
+        stats.join(post.hint("SHUFFLE_HASH"), "token")
         .select("token", "df", "tf_total", "postings")
         .orderBy(F.desc("df"), "token")
         .limit(_TOP_TOKENS)
@@ -171,7 +175,13 @@ def q_phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("b_doc"), F.col("pos").alias("b_pos")
     )
     return (
-        a.join(b, (a.doc_id == b.b_doc) & (b.b_pos == a.pos + 1))
+        # posting sizes are term-frequency-dependent (a stopword's list
+        # is corpus-proportional): shuffle-hash on the positional key,
+        # never a broadcast build of a posting list
+        a.join(
+            b.hint("SHUFFLE_HASH"),
+            (a.doc_id == b.b_doc) & (b.b_pos == a.pos + 1),
+        )
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_matches"))
         # match-grain output, order-insensitive oracle: no display sort
@@ -427,8 +437,11 @@ def q_search_snippet_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = occ.localCheckpoint(eager=True)  # anchors + window-members
     b = occ.select(F.col("doc_id").alias("b_doc"), F.col("pos").alias("b_pos"))
     dens = (
+        # positional self-join of the term's occurrence list: size is the
+        # term's document frequency — shuffle-hash, same rationale as the
+        # phrase join
         occ.join(
-            b,
+            b.hint("SHUFFLE_HASH"),
             (occ.doc_id == b.b_doc)
             & (b.b_pos >= occ.pos)
             & (b.b_pos < occ.pos + _SNIP_WIN),
@@ -444,7 +457,10 @@ def q_search_snippet_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = dens.withColumn("rn", rn).filter(F.col("rn") == 1)
     snip = docs.select("doc_id", words.alias("words"))
     return (
-        best.join(snip, "doc_id")
+        # snip is the FULL corpus word arrays — corpus-grain, never a
+        # broadcast build; shuffle-hash on doc_id (best is match-grain,
+        # bounded only by the term's document frequency)
+        best.join(snip.hint("SHUFFLE_HASH"), "doc_id")
         .select(
             "doc_id",
             F.col("pos").alias("offset"),
