@@ -99,11 +99,22 @@ def main() -> None:
     # plans (adjudicated in SCALE.md). Make that un-ignorable: flag the run
     # in BOTH the stdout JSON and the sidecar, and warn on stderr.
     contaminated = _load_start[0] > 1.0
+    # Softer signal learned in round 4: a 1-min average < 1 with a 5-min
+    # average still elevated means the host was busy minutes ago (page
+    # cache, cpufreq, writeback all still settling) — two such runs came
+    # in 13-18% over the true idle record. Flagged, not failing.
+    recently_busy = _load_start[1] > 2.0
     if contaminated:
         print(
             f"WARNING: load_avg_1min={_load_start[0]:.2f} > 1.0 before timing "
             "started — another workload is sharing this host; timings will be "
             "inflated. Re-run on an idle box for a comparable record.",
+            file=sys.stderr,
+        )
+    elif recently_busy:
+        print(
+            f"CAUTION: load_avg_5min={_load_start[1]:.2f} > 2.0 — the host was "
+            "busy recently; expect timings a few percent above a cold-idle run.",
             file=sys.stderr,
         )
 
@@ -133,6 +144,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "contaminated": contaminated,
+                "recently_busy": recently_busy,
                 "load_avg_start": _load_start,
                 "load_avg_end": list(load_after),
                 "queries": timings,

@@ -225,8 +225,8 @@ def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     one hash-agg for the global (span → keeper) table → shuffle join back
     on span → per-doc collect_set of flagged starts → ONE left join onto
     the corpus and a codegen'd higher-order filter rebuilds the text. No
-    all-pairs stage anywhere; the span table can be md5-compressed at
-    100 TB (16-byte keys) exactly like crossdoc_span_dedup.
+    all-pairs stage anywhere; span keys are xxhash64-compressed to longs
+    before the first shuffle (8 bytes instead of ~50-byte strings).
 
     Both joins carry explicit SHUFFLE_HASH hints: the build sides (the
     span→keeper table, the per-doc flagged-starts table) are
@@ -246,6 +246,13 @@ def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(gram_array("text", _SCRUB_SPAN)).alias("start", "span"),
     )
+    # compress the join key BEFORE the shuffle: an 8-word span string is
+    # ~50 bytes; xxhash64 makes it an 8-byte long, cutting both shuffle
+    # legs' volume. The hash is Spark-internal (never output), so the
+    # oracle still replays exact strings; a 64-bit collision wrongly
+    # merges two spans with p ~ n^2/2^65 — immaterial for a scrub stage
+    # (C4's own implementation hashes spans the same way).
+    spans = spans.select("doc_id", "start", F.xxhash64("span").alias("span"))
     dup = (
         spans.dropDuplicates(["doc_id", "span"])
         .groupBy("span")
