@@ -449,6 +449,9 @@ def test_open_vocabulary_tables_never_broadcast(spark):
         "search_snippet_extraction": (0, 2),
         "benchmark_decontamination": (1, 1),  # bench-shingle broadcast stays
         "bm25_doc_ranking": (1, 1),           # query-term df broadcast stays
+        "retention_cohorts_weekly": (0, 1),   # user-grain cohort table
+        "text_repetition_filter": (0, 1),     # doc-grain stats tables
+        "bpe_fertility_by_lang": (0, 1),      # open-vocab word dictionaries
     }
     for name, (max_bhj, min_shj) in expectations.items():
         q = registry.queries()[name](spark, SF_DIR)

@@ -209,7 +209,10 @@ def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "word")
         .agg(F.count("*").alias("freq"))
     )
-    j = lw.join(encoded, "word")
+    # both sides are open-vocabulary word-grain dictionaries: shuffle-hash,
+    # never a static broadcast off a post-aggregate estimate (the
+    # 100x-step OOM class, SCALE.md round 4)
+    j = lw.join(encoded.hint("SHUFFLE_HASH"), "word")
     return j.groupBy("lang").agg(
         F.sum("freq").cast("long").alias("n_words"),
         F.sum(F.col("freq") * F.col("n_tok")).cast("long").alias("n_bpe_tokens"),

@@ -1037,7 +1037,11 @@ GROUP BY c.first_week, uw.week
 def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention triangle: first-active week per user
     (cohort) x weeks active. distinct -> min -> self-join on user — both
-    shuffles on user_id, so AQE reuses the exchange."""
+    shuffles on user_id, so AQE reuses the exchange. The self-join is
+    explicitly SHUFFLE_HASH: the cohort table is USER-grain
+    (population-proportional), and without the hint the static planner
+    broadcasts it from a post-aggregate estimate — the 100x-step OOM
+    class (SCALE.md round 4)."""
     e = load_table(spark, sf_dir, "events")
     week = F.floor(
         F.datediff(F.col("ts"), F.lit("2024-01-01 00:00:00").cast("timestamp")) / 7
@@ -1045,7 +1049,7 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_weeks = e.select("user_id", week.alias("week")).distinct()
     cohort = user_weeks.groupBy("user_id").agg(F.min("week").alias("first_week"))
     return (
-        user_weeks.join(cohort, "user_id")
+        user_weeks.join(cohort.hint("SHUFFLE_HASH"), "user_id")
         .groupBy("first_week", "week")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )

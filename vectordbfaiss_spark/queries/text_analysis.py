@@ -498,7 +498,10 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_distinct"),
         F.max("cnt").alias("top_cnt"),
     )
-    j = agg.join(gm, "doc_id")
+    # both sides are DOC-grain (corpus-proportional): shuffle-hash on
+    # doc_id, never a static broadcast off a post-aggregate estimate
+    # (the 100x-step OOM class, SCALE.md round 4)
+    j = agg.join(gm.hint("SHUFFLE_HASH"), "doc_id")
     dup3 = 1.0 - F.col("n_distinct_grams") / F.col("n_grams")
     topf = F.col("top_cnt") / F.col("n_words")
     return j.select(
