@@ -167,3 +167,27 @@ def test_ridge_probe_learns_separable_target(spark):
     assert 0 < row["n_pos"] < 500  # both classes present at the fixture
     assert row["auc_ok"] is True  # linearly-representable target -> AUC ~ 1
     assert row["weights_finite"] is True
+
+
+def test_knn_edges_published_is_build_once(spark, tmp_path):
+    """The kNN-graph artifact must follow the IVF build-once contract:
+    a completed build with the same (corpus fingerprint, k) is reused
+    byte-for-byte; a changed k rebuilds."""
+    import os
+
+    from vectordbfaiss_spark.queries.embedding_analysis import (
+        knn_edges_published,
+    )
+
+    out = str(tmp_path / "knn")
+    e1 = knn_edges_published(spark, SF_ORACLE, k=2, out_path=out)
+    n1 = e1.count()
+    stamp = os.path.getmtime(os.path.join(out, "_SUCCESS"))
+    e2 = knn_edges_published(spark, SF_ORACLE, k=2, out_path=out)
+    assert e2.count() == n1
+    assert os.path.getmtime(os.path.join(out, "_SUCCESS")) == stamp  # reused
+
+    e3 = knn_edges_published(spark, SF_ORACLE, k=3, out_path=out)
+    assert os.path.getmtime(os.path.join(out, "_SUCCESS")) != stamp  # rebuilt
+    assert e3.count() > n1  # k=3 emits more edges than k=2
+    assert set(e3.columns) == {"src", "dst", "score", "rnk"}

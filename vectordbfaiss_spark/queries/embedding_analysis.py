@@ -97,7 +97,7 @@ def knn_edges(
 
 
 def knn_edges_published(
-    spark: SparkSession, sf_dir: str, k: int = _KNN_K
+    spark: SparkSession, sf_dir: str, k: int = _KNN_K, out_path: str | None = None
 ) -> DataFrame:
     """Exact kNN edges as a PUBLISHED ARTIFACT (the IVF build-once shape,
     ``plans/ivf.py:158``): a kNN graph is pipeline infrastructure — built
@@ -120,7 +120,9 @@ def knn_edges_published(
         corpus_fingerprint,
     )
 
-    out = f"/root/repo/spark-warehouse/knn_edges_{pathlib.Path(sf_dir).name}"
+    out = out_path or (
+        f"/root/repo/spark-warehouse/knn_edges_{pathlib.Path(sf_dir).name}"
+    )
     params = {
         "corpus_key": corpus_fingerprint(f"{sf_dir}/embeddings.parquet"),
         "k": k,
