@@ -867,3 +867,64 @@ def q_ridge_probe_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(counts["n"], n_pos, n_neg, bool(auc > 0.9), weights_finite)],
         "n long, n_pos long, n_neg long, auc_ok boolean, weights_finite boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE over the published kNN graph (Spark 4.x WITH RECURSIVE)
+# ---------------------------------------------------------------------------
+
+_BFS_DEPTH = 2
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE {_KNN_CTES},
+seeds AS (SELECT vec_id FROM embeddings WHERE vec_id % 100 = 0),
+bfs(seed, node, depth) AS (
+  SELECT vec_id, vec_id, 0 FROM seeds
+  UNION ALL
+  SELECT b.seed, k.dst, b.depth + 1
+  FROM bfs b JOIN knn k ON k.src = b.node
+  WHERE b.depth < {_BFS_DEPTH}
+)
+SELECT seed, count(DISTINCT node) AS n_reach, max(node) AS max_node
+FROM bfs GROUP BY seed
+"""
+
+
+@register("recursive_cte_knn_bfs", _BFS_ORACLE)
+def q_recursive_cte_knn_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS over the kNN graph, written as a SQL
+    ``WITH RECURSIVE`` — the Spark 4.x recursive-CTE surface running the
+    SAME recursion text as the DuckDB oracle (engine-level iteration,
+    no driver loop at all; the reference has no recursion surface —
+    ``server.js`` is single-shot request/response).
+
+    Shape notes for scale: the recursion is depth-BOUNDED (the WHERE
+    guard makes UNION ALL cycle-safe) and each step is one equi-join of
+    the frontier against the O(N*k) published edge artifact
+    (:func:`knn_edges_published`) — frontier size is |seeds| * k^depth,
+    never corpus-quadratic. Unbounded reachability (connected
+    components) deliberately stays on the pointer-jumping operator
+    (``operators/graph.py``): min-label + jumping converges in O(log d)
+    rounds, while a naive recursive closure enumerates every
+    (node, reachable-label) pair — O(N * d) rows. Depth-bounded
+    neighborhood expansion is the recursion-shaped workload, so that is
+    what this surface serves."""
+    edges = knn_edges_published(spark, sf_dir).select("src", "dst")
+    edges.createOrReplaceTempView("knn_edges_v")
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.select("vec_id").filter(F.col("vec_id") % 100 == 0).createOrReplaceTempView(
+        "knn_seeds_v"
+    )
+    return spark.sql(
+        f"""
+        WITH RECURSIVE r(seed, node, depth) AS (
+          SELECT vec_id, vec_id, 0 FROM knn_seeds_v
+          UNION ALL
+          SELECT r.seed, e.dst, r.depth + 1
+          FROM r JOIN knn_edges_v e ON e.src = r.node
+          WHERE r.depth < {_BFS_DEPTH}
+        )
+        SELECT seed, count(DISTINCT node) AS n_reach, max(node) AS max_node
+        FROM r GROUP BY seed
+        """
+    )
