@@ -132,3 +132,25 @@ def test_minhash_incremental_rejects_overlapping_ids(spark):
     )
     with pytest.raises(ValueError, match="share document ids"):
         D.minhash_lsh_incremental(docs, docs, "doc_id", "text")
+
+
+def test_minhash_bucket_cap_drops_degenerate_buckets(spark):
+    """A corpus of identical texts puts every doc in the same band
+    buckets: uncapped banding emits all C(n,2) pairs; with max_bucket
+    below n the giant buckets are dropped and no candidates survive.
+    On heterogeneous data with small buckets the cap is a no-op."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = D.minhash_band_candidates(df, "doc_id", "text", n=3)
+    assert uncapped.count() == 30 * 29 // 2
+    capped = D.minhash_band_candidates(df, "doc_id", "text", n=3, max_bucket=10)
+    assert capped.count() == 0
+
+
+def test_minhash_bucket_cap_is_noop_below_cap(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(300)
+    a = _pairs(D.minhash_band_candidates(docs, "doc_id", "text", n=3))
+    b = _pairs(
+        D.minhash_band_candidates(docs, "doc_id", "text", n=3, max_bucket=64)
+    )
+    assert a == b and len(a) > 0

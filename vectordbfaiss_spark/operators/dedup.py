@@ -239,12 +239,25 @@ def minhash_band_candidates(
     n: int = 3,
     num_hashes: int = 16,
     rows_per_band: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Distinct banded candidate pairs (id_a < id_b) — the LSH pair
     generator shared by :func:`minhash_lsh_pairs` and the recall audit
     (queries/dedup.py::minhash_quality_audit). Materialized eagerly: the
     candidate set always feeds multiple consumers, and it is tiny by
-    design (banding exists to keep it so)."""
+    design (banding exists to keep it so).
+
+    ``max_bucket`` is the production DEGENERACY GUARD: a band bucket of B
+    members emits B^2/2 pairs, so one boilerplate-dominated bucket (empty
+    docs, repeated headers, saturated shingle spaces) turns the bounded
+    candidate join quadratic — measured as a >77 GB shuffle spill at 500k
+    docs when a synthetic corpus saturated its 3-gram space (SCALE.md
+    round 5). Buckets larger than the cap are DROPPED before the
+    self-join: their signatures are stopword-like (chance collisions, not
+    J-driven), so the lost candidates are low-signal by construction, and
+    every pair is still verified by exact Jaccard downstream. AQE
+    skew-join splits a big bucket's PARTITIONS but cannot reduce its
+    quadratic OUTPUT — only the cap does."""
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
     n_bands = num_hashes // rows_per_band
     bands = F.array(
@@ -262,6 +275,16 @@ def minhash_band_candidates(
     banded = sig.select(F.col(id_col), F.explode(bands).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("band", "key")
+            .agg(F.count("*").alias("bsz"))
+            .filter(F.col("bsz") <= max_bucket)
+            .select("band", "key")
+        )
+        # bucket-key table is open-vocabulary (grows with the corpus):
+        # never a broadcast build (the round-4 static-planner rule)
+        banded = banded.join(ok.hint("SHUFFLE_HASH"), ["band", "key"], "left_semi")
     la = banded.select(F.col(id_col).alias("id_a"), "band", "key")
     lb = banded.select(F.col(id_col).alias("id_b"), "band", "key")
     candidates = (
@@ -281,6 +304,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     rows_per_band: int = 2,
     threshold: float = 0.4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup detection, Jaccard-verified.
 
@@ -291,10 +315,12 @@ def minhash_lsh_pairs(
 
     At 100 TB the band-bucket self-join is the only pair generator — the
     full O(n^2) never materializes; skewed buckets (boilerplate shingles)
-    are split by AQE skew-join handling.
+    are split by AQE skew-join handling, and ``max_bucket`` (see
+    :func:`minhash_band_candidates`) drops the degenerate ones whose
+    quadratic OUTPUT no partition-splitting can bound.
     """
     candidates = minhash_band_candidates(
-        df, id_col, text_col, n, num_hashes, rows_per_band
+        df, id_col, text_col, n, num_hashes, rows_per_band, max_bucket
     )
     # Verify with exact Jaccard computed ONLY over candidate documents —
     # the expensive shingle self-join runs on the (tiny) candidate doc set,

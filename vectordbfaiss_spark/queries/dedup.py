@@ -163,6 +163,60 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MAX_BUCKET = 64
+
+
+def _minhash_capped_oracle() -> str:
+    """Same chain as :func:`_minhash_oracle` plus the bucket-size guard:
+    band buckets larger than ``_MAX_BUCKET`` members are dropped before
+    the pair join, mirrored here as a HAVING filter."""
+    return (
+        _jaccard_ctes(3)
+        + _minhash_cand_ctes()
+        + f""",
+okb AS (
+  SELECT band, key FROM bands GROUP BY band, key HAVING count(*) <= {_MAX_BUCKET}
+),
+capped AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN okb o ON o.band = a.band AND o.key = a.key
+  JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b, j.jaccard
+FROM capped c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+WHERE j.jaccard >= 0.4
+"""
+    )
+
+
+@register("dedup_minhash_capped", _minhash_capped_oracle())
+def q_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH with the production BUCKET-SIZE GUARD: band buckets
+    over 64 members are dropped before the candidate self-join. A bucket
+    of B members emits B^2/2 pairs, so one boilerplate-dominated bucket
+    (empty docs, repeated headers, saturated shingle spaces) makes the
+    "bounded" candidate join quadratic — reproduced at 500k docs as a
+    >77 GB shuffle spill when a synthetic corpus saturated its 3-gram
+    space (SCALE.md round 5). Oversized buckets carry chance collisions,
+    not Jaccard signal, so dropping them loses only low-value candidates;
+    every surviving pair is still exact-Jaccard-verified. On the fixture
+    no bucket approaches the cap, so the output equals
+    `dedup_minhash_lsh` and the oracle (which replays the same HAVING
+    guard) hash-checks the equivalence."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n=3,
+        num_hashes=_NUM_HASHES,
+        rows_per_band=_ROWS_PER_BAND,
+        threshold=0.4,
+        max_bucket=_MAX_BUCKET,
+    )
+
+
 def _minhash_incremental_oracle() -> str:
     mh = ",\n       ".join(
         f"min(substr(md5('{s // 4}:' || shingle), {(s % 4) * 8 + 1}, 8)) AS mh{s}"
