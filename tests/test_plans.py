@@ -459,3 +459,47 @@ def test_open_vocabulary_tables_never_broadcast(spark):
         assert plan.count("BroadcastHashJoin") <= max_bhj, (name, plan[:2000])
         assert plan.count("ShuffledHashJoin") >= min_shj, (name, plan[:2000])
         assert "SortMergeJoin" not in plan, name
+
+
+def test_forced_broadcasts_are_bounded_only(spark):
+    """Round-4 forced-broadcast audit: `F.broadcast(...)` is un-graduatable
+    — unlike stats-based planning, a forced hint still broadcasts when the
+    frame has grown 1000x — so every forced broadcast must be on a frame
+    whose size is FIXED (nation/region) or bounded by contract (query
+    matrices, winner top-k lists, scalar aggregates). Scaling dims
+    (customer/supplier/part), post-aggregate id sets, corpus-grain label
+    frames and open-vocabulary df tables had their hints removed (planner
+    + AQE graduate them) or replaced with SHUFFLE_HASH.
+
+    Pin: with the auto-broadcast threshold disabled, the ONLY
+    BroadcastExchange nodes left in each plan are the intended forced
+    ones; counts below are the audited contract."""
+    expected = {
+        "q3_shipping_priority": 0,
+        "q5_local_supplier_volume": 2,   # nation, region (25/5 rows, fixed)
+        "q14_promo_revenue_pct": 0,
+        "q16_supplier_relationship": 0,
+        "q18_large_volume_orders": 0,    # post-agg id set: AQE's call now
+        "q7_volume_shipping": 2,         # n1, n2
+        "q8_market_share": 3,            # n1, n2, region
+        "q9_product_type_profit": 1,     # nation
+        "q15_top_supplier": 2,           # 1-row max + tie-bounded winner
+        "q17_small_quantity_revenue": 0,
+        "q19_disjunctive_revenue": 0,
+        "q20_heavy_shippers": 0,         # part + post-agg heavy: stats/AQE
+        "q21_lone_fault_supplier": 0,
+        "q2_min_cost_supplier": 1,       # nation
+        "fk_integrity_audit": 0,         # distinct customer keys scale
+        "tfidf_top_terms": 1,            # 1-row corpus count; df is
+                                         # open-vocab -> SHUFFLE_HASH
+    }
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for name, n_forced in expected.items():
+            plan = _plan(registry.queries()[name](spark, SF_DIR))
+            assert plan.count("BroadcastExchange") == n_forced, (
+                name, plan.count("BroadcastExchange"), plan[:3000]
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -507,13 +507,16 @@ def q_minhash_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)
     )
-    # explicit hints: both sides are checkpointed RDDs (no stats), so AQE
-    # can't see they're dedup-pair-sized and would sort-merge-join them;
-    # the exact pair set is near-dup-bounded — broadcast it
+    # explicit hints: both sides are checkpointed RDDs (no stats), so the
+    # static planner would sort-merge-join them. SHUFFLE_HASH, not a
+    # forced broadcast: the exact pair set tracks the corpus's true
+    # duplicate density — data-dependent, so at 100 TB it can be far
+    # larger than any broadcast budget while still hashing fine
+    # per-partition
     det = cand.join(
-        F.broadcast(exact), ["id_a", "id_b"], "left_semi"
+        exact.hint("SHUFFLE_HASH"), ["id_a", "id_b"], "left_semi"
     ).localCheckpoint(eager=True)
-    outside = det.join(F.broadcast(exact), ["id_a", "id_b"], "left_anti")
+    outside = det.join(exact.hint("SHUFFLE_HASH"), ["id_a", "id_b"], "left_anti")
     return (
         exact.agg(F.count("*").alias("n_exact"))
         .crossJoin(det.agg(F.count("*").alias("n_detected")))

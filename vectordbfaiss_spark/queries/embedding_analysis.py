@@ -269,8 +269,11 @@ def q_knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"))
     rescored = (
-        blocked.join(F.broadcast(a), "src")
-        .join(F.broadcast(b), "dst")
+        # a/b are the FULL embedding store (corpus-grain) — shuffle-hash,
+        # never forced broadcasts: broadcasting the store is the OOM class
+        # the 100x audit eliminated
+        blocked.join(a.hint("SHUFFLE_HASH"), "src")
+        .join(b.hint("SHUFFLE_HASH"), "dst")
         .select(
             (
                 F.abs(F.round(cosine_similarity("va", "vb"), 6) - F.col("score"))

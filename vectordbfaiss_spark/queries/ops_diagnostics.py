@@ -461,8 +461,11 @@ def q_expectations_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust_keys = (
         load_table(spark, sf_dir, "customer").select("c_custkey").distinct()
     )
+    # the distinct customer-key side SCALES with the data — join strategy
+    # left to file stats (broadcast at small SF, graduating to a shuffle
+    # join at 100 TB; a forced hint here could not graduate)
     j = orders.join(
-        F.broadcast(cust_keys),
+        cust_keys,
         orders.o_custkey == cust_keys.c_custkey,
         "left_outer",
     )

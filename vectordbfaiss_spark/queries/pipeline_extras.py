@@ -115,8 +115,10 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = orders.select("o_orderkey", "o_custkey")
     passed = passed.select("o_orderkey")
     passed = passed.localCheckpoint(eager=True)  # feeds count + FN check
+    # `build` (acctbal-filtered customers) scales with the data — the
+    # exact-check semi-join is left to file stats rather than forced
     true_m = probe.join(
-        F.broadcast(build), probe.o_custkey == build.c_custkey, "left_semi"
+        build, probe.o_custkey == build.c_custkey, "left_semi"
     ).select("o_orderkey")
     true_m = true_m.localCheckpoint(eager=True)
 

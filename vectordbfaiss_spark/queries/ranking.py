@@ -272,7 +272,9 @@ def q_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank", "rnk"
     )
     return (
-        winners.join(F.broadcast(allowed), winners.vec_id == allowed.doc_id)
+        # broadcast the |queries| x k WINNERS into the doc-grain `allowed`
+        # frame — `allowed` scales with the corpus and must stay probe-side
+        allowed.join(F.broadcast(winners), winners.vec_id == allowed.doc_id)
         .select(
             "query_id", "vec_id", "lang", "score", F.col("rnk").cast("long").alias("rnk")
         )

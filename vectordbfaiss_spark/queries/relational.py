@@ -170,15 +170,18 @@ LIMIT 10
 def q_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped 3-way join + agg + deterministic top-10.
 
-    customer is the small filtered side -> broadcast; lineitem never
-    shuffles for the join (only for the final agg on l_orderkey).
+    No forced broadcasts: customer and the o><c result both SCALE with the
+    data (o><c is O(|orders|/segments)), so the join strategy is left to
+    file statistics — at small SF the planner broadcasts them on its own;
+    at 100 TB it graduates to shuffle joins (the q10 behavior observed at
+    the 100x step). A forced hint here would be un-graduatable and OOM.
     """
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(
-            F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+            o.join(c, o.o_custkey == c.c_custkey),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -529,9 +532,10 @@ GROUP BY n.n_name
 @register("q5_local_supplier_volume", _Q5_ORACLE)
 def q_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped 6-table join: the deep join-tree breadth case.
-    Every dimension (customer via orders is fact-fact; supplier/nation/
-    region broadcast) — the only shuffles are the fact-fact join and the
-    final aggregation."""
+    nation/region are FIXED-SIZE (25/5 rows) -> forced broadcast;
+    customer and supplier SCALE with the data, so their join strategy is
+    left to file statistics (broadcast at small SF, graduating to shuffle
+    joins at 100 TB — forced hints on scaling dims cannot graduate)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -540,8 +544,8 @@ def q_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")

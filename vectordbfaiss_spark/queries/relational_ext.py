@@ -171,7 +171,10 @@ def q_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(excluded, "l_suppkey", "left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        # part SCALES with the data (the brand/size filter is a constant
+        # fraction) — join strategy left to file stats: broadcast at small
+        # SF, graduating to a shuffle join at 100 TB
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -499,9 +502,10 @@ WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
 @register("q14_promo_revenue_pct", _Q14_ORACLE)
 def q_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14-shaped query: share of revenue from one part type over a
-    month — conditional-sum ratio in a single aggregate over a broadcast
-    dim join (part is the small side; the date filter prunes the fact scan
-    first)."""
+    month — conditional-sum ratio in a single aggregate over a dim join
+    (the date filter prunes the fact scan first). part SCALES with the
+    data, so its join strategy is left to file stats — broadcast at small
+    SF, shuffle join at 100 TB; a forced hint could not graduate."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
@@ -510,7 +514,7 @@ def q_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").startswith("STANDARD"), rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_pct"),
             F.count("*").alias("n_rows"),
@@ -541,9 +545,12 @@ GROUP BY c.c_custkey, o.o_orderkey, o.o_totalprice
 def q_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18-shaped query: orders whose total quantity exceeds a
     threshold (HAVING subquery -> semi-join), re-joined to customer and
-    lineitem for the detail rollup. The `big` id set is tiny -> broadcast
-    semi-join; both lineitem aggregations shuffle on the same key so AQE
-    reuses the exchange."""
+    lineitem for the detail rollup. The `big` id set is a POST-AGGREGATE
+    frame whose size is data-dependent (grows with the corpus), so it is
+    NOT force-broadcast — AQE converts the semi-join to broadcast at
+    runtime when the observed size is small, and keeps a shuffle join
+    when it is not; both lineitem aggregations shuffle on the same key so
+    AQE reuses the exchange."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -553,9 +560,7 @@ def q_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sq") > 150)
         .select("l_orderkey")
     )
-    o_big = o.join(
-        F.broadcast(big), o.o_orderkey == big.l_orderkey, "left_semi"
-    )
+    o_big = o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
     return (
         o_big.join(li, o_big.o_orderkey == li.l_orderkey)
         .join(c, o_big.o_custkey == c.c_custkey)

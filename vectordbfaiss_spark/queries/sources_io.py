@@ -205,9 +205,14 @@ def q_rag_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
     winners = score_topk_vectorized(queries, emb, k=3).withColumnRenamed(
         "rank", "rnk"
     )
-    hydrated = winners.join(
-        F.broadcast(docs.select(F.col("doc_id").alias("vec_id"), "text")), "vec_id"
-    ).filter(F.col("text").isNotNull())
+    # hydration broadcasts the WINNERS (|queries| x k rows, contract-
+    # bounded) into the corpus-grain documents scan — never the reverse:
+    # broadcasting doc text is corpus-sized and cannot survive 100 TB
+    hydrated = (
+        docs.select(F.col("doc_id").alias("vec_id"), "text")
+        .join(F.broadcast(winners), "vec_id")
+        .filter(F.col("text").isNotNull())
+    )
     numbered = F.transform(
         F.array_sort(F.collect_list(F.struct("rnk", "text"))),
         lambda s: F.format_string("%d. %s", s["rnk"], s["text"]),

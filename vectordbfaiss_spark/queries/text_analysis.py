@@ -276,7 +276,11 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver-side .count() here would be an extra eager job per invocation
     n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "tok")
+        # df is OPEN-VOCABULARY (one row per distinct token — grows with
+        # the corpus): shuffle-hash, never a forced broadcast (the same
+        # class as the 100x-audit fixes; bm25's query-term df stays
+        # broadcast because it is term-list-bounded, this one is not)
+        tf.join(df.hint("SHUFFLE_HASH"), "tok")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -762,4 +766,114 @@ def q_fingerprint_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("probe_id") == F.col("doc_id")).alias("self_match"),
         )
         .orderBy("probe_id", "rank")
+    )
+
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 50
+
+_PMI_ORACLE = f"""
+WITH w AS (
+  SELECT string_split_regex(rtrim(text), '\\s+') AS words
+  FROM documents WHERE text IS NOT NULL
+), bi AS (
+  SELECT words[i] AS w1, words[i+1] AS w2
+  FROM w, UNNEST(range(1, len(words))) AS t(i)
+), uni AS (
+  SELECT unnest(words) AS w FROM w
+), uc AS (
+  SELECT w, count(*) AS c FROM uni GROUP BY w
+), bc AS (
+  SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2
+  HAVING count(*) >= {_PMI_MIN_COUNT}
+), tot AS (
+  SELECT (SELECT count(*) FROM uni) AS t_uni,
+         (SELECT count(*) FROM bi) AS t_bi
+), scored AS (
+  SELECT bc.w1, bc.w2, bc.c12,
+         round(ln((bc.c12 / tot.t_bi)
+                  / ((u1.c / tot.t_uni) * (u2.c / tot.t_uni))), 6) AS pmi
+  FROM bc
+  JOIN uc u1 ON bc.w1 = u1.w
+  JOIN uc u2 ON bc.w2 = u2.w
+  CROSS JOIN tot
+), ranked AS (
+  SELECT w1, w2, CAST(c12 AS BIGINT) AS n_pair, pmi,
+         row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rnk
+  FROM scored
+)
+SELECT w1, w2, n_pair, pmi, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {_PMI_TOPK}
+"""
+
+
+@register("pmi_collocations", _PMI_ORACLE)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information —
+    PMI = ln(p(w1,w2) / (p(w1)p(w2))) with a min-count floor, the
+    classic collocation/phrase-mining signal (and the building block of
+    word-association features and phrase vocabularies for tokenizers).
+
+    Scale shape: one explode for unigrams, one slice+zip explode for
+    bigrams (both ride the scan), two |vocab|-grain hash aggregates with
+    map-side combine, and the bigram->unigram count joins are
+    SHUFFLE_HASH (OPEN-VOCABULARY frames — one row per distinct token /
+    token pair, growing with the corpus, so never a forced broadcast);
+    corpus totals are two 1-row broadcast aggregates in the same plan.
+    The min-count floor prunes the bigram table BEFORE the joins, and the
+    final top-k is a TakeOrderedAndProject, never a global sort. PMI is
+    rounded to 6dp before ranking with a (w1, w2) tie-break so both
+    engines pick identical winners.
+    """
+    from vectordbfaiss_spark.session import fan_out
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = fan_out(docs).select(
+        F.split(F.rtrim("text"), r"\s+").alias("words")
+    )
+    n = F.size("words")
+    bi = words.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("words", 1, n - 1).alias("w1"),
+                F.slice("words", 2, n - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    uni = words.select(F.explode("words").alias("w"))
+    uc = uni.groupBy("w").agg(F.count("*").alias("c"))
+    bc = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .filter(F.col("c12") >= _PMI_MIN_COUNT)
+    )
+    tot = uni.agg(F.count("*").alias("t_uni")).crossJoin(
+        bi.agg(F.count("*").alias("t_bi"))
+    )
+    u1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uc.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        bc.join(u1.hint("SHUFFLE_HASH"), "w1")
+        .join(u2.hint("SHUFFLE_HASH"), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("n_pair"),
+            F.round(
+                F.log(
+                    (F.col("c12") / F.col("t_bi"))
+                    / ((F.col("c1") / F.col("t_uni")) * (F.col("c2") / F.col("t_uni")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    from pyspark.sql import Window as W2
+
+    w = W2.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PMI_TOPK)
+        .select("w1", "w2", "n_pair", "pmi", F.col("rnk").cast("long").alias("rnk"))
     )

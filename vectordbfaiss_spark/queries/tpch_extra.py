@@ -67,7 +67,10 @@ def q_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_4")
     ) | ((F.col("supp_nation") == "NATION_4") & (F.col("cust_nation") == "NATION_3"))
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        # supplier scales with the data — strategy left to file stats
+        # (broadcast at small SF, shuffle join at 100 TB); n1/n2 are
+        # fixed 25-row frames -> forced broadcast
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -133,8 +136,10 @@ def q_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _rev()
     nat = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        # part/supplier scale with the data — left to file stats (broadcast
+        # at small SF, graduating at 100 TB); nation/region fixed -> forced
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -178,8 +183,9 @@ def q_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     o = load_table(spark, sf_dir, "orders")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        # part/supplier scale — left to file stats; nation fixed -> forced
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
@@ -265,11 +271,13 @@ def q_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
     s = load_table(spark, sf_dir, "supplier")
-    return (
-        revenue.join(F.broadcast(mx), revenue.total_revenue == F.col("mx"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", "total_revenue")
-    )
+    # the max-filtered winner frame is tie-bounded (a handful of rows by
+    # contract) -> IT is the broadcast side; supplier scales with the data
+    # and must stay probe-side, never force-broadcast
+    winner = revenue.join(F.broadcast(mx), revenue.total_revenue == F.col("mx"))
+    return s.join(
+        F.broadcast(winner), F.col("supplier_no") == F.col("s_suppkey")
+    ).select("s_suppkey", "s_name", "total_revenue")
 
 
 # ---------------------------------------------------------------------------
@@ -309,7 +317,8 @@ def q_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         (0.5 * F.avg("l_quantity")).alias("thr")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        # part scales (brand filter is a constant fraction) — left to stats
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(part_avg, li.l_partkey == part_avg.pa_key)
         .filter(F.col("l_quantity") < F.col("thr"))
         .agg(
@@ -349,7 +358,8 @@ def q_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    # part scales with the data — join strategy left to file stats
+    j = li.join(p, li.l_partkey == p.p_partkey)
     b = (
         (F.col("p_brand") == "Brand#1")
         & F.col("p_size").between(1, 15)
@@ -409,14 +419,18 @@ def q_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = load_table(spark, sf_dir, "supplier")
     heavy = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        # part scales (name-prefix filter is a constant fraction) — left
+        # to file stats rather than a forced broadcast
+        li.join(part, li.l_partkey == part.p_partkey, "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("sq"))
         .filter(F.col("sq") > 50)
         .select("l_suppkey")
     )
+    # `heavy` is a data-dependent post-aggregate frame: not force-broadcast
+    # (AQE converts the semi-join to broadcast at runtime when it IS small)
     return s.join(
-        F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "left_semi"
+        heavy, s.s_suppkey == heavy.l_suppkey, "left_semi"
     ).select("s_suppkey", "s_name")
 
 
@@ -474,7 +488,9 @@ def q_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
     )
     return (
-        per_order.join(F.broadcast(s), per_order.r_supp == s.s_suppkey)
+        # supplier scales — join strategy left to file stats (per_order is
+        # also data-dependent, so neither side is safe to force-broadcast)
+        per_order.join(s, per_order.r_supp == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
@@ -586,8 +602,10 @@ def q_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("l_partkey").orderBy(F.asc("price"), F.asc("l_suppkey"))
     best = prices.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return (
-        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        # part/supplier scale with the data — left to file stats (best is
+        # |parts|-grain, so no side here is bounded); nation fixed -> forced
+        best.join(p, best.l_partkey == p.p_partkey)
+        .join(s, best.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("p_partkey", "p_name", "s_suppkey", "s_name", "n_name", "price")
     )

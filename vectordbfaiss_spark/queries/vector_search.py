@@ -98,12 +98,21 @@ def q_nn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = score_topk_vectorized(
         queries.select("query_id", "query_vec"), emb, k=1, exclude_self=True
     ).drop("rank")
+    # both label frames are CORPUS-GRAIN (|N| and |N|/10 rows — they scale
+    # with the store): shuffle-hash, never forced broadcasts; the nn side
+    # has no stats (mapInPandas output), so without the hint the static
+    # planner would sort-merge these
     nn_lab = nn.join(
-        F.broadcast(emb.select(F.col("vec_id"), F.col("label").alias("nn_label"))),
+        emb.select(F.col("vec_id"), F.col("label").alias("nn_label")).hint(
+            "SHUFFLE_HASH"
+        ),
         "vec_id",
     )
     return (
-        nn_lab.join(F.broadcast(queries.select("query_id", "true_label")), "query_id")
+        nn_lab.join(
+            queries.select("query_id", "true_label").hint("SHUFFLE_HASH"),
+            "query_id",
+        )
         .select(
             "query_id",
             "true_label",
