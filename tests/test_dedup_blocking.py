@@ -154,3 +154,35 @@ def test_minhash_bucket_cap_is_noop_below_cap(spark):
         D.minhash_band_candidates(docs, "doc_id", "text", n=3, max_bucket=64)
     )
     assert a == b and len(a) > 0
+
+
+def test_pair_jaccard_equals_shingle_join_formulation(spark):
+    """pair_jaccard (array-intersect per explicit pair) must produce
+    bit-identical jaccard values to the shingle-self-join formulation it
+    replaced in LSH verification — same distinct-shingle sets, same 6dp
+    rounding. The rewrite exists for cost (|pairs|-proportional vs
+    Σ df² under shingle saturation), not semantics."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(200)
+    cand = D.minhash_band_candidates(docs, "doc_id", "text", n=3)
+    via_pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.pair_jaccard(docs, cand, "doc_id", "text", n=3, threshold=0.0)
+        .collect()
+    }
+    cand_docs = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc_id")
+    ).distinct()
+    via_join = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.0, restrict_ids=cand_docs
+        )
+        .join(cand, ["id_a", "id_b"])
+        .collect()
+    }
+    # the join formulation only emits pairs sharing >= 1 shingle; at
+    # threshold 0 pair_jaccard also emits J=0 pairs — compare on the
+    # join formulation's support and require nonempty overlap
+    assert via_join and all(
+        via_pairs[k] == v for k, v in via_join.items()
+    )

@@ -201,6 +201,55 @@ def ngram_jaccard_pairs(
     )
 
 
+def pair_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact Jaccard for an EXPLICIT candidate pair list (id_a, id_b).
+
+    Joins each pair to its two documents' DISTINCT shingle arrays and
+    computes J = |A∩B| / (|A| + |B| - |A∩B|) with array_intersect —
+    O(|pairs| x shingles-per-doc), no shingle self-join anywhere. This is
+    the verify kernel for LSH candidates: the shingle-join formulation
+    (ngram_jaccard_pairs with restrict_ids) re-generates pairs from
+    shingles, which is Σ df² over the candidate docs' shingle universe —
+    quadratic when the shingle space saturates (a 31-word-vocabulary
+    corpus at 500k docs hung the verify step; SCALE.md honest-density
+    section), while this kernel's cost tracks the pair count by
+    construction. Values are identical to the join formulation: same
+    distinct-shingle sets, same 6dp rounding.
+    """
+    need = pairs.select(F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
+    sh = (
+        df.join(need.hint("SHUFFLE_HASH"), id_col, "left_semi")
+        .select(F.col(id_col), word_shingles(text_col, n).alias("sh"))
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    sized = (
+        pairs.join(a.hint("SHUFFLE_HASH"), "id_a")
+        .join(b.hint("SHUFFLE_HASH"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
+    )
+    return sized.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 16
 ) -> DataFrame:
@@ -259,6 +308,12 @@ def minhash_band_candidates(
     skew-join splits a big bucket's PARTITIONS but cannot reduce its
     quadratic OUTPUT — only the cap does."""
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    if max_bucket is not None:
+        # the bucket guard consumes `banded` twice (count + probe); without
+        # this the whole shingle->md5->min-agg pipeline runs once per
+        # consumer (~4x the uncapped wall time at sf0.1). The checkpoint is
+        # |docs| x num_hashes hex strings — corpus-linear and narrow.
+        sig = sig.localCheckpoint(eager=True)
     n_bands = num_hashes // rows_per_band
     bands = F.array(
         *[
@@ -276,6 +331,13 @@ def minhash_band_candidates(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
     if max_bucket is not None:
+        # bucket size via AGGREGATE + SEMI-JOIN, deliberately NOT a window
+        # count over (band, key): the degenerate buckets this guard exists
+        # to drop are exactly the keys a window would funnel into single
+        # tasks (WindowExec buffers each partition and cannot be
+        # skew-split; it OOM'd at the 500k-doc saturated-vocabulary
+        # fixture), while the aggregate combines map-side and AQE can
+        # split the semi-join's skewed probe partitions.
         ok = (
             banded.groupBy("band", "key")
             .agg(F.count("*").alias("bsz"))
@@ -322,18 +384,12 @@ def minhash_lsh_pairs(
     candidates = minhash_band_candidates(
         df, id_col, text_col, n, num_hashes, rows_per_band, max_bucket
     )
-    # Verify with exact Jaccard computed ONLY over candidate documents —
-    # the expensive shingle self-join runs on the (tiny) candidate doc set,
-    # not the corpus. Final pair set is identical to full verification.
-    cand_docs = candidates.select(
-        F.explode(F.array("id_a", "id_b")).alias(id_col)
-    ).distinct()
-    verified = ngram_jaccard_pairs(
-        df, id_col, text_col, n, threshold, restrict_ids=cand_docs
-    )
-    return candidates.join(verified, ["id_a", "id_b"]).select(
-        "id_a", "id_b", "jaccard"
-    )
+    # Verify with exact Jaccard computed PER CANDIDATE PAIR via the two
+    # docs' shingle arrays (pair_jaccard) — |pairs|-proportional. The
+    # earlier restrict-then-shingle-self-join verification re-derived the
+    # pairs from shingles, which degenerates when the candidate doc set is
+    # large and the shingle space saturated.
+    return pair_jaccard(df, candidates, id_col, text_col, n, threshold)
 
 
 def minhash_lsh_incremental(
@@ -423,20 +479,18 @@ def minhash_lsh_incremental(
         be.join(bn, ["band", "key"]).select("existing_id", "new_id").distinct()
     )
     candidates = candidates.localCheckpoint(eager=True)
-    cand_docs = candidates.select(
-        F.explode(F.array("existing_id", "new_id")).alias(id_col)
-    ).distinct()
     both = existing.select(id_col, text_col).unionAll(new.select(id_col, text_col))
-    verified = ngram_jaccard_pairs(
-        both, id_col, text_col, n, threshold, restrict_ids=cand_docs
-    )
     # verified pairs are (min_id, max_id); candidates carry role labels —
-    # match on the normalized pair
+    # match on the normalized pair. pair_jaccard is |pairs|-proportional
+    # (see minhash_lsh_pairs).
     keyed = candidates.select(
         "existing_id",
         "new_id",
         F.least("existing_id", "new_id").alias("id_a"),
         F.greatest("existing_id", "new_id").alias("id_b"),
+    )
+    verified = pair_jaccard(
+        both, keyed.select("id_a", "id_b"), id_col, text_col, n, threshold
     )
     return keyed.join(verified, ["id_a", "id_b"]).select(
         "existing_id", "new_id", "jaccard"
