@@ -186,3 +186,26 @@ def test_pair_jaccard_equals_shingle_join_formulation(spark):
     assert via_join and all(
         via_pairs[k] == v for k, v in via_join.items()
     )
+
+
+def test_simhash_bucket_cap_drops_degenerate_buckets(spark):
+    """Identical texts share a signature, so every doc lands in the same
+    two block buckets: uncapped blocking emits all C(n,2) pairs; a cap
+    below n drops the buckets and no candidates survive."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = D.simhash_pairs(df, "doc_id", "text", max_hamming=1)
+    assert uncapped.count() == 30 * 29 // 2
+    capped = D.simhash_pairs(df, "doc_id", "text", max_hamming=1, max_bucket=10)
+    assert capped.count() == 0
+
+
+def test_simhash_bucket_cap_is_noop_below_cap(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(200)
+    a = _pairs(D.simhash_pairs(docs, "doc_id", "text", max_hamming=1))
+    b = _pairs(
+        D.simhash_pairs(
+            docs, "doc_id", "text", max_hamming=1, max_bucket=100_000
+        )
+    )
+    assert a == b and len(a) > 0

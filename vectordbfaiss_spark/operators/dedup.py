@@ -547,7 +547,12 @@ def _block_specs(bits: int, n_blocks: int) -> list[tuple[int, int]]:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6, bits: int = 32
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 6,
+    bits: int = 32,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming —
     block-joined candidate generation (the 100 TB path), exact result.
@@ -563,8 +568,25 @@ def simhash_pairs(
     wider signatures or a lower threshold at extreme corpus sizes — the
     registry's ``dedup_simhash`` runs max_hamming=1, i.e. 2x16-bit blocks).
     ``simhash_pairs_allpairs`` keeps the O(n^2) form as the test oracle.
+
+    ``max_bucket`` is the production DEGENERACY GUARD, the SimHash twin of
+    :func:`minhash_band_candidates`'s: a block bucket of B members emits
+    B^2/2 candidates, and block values are only ~2^(bits/(max_hamming+1))
+    distinct, so bucket population grows LINEARLY with the corpus at any
+    vocabulary — at 10^9 docs every 16-bit bucket holds ~10^4 members and
+    the "lossless" blocking is structurally quadratic. Dropping oversized
+    buckets makes the result explicitly LOSSY (pairs whose every shared
+    block is oversized are missed) in exchange for bounded candidate
+    output; the honest-density step measured the uncapped pair count
+    growing ~100x at 10x docs on the saturated-vocabulary profile.
     """
     s = simhash(df, id_col, text_col, bits)
+    if max_bucket is not None:
+        # two consumers below (bucket count + probe): checkpoint the
+        # |docs|-row signature frame so the token explode + bit aggregate
+        # doesn't run once per consumer (same rationale as the MinHash
+        # guard's signature checkpoint)
+        s = s.localCheckpoint(eager=True)
     specs = _block_specs(bits, max_hamming + 1)
     blocks = F.array(
         *[
@@ -578,6 +600,22 @@ def simhash_pairs(
         ]
     )
     blocked = s.select(F.col(id_col), F.col("simhash"), F.explode(blocks).alias("b"))
+    if max_bucket is not None:
+        # aggregate + semi-join, NOT a window over (blk, val): degenerate
+        # buckets are single-task partitions under a window (un-splittable,
+        # OOM class), while the aggregate combines map-side and AQE can
+        # split the probe's skew (the MinHash guard's lesson, SCALE.md)
+        okb = (
+            blocked.groupBy(F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+            .agg(F.count("*").alias("bsz"))
+            .filter(F.col("bsz") <= max_bucket)
+            .select("blk", "val")
+        )
+        blocked = blocked.join(
+            okb.hint("SHUFFLE_HASH"),
+            (F.col("b.blk") == F.col("blk")) & (F.col("b.val") == F.col("val")),
+            "left_semi",
+        )
     a = blocked.select(
         F.col(id_col).alias("id_a"),
         F.col("simhash").alias("sim_a"),

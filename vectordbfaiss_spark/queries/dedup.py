@@ -315,6 +315,62 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMHASH_MAX_BUCKET = 256
+
+
+def _simhash_capped_oracle(bits: int = 32, max_hamming: int = 1) -> str:
+    """Same signature chain as :func:`_simhash_oracle` plus the pigeonhole
+    block-bucket guard replayed in SQL: blocks whose bucket exceeds
+    ``_SIMHASH_MAX_BUCKET`` members are dropped before the candidate
+    join (2 x 16-bit blocks at max_hamming=1)."""
+    base = _simhash_oracle(bits, max_hamming)
+    head = base[: base.index("SELECT a.doc_id")]
+    return (
+        head
+        + f""",
+blocks AS (
+  SELECT doc_id, 0 AS blk, simhash & 65535 AS val FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS blk, (simhash >> 16) & 65535 AS val FROM sig
+),
+okb AS (
+  SELECT blk, val FROM blocks GROUP BY blk, val
+  HAVING count(*) <= {_SIMHASH_MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM blocks a
+  JOIN okb o ON o.blk = a.blk AND o.val = a.val
+  JOIN blocks b ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+FROM cand c
+JOIN sig sa ON c.id_a = sa.doc_id
+JOIN sig sb ON c.id_b = sb.doc_id
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}
+"""
+    )
+
+
+@register("dedup_simhash_capped", _simhash_capped_oracle())
+def q_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the production BLOCK-BUCKET GUARD —
+    the SimHash twin of `dedup_minhash_capped`. Pigeonhole block values
+    are only ~2^16 distinct, so bucket population grows LINEARLY with the
+    corpus at ANY vocabulary and the "lossless" blocking is structurally
+    quadratic at 10^9 docs (the honest-density step measured uncapped
+    pair output growing ~100x at 10x docs, SCALE.md). Buckets over 256
+    members are dropped before the candidate join — explicitly LOSSY
+    (a pair is missed only if EVERY block it agrees on is oversized) and
+    bounded; the oracle replays the same HAVING guard digit for digit,
+    so the loss is deterministic and hash-checked, not estimated."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(
+        docs, "doc_id", "text", max_hamming=1, max_bucket=_SIMHASH_MAX_BUCKET
+    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
 _TRI_ORACLE = (
     _jaccard_ctes(3)
     + """,
