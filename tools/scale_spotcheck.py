@@ -12,6 +12,21 @@ first run, matching bench.py's warm-compute methodology. Run this ALONE
 on an idle box (same contamination rule as bench.py).
 
 Usage: python tools/scale_spotcheck.py [out_json]
+
+Honest-density variant (fixed duplicate rate; SCALE.md round-4/5): point
+SPOTCHECK_SF_DIRS at tools/gen_synth_corpus.py outputs and select the
+documents/embeddings-only families, e.g.
+
+  python tools/gen_synth_corpus.py .scratch/syn1 1
+  python tools/gen_synth_corpus.py .scratch/syn10 10
+  SPOTCHECK_SF_DIRS="syn1=.scratch/syn1,syn10=.scratch/syn10" \
+  SPOTCHECK_QUERIES="dedup_exact_stats,dedup_minhash_lsh,dedup_minhash_capped,\
+dedup_simhash,dedup_simhash_capped,dedup_ngram_jaccard,dedup_minhash_incremental,\
+crossdoc_span_scrub,semdedup_witness_bound,knn_graph_blocked,topk_search,ivf_disk_search" \
+  python tools/scale_spotcheck.py .scratch/synth_spotcheck_10x.json
+
+(at 100x use the capped variants only — the uncapped forms are the
+documented degenerate cases on the saturated-vocabulary profile).
 """
 
 from __future__ import annotations
