@@ -169,6 +169,71 @@ def test_ridge_probe_learns_separable_target(spark):
     assert row["weights_finite"] is True
 
 
+def test_blocked_graph_recall_flips_on_corrupted_artifact(spark, monkeypatch):
+    """`knn_graph_blocked`'s `recall_ok` boolean must be a real
+    RE-VERIFICATION, not trust in the published artifact: if the exact
+    kNN edge artifact is corrupted, the driver-visible boolean flips.
+    (The `scores_exact` witness is artifact-independent by construction —
+    it re-derives every blocked score from raw embeddings.)"""
+    from vectordbfaiss_spark.queries import embedding_analysis as ea
+
+    real = ea.knn_edges_published
+
+    def corrupted(spark_, sf_dir, k=3, out_path=None):
+        df = real(spark_, sf_dir, k=k, out_path=out_path)
+        # shift every dst to a neighbor it is not: hits collapse to ~0
+        return df.withColumn(
+            "dst", (F.col("dst") + F.lit(1)) % F.lit(500)
+        )
+
+    monkeypatch.setattr(ea, "knn_edges_published", corrupted)
+    row = ea.q_knn_graph_blocked(spark, SF_ORACLE).collect()[0]
+    assert row["scores_exact"] is True  # witness leg unaffected
+    assert row["recall_ok"] is False  # corruption DETECTED
+
+
+def test_auc_u_rows_matches_global_window_and_is_partitioned(spark):
+    """The two-level prefix-sum U (r5 rewrite) must equal the direct
+    global-window U on a corpus with ties, AND its physical plan must
+    contain NO unpartitioned window — the scale property the rewrite
+    exists for."""
+    from pyspark.sql import Window, functions as F
+
+    from vectordbfaiss_spark.queries.embedding_analysis import auc_u_rows
+
+    # score bins with ties (pos and neg share scores) and negatives
+    rows = [
+        (-1.5, 0, 3),
+        (-0.25, 2, 1),
+        (0.0, 1, 4),
+        (0.75, 5, 1),
+        (2.0, 4, 0),
+    ]
+    bins = spark.createDataFrame(rows, "s double, pos long, neg long")
+
+    u_rows = auc_u_rows(spark, bins, nb=3)
+    plan = u_rows._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "No Partition Defined" not in plan
+
+    got = u_rows.agg(F.sum("u").alias("u")).collect()[0]["u"]
+    wln = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    want = (
+        bins.select(
+            (
+                F.col("pos")
+                * (
+                    F.coalesce(F.sum("neg").over(wln), F.lit(0))
+                    + F.col("neg") / 2.0
+                )
+            ).alias("u")
+        )
+        .agg(F.sum("u").alias("u"))
+        .collect()[0]["u"]
+    )
+    assert abs(got - want) < 1e-9
+
+
 def test_knn_edges_published_is_build_once(spark, tmp_path):
     """The kNN-graph artifact must follow the IVF build-once contract:
     a completed build with the same (corpus fingerprint, k) is reused

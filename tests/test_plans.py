@@ -490,6 +490,7 @@ def test_forced_broadcasts_are_bounded_only(spark):
         "q21_lone_fault_supplier": 0,
         "q2_min_cost_supplier": 1,       # nation
         "fk_integrity_audit": 0,         # distinct customer keys scale
+        "expectations_quarantine": 0,    # r4 audit removed broadcast(cust_keys)
         "tfidf_top_terms": 1,            # 1-row corpus count; df is
                                          # open-vocab -> SHUFFLE_HASH
     }

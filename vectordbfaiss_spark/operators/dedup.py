@@ -222,6 +222,16 @@ def pair_jaccard(
     section), while this kernel's cost tracks the pair count by
     construction. Values are identical to the join formulation: same
     distinct-shingle sets, same 6dp rounding.
+
+    Preconditions (NOT enforced here, so a caller that violates them gets
+    no error):
+    - ``pairs`` must be DISTINCT — a duplicated (id_a, id_b) row emits a
+      duplicated output row (this kernel is deliberately a per-pair map;
+      dedup the list upstream, where it is cheapest).
+    - Pairs whose doc has NULL ``text_col`` are silently DROPPED:
+      ``word_shingles`` yields NULL, jaccard evaluates to NULL, and the
+      threshold filter removes the row. LSH callers never produce such
+      pairs (signatures require text); pass pre-filtered ids otherwise.
     """
     need = pairs.select(F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
     sh = (

@@ -277,7 +277,11 @@ def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash
 # ---------------------------------------------------------------------------
 
-def _simhash_oracle(bits: int = 32, max_hamming: int = 1) -> str:
+def _simhash_sig_ctes(bits: int = 32) -> str:
+    """The shared toks -> per-bit sums -> signature CTE chain, used by
+    BOTH SimHash oracle builders (plain and capped) so neither depends on
+    the rendered text of the other (an earlier version sliced the plain
+    oracle's SQL string, which broke on any cosmetic reformat)."""
     sums = ",\n       ".join(
         f"sum(((strpos('0123456789abcdef', substr(md5(tok), {1 + p // 4}, 1)) - 1)"
         f" >> {p % 4} & 1) * 2 - 1) AS s{p}"
@@ -297,11 +301,18 @@ sums AS (
   FROM toks GROUP BY doc_id
 ),
 sig AS (SELECT doc_id, CAST({sig_terms} AS BIGINT) AS simhash FROM sums)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+"""
+
+
+def _simhash_oracle(bits: int = 32, max_hamming: int = 1) -> str:
+    return (
+        _simhash_sig_ctes(bits)
+        + f"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
+    )
 
 
 @register("dedup_simhash", _simhash_oracle())
@@ -319,14 +330,13 @@ _SIMHASH_MAX_BUCKET = 256
 
 
 def _simhash_capped_oracle(bits: int = 32, max_hamming: int = 1) -> str:
-    """Same signature chain as :func:`_simhash_oracle` plus the pigeonhole
-    block-bucket guard replayed in SQL: blocks whose bucket exceeds
-    ``_SIMHASH_MAX_BUCKET`` members are dropped before the candidate
-    join (2 x 16-bit blocks at max_hamming=1)."""
-    base = _simhash_oracle(bits, max_hamming)
-    head = base[: base.index("SELECT a.doc_id")]
+    """Same signature chain as :func:`_simhash_oracle` (shared via
+    :func:`_simhash_sig_ctes`) plus the pigeonhole block-bucket guard
+    replayed in SQL: blocks whose bucket exceeds ``_SIMHASH_MAX_BUCKET``
+    members are dropped before the candidate join (2 x 16-bit blocks at
+    max_hamming=1)."""
     return (
-        head
+        _simhash_sig_ctes(bits).rstrip("\n")
         + f""",
 blocks AS (
   SELECT doc_id, 0 AS blk, simhash & 65535 AS val FROM sig

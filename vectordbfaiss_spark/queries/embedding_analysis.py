@@ -769,6 +769,51 @@ FROM embeddings
 """
 
 
+def auc_u_rows(
+    spark: SparkSession, bins: DataFrame, nb: int = 4096
+) -> DataFrame:
+    """Mann-Whitney U contributions per score bin via a TWO-LEVEL prefix
+    sum — the scale-safe replacement for an unpartitioned cumulative
+    window. ``bins`` has columns (s, pos, neg), one row per distinct
+    score. Bins hash into <= ``nb`` fixed-width score buckets; per-bucket
+    negative totals (a bounded, <= nb-row table) come to the driver for
+    an exclusive prefix sum that is broadcast back as offsets; the
+    remaining cumulative window is partitioned BY bucket, so every
+    WindowExec task sees only one bucket's bins at any corpus size.
+    Returns one column ``u``: pos * (negatives-below + ties/2)."""
+    rng = bins.agg(F.min("s").alias("lo"), F.max("s").alias("hi")).collect()[0]
+    lo, hi = rng["lo"], rng["hi"]
+    width = (hi - lo) / nb if (lo is not None and hi > lo) else 1.0
+    bb = bins.withColumn(
+        "bkt",
+        F.least(
+            F.floor((F.col("s") - F.lit(lo)) / F.lit(width)), F.lit(nb - 1)
+        ).cast("int"),
+    )
+    totals = {
+        r["bkt"]: r["t"]
+        for r in bb.groupBy("bkt").agg(F.sum("neg").alias("t")).collect()
+    }
+    offs, acc = [], 0
+    for k in sorted(totals):
+        offs.append((k, acc))
+        acc += int(totals[k])
+    off_df = spark.createDataFrame(offs or [(0, 0)], "bkt int, off long")
+    wln = (
+        W.partitionBy("bkt").orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+    )
+    return bb.join(F.broadcast(off_df), "bkt").select(
+        (
+            F.col("pos")
+            * (
+                F.col("off")
+                + F.coalesce(F.sum("neg").over(wln), F.lit(0))
+                + F.col("neg") / 2.0
+            )
+        ).alias("u")
+    )
+
+
 @register("ridge_probe_auc", _PROBE_ORACLE)
 def q_ridge_probe_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a linear probe on the corpus in ONE aggregation pass and
@@ -787,11 +832,15 @@ def q_ridge_probe_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
       exactly).
     - EVALUATE: AUC from the Mann-Whitney U statistic computed over
       SCORE-DISTINCT bins, not rows: scores round to 6dp (the registry
-      convention), per-distinct-score (cnt_pos, cnt_neg) is a hash agg,
-      and the cumulative-negatives window runs over the BOUNDED bin table
-      (<= 4M possible 6dp values in [-norm, norm]) — never a
-      single-partition pass over the corpus. Ties contribute 1/2, the
-      textbook U treatment.
+      convention) and per-distinct-score (cnt_pos, cnt_neg) is a hash
+      agg. The cumulative-negatives prefix sum over the bin table is
+      TWO-LEVEL so no stage ever runs an unpartitioned window: bins hash
+      into <= 4096 fixed-width score buckets, per-bucket negative totals
+      (a bounded table) come to the driver for an exclusive prefix sum
+      that is broadcast back as offsets, and the remaining window is
+      partitioned BY bucket — at any corpus size each WindowExec task
+      sees only one bucket's bins. Ties contribute 1/2, the textbook U
+      treatment.
     """
     import numpy as np
     import pandas as pd
@@ -851,14 +900,7 @@ def q_ridge_probe_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y")).alias("pos"),
         F.sum(1 - F.col("y")).alias("neg"),
     )
-    wln = W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)
-    u_rows = bins.select(
-        (
-            F.col("pos")
-            * (F.coalesce(F.sum("neg").over(wln), F.lit(0)) + F.col("neg") / 2.0)
-        ).alias("u")
-    )
-    tot = u_rows.agg(F.sum("u").alias("u")).collect()[0]["u"]
+    tot = auc_u_rows(spark, bins).agg(F.sum("u").alias("u")).collect()[0]["u"]
     counts = scored.agg(
         F.count("*").alias("n"),
         F.sum("y").alias("n_pos"),

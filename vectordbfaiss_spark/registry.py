@@ -67,75 +67,21 @@ _loaded = False
 #   round 2 front-loaded the per-operator primaries (50/50 green);
 #   round 3 rotated to the round-3 additions + the never-verified backlog
 #   (cumulative driver-sampled after r3: 120/224);
-#   round 4 (this order): registry growth FROZEN except the two new PQ
-#   bound twins (the round-3 verdict's ask), window = the two sentinels,
-#   the two NEW bound twins, the REWRITTEN `ivf_tombstone_search`
-#   (modulo scan -> broadcast anti-join), then the next 45 queries with no
-#   driver row in rounds 1-3, in natural registration order — including
-#   the whole ANN rows-only family, so the driver proves it can execute
-#   them (they record `no_oracle` rows; that is the declared contract).
-#   The ~58 still-unsampled queries past position 50 are the head of
-#   round 5's rotation.
+#   round 4: growth frozen (+2 PQ bound twins), window = sentinels + the
+#   45 next never-verified rows (cumulative driver-sampled after r4:
+#   167/230);
+#   round 5 (this order): registry growth frozen again; window = the two
+#   sentinels + 48 of the 63 queries with no driver row in rounds 1-4
+#   (TPC-H tail, the kNN-graph family, BPE train/encode, the reference's
+#   own sqlite storage format, the capped-dedup twins, and the
+#   embedding-analysis tail — `ridge_probe_auc` enters AFTER its
+#   cumulative window was rewritten scale-safe this round). The 15
+#   still-unsampled queries at positions 50-64 are round 6's head.
 _PRIORITY: tuple[str, ...] = (
     # sentinels: flagship operators re-proven every round
     "topk_search",
     "ingest_index_build",
-    # NEW round-4 queries: hash-checked recall/self-retrieval bounds that
-    # make the rows-only PQ family driver-checkable
-    "pq_recall_bound",
-    "ivfpq_recall_bound",
-    # REWRITTEN round 4: tombstones now a broadcast anti-join id table
-    "ivf_tombstone_search",
-    # never-driver-verified (rounds 1-3), natural registration order:
-    # session-3 tails, relational basics, sketches, the ANN family
-    "bpe_fertility_by_lang",
-    "dp_noised_event_counts",
-    "scd2_event_intervals",
-    "funnel_view_click_purchase",
-    "retention_cohorts_weekly",
-    "daily_gapfill_event_counts",
-    "latest_event_per_user",
-    "null_safe_join_status",
-    "embedding_norm_health",
-    "exists_not_exists_customers",
-    "ntile_percent_rank_orders",
-    "grouping_sets_lineitem",
-    "stats_summary_lineitem",
-    "regexp_extract_all_docs",
-    "median_mode_orders",
-    "min_max_by_orders",
-    "datetime_functions_orders",
-    "null_handling_suppliers",
-    "array_set_functions",
-    "higher_order_array_funcs",
-    "unpivot_lineitem_measures",
-    "bitwise_agg_lineitem",
-    "trending_types_daily_top2",
-    "map_functions_events",
-    "decimal_exact_revenue",
-    "fuzzy_name_match",
-    "explode_outer_long_words",
-    "zscore_outlier_events",
-    "incremental_daily_agg",
-    "histogram_order_values",
-    "profile_orders_table",
-    "variant_json_extract_events",
-    "ewma_daily_counts",
-    "bool_aggregates_orders",
-    "fk_integrity_audit",
-    "hll_distinct_users_daily_merge",
-    "sql_lateral_view_tokens",
-    "cms_heavy_hitters",
-    "orc_roundtrip_supplier",
-    "ivf_topk_search",
-    "ivf_disk_search",
-    "ivf_recall_report",
-    "ivf_recall_bound",
-    "pq_topk_search",
-    "pq_rerank_topk",
-    # ---- driver's 50-row sample boundary lands here ----
-    # (head of round 5's rotation: the rest of the never-verified pool,
-    # natural registration order)
+    # never-driver-verified (rounds 1-4), natural registration order
     "ivfpq_topk_search",
     "sqlite_roundtrip_docs",
     "snapshot_pinned_read_docs",
@@ -176,11 +122,18 @@ _PRIORITY: tuple[str, ...] = (
     "label_propagation_knn",
     "ridge_probe_auc",
     "pagerank_neardup_graph",
-    "join_skew_report",
+    "dedup_minhash_capped",
+    "dedup_simhash_capped",
+    "recursive_cte_knn_bfs",
+    "pmi_collocations",
     "ngram_novelty_scoring",
     "fingerprint_attribution",
     "quality_calibration_deciles",
     "expectations_quarantine",
+    # ---- driver's 50-row sample boundary lands here ----
+    # (head of round 6's rotation: the last 15 never-verified queries,
+    # natural registration order)
+    "join_skew_report",
     "bloom_prefilter_join",
     "source_temperature_weights",
     "event_transition_matrix",
