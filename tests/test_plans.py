@@ -504,3 +504,38 @@ def test_forced_broadcasts_are_bounded_only(spark):
             )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_rank_window_limits_are_pushed_below_the_window(spark):
+    """Inventory pin for every registry query that ranks with a
+    `row_number() <= k` filter: the limit must be BOUNDED IN THE PLAN,
+    either as a TakeOrderedAndProject pushed below the window
+    (LimitPushDownThroughWindow — global windows: only k rows ever
+    reach the single-partition WindowExec) or as a WindowGroupLimit
+    (partitioned windows: k rows per group forwarded, with a Partial
+    pass before the shuffle). Both rules pattern-match a Filter on the
+    RAW rank attribute directly over the Window — r5 found that casting
+    row_number() to long INSIDE the window projection hid the attribute
+    and silently disabled both rules, funneling the whole scored corpus
+    through one task on the global-window queries here.
+    `ridge_probe_auc` is absent by design: its r5 rewrite removed the
+    global window entirely (two-level bucketed prefix sum, pinned in
+    tests/test_embedding_analysis.py); `leakage_safe_split_assign`'s
+    global form is test-only (the registry uses the sharded window).
+    Any NEW query that adds a rank-filtered window should extend this
+    list."""
+    ranked = [
+        # global windows — corpus-cardinality input before the fix
+        "bm25_doc_ranking",      # queries/ranking.py top-10 by bm25
+        "weighted_sample_docs",  # queries/ranking.py ES sample top-50
+        "top_event_paths",       # queries/pipeline_extras.py top-10 paths
+        "cms_heavy_hitters",     # queries/sketches_sql.py top-20 by est
+        # partitioned windows — bounded per group, map-side Partial pass
+        "hybrid_rrf_fusion",     # queries/ranking.py top-10 per query
+        "trending_types_daily_top2",  # queries/relational_more.py
+    ]
+    for name in ranked:
+        plan = _plan(registry.queries()[name](spark, SF_DIR))
+        assert ("WindowGroupLimit" in plan) or (
+            "TakeOrderedAndProject" in plan
+        ), (name, plan[:3000])

@@ -111,10 +111,15 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("contrib"), 6).alias("bm25")
     )
     w = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    # rank filter BEFORE the long cast: InferWindowGroupLimit only fires
+    # on Filter(rank_attr <= k) directly over the Window — casting inside
+    # the window projection hid the rank attribute and the global window
+    # funneled the whole scored corpus through one task (found by the
+    # plan-inventory test; the cast moves to the output projection).
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 10)
-        .select("doc_id", "bm25", "rnk")
+        .select("doc_id", "bm25", F.col("rnk").cast("long").alias("rnk"))
     )
 
 
@@ -215,10 +220,16 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wf = W.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    # rank filter before the cast: WindowGroupLimit then also runs in
+    # Partial mode BEFORE the shuffle, so each map task forwards only
+    # its local top-10 per query (see bm25 above for the rule's shape)
     return (
-        fused.withColumn("rnk", F.row_number().over(wf).cast("long"))
+        fused.withColumn("rnk", F.row_number().over(wf))
         .filter(F.col("rnk") <= 10)
-        .select("query_id", "doc_id", "rrf", "rnk")
+        .select(
+            "query_id", "doc_id", "rrf",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
     )
 
 
@@ -318,9 +329,16 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-F.log(u) / F.col("n_chars"), 6).alias("es_key"),
     )
     w = W.orderBy(F.asc("es_key"), F.asc("doc_id"))
+    # rank filter before the cast so InferWindowGroupLimit bounds the
+    # single-partition window to 50 rows per upstream partition (the
+    # cast-inside-the-window form defeated the rule; see bm25 above)
     return (
-        keyed.withColumn("rnk", F.row_number().over(w).cast("long"))
+        keyed.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 50)
+        .select(
+            "doc_id", "lang", "n_chars", "es_key",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
     )
 
 

@@ -355,9 +355,16 @@ def q_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = W.partitionBy("day").orderBy(F.desc("n"), F.asc("event_type"))
+    # rank filter before the cast so WindowGroupLimit prunes each day's
+    # group to 2 rows map-side before the shuffle (the cast-inside-the-
+    # window form defeated the rule; see queries/ranking.py bm25)
     return (
-        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        counts.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 2)
+        .select(
+            "day", "event_type", "n",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
     )
 
 

@@ -209,9 +209,13 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     w = W.orderBy(F.desc("est"), F.asc("tok"))
+    # rank filter before the long cast so InferWindowGroupLimit bounds
+    # the single-partition window (the cast-inside-the-window form
+    # defeated the rule; see queries/ranking.py bm25)
     return (
-        est.withColumn("rnk", F.row_number().over(w).cast("long"))
+        est.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 20)
+        .select("tok", "est", F.col("rnk").cast("long").alias("rnk"))
     )
 
 
