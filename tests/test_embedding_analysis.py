@@ -213,8 +213,11 @@ def test_auc_u_rows_matches_global_window_and_is_partitioned(spark):
 
     u_rows = auc_u_rows(spark, bins, nb=3)
     plan = u_rows._jdf.queryExecution().executedPlan().toString()
-    assert "Window" in plan
-    assert "No Partition Defined" not in plan
+    # the cumulative window must be PARTITIONED by the score bucket: its
+    # windowspecdefinition leads with the bkt column. (Checking for the
+    # runtime "No Partition Defined" warning text would be vacuous — that
+    # string appears in logs, never in plan output.)
+    assert "windowspecdefinition(bkt" in plan, plan[:2000]
 
     got = u_rows.agg(F.sum("u").alias("u")).collect()[0]["u"]
     wln = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
