@@ -169,7 +169,7 @@ def q_mutual_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     other in their top-3 (the classic noise-robust sparsification), then
     take connected components. Mutual edges are the kNN edge set
     semi-joined with its own reversal — no new scoring pass; components
-    run the same pointer-jumping loop as the dedup closure
+    run the same star-contraction loop as the dedup closure
     (``operators/graph.py``), oracle-checked by a recursive CTE."""
     edges = knn_edges_published(spark, sf_dir).select("src", "dst")
     # localCheckpoint: the edge list feeds both sides of the mutuality
@@ -948,8 +948,8 @@ def q_recursive_cte_knn_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the frontier against the O(N*k) published edge artifact
     (:func:`knn_edges_published`) — frontier size is |seeds| * k^depth,
     never corpus-quadratic. Unbounded reachability (connected
-    components) deliberately stays on the pointer-jumping operator
-    (``operators/graph.py``): min-label + jumping converges in O(log d)
+    components) deliberately stays on the star-contraction operator
+    (``operators/graph.py``): large/small-star converges in O(log^2 n)
     rounds, while a naive recursive closure enumerates every
     (node, reachable-label) pair — O(N * d) rows. Depth-bounded
     neighborhood expansion is the recursion-shaped workload, so that is

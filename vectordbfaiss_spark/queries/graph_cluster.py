@@ -103,7 +103,7 @@ def q_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     what pair-level dedup cannot express.
 
     Scale plan: blocking + star edges keep the edge set LINEAR in corpus
-    size AND bucket diameter at 2, so the component loop (pointer jumping,
+    size AND bucket diameter at 2, so the component loop (large/small-star,
     operators/graph.py) converges in a couple of shuffle rounds regardless
     of bucket size; the recursive-CTE oracle checks the closure exactly.
     """
@@ -335,9 +335,9 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     * blocking on (name tail, nation) — an equi-join key, so candidate
       generation is a hash join; the O(len^2) levenshtein verify runs only
       inside blocks (never all-pairs);
-    * verified pairs feed the same pointer-jumping
-      ``connected_components`` used by the dedup family (O(log d) rounds,
-      checkpointed);
+    * verified pairs feed the same star-contraction
+      ``connected_components`` used by the dedup family (O(log^2 n)
+      rounds, checkpointed);
     * golden record per component: min rec_id survivor's name + the
       merged source list — covering the WHOLE population: records with
       no fuzzy match anywhere are singleton entities (left-join +
