@@ -18,23 +18,19 @@ def test_priority_is_the_registry_prefix():
     assert tuple(order[: len(registry._PRIORITY)]) == registry._PRIORITY
 
 
-def test_first_window_is_round5_rotation():
-    """Round-5 rotation contract: the sampled prefix holds the sentinels
-    plus ONLY queries with no driver row in rounds 1-4 (or ones whose
-    implementation was added/rewritten this round), so each round's gate
-    extends cumulative verified coverage instead of re-proving the same
-    window. Driver-SAMPLED means the query has any row in a
-    CORRECTNESS_r* file — rows-only entries record `no_oracle` rows and
-    count as sampled once the driver has executed them."""
+def test_first_window_is_round6_rotation():
+    """Round-6 rotation contract: the sampled prefix holds the sentinels,
+    then every query with no driver row in rounds 1-5 (closing cumulative
+    coverage at 230/230), then this round's new queries, then a refresh
+    block of the oldest evidence (round-1-only samples). Driver-SAMPLED
+    means the query has any row in a CORRECTNESS_r* file — rows-only
+    entries record `no_oracle` rows and count as sampled once the driver
+    has executed them."""
     import json
     import os
 
     window = list(registry.queries())[:50]
     sentinels = {"topk_search", "ingest_index_build"}
-    # new or rewritten this round — eligible regardless of history
-    # (ridge_probe_auc was rewritten r5 — scale-safe rank-sum AUC — but it
-    # was also never sampled, so no exemption is needed)
-    fresh: set[str] = set()
     assert sentinels <= set(window[:2])
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -44,13 +40,28 @@ def test_first_window_is_round5_rotation():
         "CORRECTNESS_r02.json",
         "CORRECTNESS_r03.json",
         "CORRECTNESS_r04.json",
+        "CORRECTNESS_r05.json",
     ):
         with open(os.path.join(repo, rnd)) as fh:
             sampled.update(json.load(fh))
-    stale = [
-        n for n in window if n in sampled and n not in sentinels | fresh
-    ]
-    assert not stale, f"already-sampled queries occupy sample slots: {stale}"
+
+    # every never-sampled query must sit inside the window, ahead of any
+    # refresh entry (new-this-round queries are also never-sampled, so
+    # this single rule covers both)
+    never = [n for n in registry.queries() if n not in sampled]
+    missing = [n for n in never if n not in window]
+    assert not missing, f"never-sampled queries outside the window: {missing}"
+    if never:
+        last_never = max(window.index(n) for n in never)
+        refreshers = [
+            i
+            for i, n in enumerate(window)
+            if n in sampled and n not in sentinels
+        ]
+        early = [window[i] for i in refreshers if i < last_never]
+        assert not early, (
+            f"already-sampled queries ahead of never-sampled ones: {early}"
+        )
 
 
 def test_queries_manifest_is_current():

@@ -70,69 +70,18 @@ _loaded = False
 #   round 4: growth frozen (+2 PQ bound twins), window = sentinels + the
 #   45 next never-verified rows (cumulative driver-sampled after r4:
 #   167/230);
-#   round 5 (this order): registry growth frozen again; window = the two
-#   sentinels + 48 of the 63 queries with no driver row in rounds 1-4
-#   (TPC-H tail, the kNN-graph family, BPE train/encode, the reference's
-#   own sqlite storage format, the capped-dedup twins, and the
-#   embedding-analysis tail — `ridge_probe_auc` enters AFTER its
-#   cumulative window was rewritten scale-safe this round). The 15
-#   still-unsampled queries at positions 50-64 are round 6's head.
+#   round 5 verified 48 more (cumulative 215/230);
+#   round 6 (this order): window = the two sentinels + the LAST 15
+#   never-driver-sampled queries (closing cumulative coverage at
+#   230/230) + the round-6 additions (new queries this round, each
+#   needing a first driver row) + a refresh block of the 22 queries
+#   whose only driver sample is round 1 (oldest evidence first).
 _PRIORITY: tuple[str, ...] = (
     # sentinels: flagship operators re-proven every round
     "topk_search",
     "ingest_index_build",
-    # never-driver-verified (rounds 1-4), natural registration order
-    "ivfpq_topk_search",
-    "sqlite_roundtrip_docs",
-    "snapshot_pinned_read_docs",
-    "text_repetition_filter",
-    "crossdoc_span_dedup",
-    "winnowing_fingerprints",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q11_important_suppliers",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_heavy_shippers",
-    "q21_lone_fault_supplier",
-    "q22_dormant_customers",
-    "q2_min_cost_supplier",
-    "nn_classify",
-    "cosine_pairs_threshold",
-    "lsh_bucket_histogram",
-    "embedding_int8_quantization",
-    "label_centroids",
-    "embedding_drift_report",
-    "sql_routed_topk_multi",
-    "bpe_train_merges",
-    "bpe_encode_corpus",
-    "sequence_packing_payload",
-    "bigram_logprob_quality",
-    "setsim_prefix_join",
-    "minhash_quality_audit",
-    "knn_graph_edges",
-    "mutual_knn_components",
-    "knn_graph_blocked",
-    "embedding_standardize",
-    "embedding_pca_project",
-    "knn_graph_incremental",
-    "kcenter_coreset_select",
-    "label_propagation_knn",
-    "ridge_probe_auc",
-    "pagerank_neardup_graph",
-    "dedup_minhash_capped",
-    "dedup_simhash_capped",
-    "recursive_cte_knn_bfs",
-    "pmi_collocations",
-    "ngram_novelty_scoring",
-    "fingerprint_attribution",
-    "quality_calibration_deciles",
-    "expectations_quarantine",
-    # ---- driver's 50-row sample boundary lands here ----
-    # (head of round 6's rotation: the last 15 never-verified queries,
-    # natural registration order)
+    # the last 15 never-driver-sampled queries (rounds 1-5), natural
+    # registration order — closes cumulative coverage at 230/230
     "join_skew_report",
     "bloom_prefilter_join",
     "source_temperature_weights",
@@ -148,6 +97,30 @@ _PRIORITY: tuple[str, ...] = (
     "inverted_index_incremental",
     "snapshot_diff_report",
     "ranking_eval_metrics",
+    # ---- round-6 additions (new this round; first driver rows) ----
+    # refresh block: oldest driver evidence (sampled only in round 1)
+    "deterministic_sample_docs",
+    "train_test_split_assign",
+    "balanced_downsample_per_lang",
+    "unigram_logprob_quality",
+    "winsorize_event_values",
+    "distinct_counts",
+    "rollup_lineitem",
+    "orders_per_customer_having",
+    "case_when_buckets",
+    "q3_shipping_priority",
+    "star_join_rollup",
+    "anti_join_no_orders",
+    "left_outer_with_condition",
+    "window_first_events_per_user",
+    "window_lag_rolling",
+    "pivot_event_counts",
+    "q5_local_supplier_volume",
+    "cube_lineitem",
+    "range_window_last_hour",
+    "asof_join_click_purchase",
+    "percentiles_order_value",
+    "correlated_subquery_orders",
 )
 
 
