@@ -48,6 +48,39 @@ def test_blocked_graph_recall_floor(spark):
     assert row["n_nodes"] == 500
 
 
+def test_blocked_scaled_grain_contract(spark):
+    """The scaled-grain form must derive K from the corpus size
+    (max(8, ceil(N/64))) and still pass both witness legs — the executed
+    version of the 'scale n_clusters with the corpus' contract."""
+    import math
+
+    from vectordbfaiss_spark.queries.embedding_analysis import (
+        _SCALED_CELL_TARGET,
+        q_knn_graph_blocked_scaled,
+    )
+
+    row = q_knn_graph_blocked_scaled(spark, SF_ORACLE).collect()[0]
+    n = row["n_nodes"]
+    assert row["n_clusters"] == max(8, math.ceil(n / _SCALED_CELL_TARGET))
+    assert row["scores_exact"] is True
+    assert row["degree_ok"] is True
+
+
+def test_semdedup_scaled_grain_contract(spark):
+    import math
+
+    from vectordbfaiss_spark.queries.vector_search import (
+        _SEMDEDUP_CELL_TARGET,
+        q_semdedup_prune_scaled,
+    )
+
+    row = q_semdedup_prune_scaled(spark, SF_ORACLE).collect()[0]
+    n = row["n_vecs"]
+    assert row["n_clusters"] == max(8, math.ceil(n / _SEMDEDUP_CELL_TARGET))
+    assert row["self_consistent"] is True
+    assert row["witness_ok"] is True
+
+
 def test_pca_booleans_all_true(spark):
     rows = q_embedding_pca_project(spark, SF_ORACLE).collect()
     assert len(rows) == 8

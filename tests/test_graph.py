@@ -153,3 +153,34 @@ def test_deep_graph_rebase_keeps_rounds_flat(spark):
     assert comp == {0}  # one path, min id 0
     assert len(rows) == 1200
     assert elapsed < 120, f"deep-graph CC took {elapsed:.0f}s — rebase broken?"
+
+
+def test_rebase_branch_correct_and_cleaned(spark):
+    """Force the parquet-rebase branch (rebase_every=1) on a multi-round
+    graph: components must still be exact and no cc_rebase_* snapshot
+    dirs may be left under the warehouse (they are deleted on BOTH the
+    success and the raise path — ADVICE r5)."""
+    import glob
+    import os
+    import random
+
+    import pytest
+
+    rng = random.Random(11)
+    ids = list(range(300))
+    rng.shuffle(ids)
+    edges = [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = wh.removeprefix("file:").rstrip("/")
+
+    rows = connected_components(df, rebase_every=1).collect()
+    assert {r["component"] for r in rows} == {0}
+    assert len(rows) == 300
+    assert glob.glob(os.path.join(wh, "cc_rebase_*")) == []
+
+    # raise path: a 1-round cap cannot converge this graph; the snapshot
+    # written in round 1 must still be cleaned up
+    with pytest.raises(RuntimeError, match="partial labels"):
+        connected_components(df, max_iter=1, rebase_every=1)
+    assert glob.glob(os.path.join(wh, "cc_rebase_*")) == []

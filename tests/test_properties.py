@@ -173,9 +173,9 @@ def test_sequence_packing_sharded_vs_global_invariants(spark):
                 .sort_values(["shard", "bin_id"])
             )
             bins["cum"] = bins.groupby("shard")["tot"].cumsum()
-            non_final = bins.groupby("shard", group_keys=False).apply(
-                lambda g: g.iloc[:-1]
-            )
+            non_final = bins.groupby("shard", group_keys=False)[
+                bins.columns.tolist()
+            ].apply(lambda g: g.iloc[:-1])
             bad = non_final[non_final["cum"] < _PACK_BUDGET * (non_final["bin_id"] + 1)]
             assert bad.empty, bad.head()
         finally:

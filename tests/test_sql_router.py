@@ -198,3 +198,71 @@ def test_unsupported_where_falls_back_verbatim(spark, tmp_path):
         assert out.count() == 3
         # verbatim result has only the projected column (routed adds score)
         assert out.columns == ["vec_id"]
+
+
+def _ivfpq(spark, tmp_path, name="t_pq_router"):
+    from vectordbfaiss_spark.plans.ivf import assign_clusters
+    from vectordbfaiss_spark.plans.pq import pq_encode, train_pq_codebooks
+    from vectordbfaiss_spark.plans.sql_router import register_ivfpq_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    books = train_pq_codebooks(emb, m=16, k_codes=32, seed=42)
+    assigned, centroids = assign_clusters(emb, n_clusters=4, seed=42)
+    path = str(tmp_path / "ivfpq")
+    (
+        pq_encode(assigned, books)
+        .drop("embedding")
+        .repartition("cluster_id")
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(path)
+    )
+    register_ivfpq_table(name, path, centroids, books)
+    return name
+
+
+def test_pq_routed_serves_from_codes_and_recalls(spark, tmp_path):
+    """The same grammar over an IVFPQ artifact: the routed plan reads NO
+    raw vector column (the artifact stores codes only), returns k rows
+    with the (id, score) contract, and full-probe recall@10 vs the exact
+    scan is above the loose PQ floor."""
+    name = _ivfpq(spark, tmp_path)
+    sql = (
+        f"SELECT * FROM {name} ORDER BY "
+        f"cosine_similarity(embedding, array({_LITS})) DESC LIMIT 10"
+    )
+    routed = route_topk_sql(spark, sql, nprobe=4)
+    assert routed.columns == ["vec_id", "score"]
+    rows = routed.collect()
+    assert len(rows) == 10
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    ensure_sql_functions(spark)
+    emb.createOrReplaceTempView("t_pq_exact")
+    exact = spark.sql(
+        f"SELECT vec_id FROM t_pq_exact ORDER BY "
+        f"cosine_similarity(embedding, array({_LITS})) DESC, vec_id LIMIT 10"
+    ).collect()
+    hits = len({r.vec_id for r in rows} & {r.vec_id for r in exact})
+    assert hits >= 5, f"PQ-routed recall@10 {hits}/10 under floor"
+
+
+def test_pq_routed_filters_apply_before_scoring(spark, tmp_path):
+    """WHERE conjuncts restrict the encoded index: every hit satisfies
+    them, and the scan's PushedFilters carries the metadata predicate."""
+    name = _ivfpq(spark, tmp_path, "t_pq_router_f")
+    sql = (
+        f"SELECT * FROM {name} WHERE label IN (1, 2) AND vec_id >= 100 "
+        f"ORDER BY cosine_similarity(embedding, array({_LITS})) DESC LIMIT 5"
+    )
+    routed = route_topk_sql(spark, sql, nprobe=4)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(vec_id,100" in plan
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "label")
+    got = routed.join(emb, "vec_id").collect()
+    assert len(got) == 5
+    for r in got:
+        assert r.label in (1, 2) and r.vec_id >= 100

@@ -102,9 +102,45 @@ def connected_components(
     # (u side) or a root (v side) of the final star forest.
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").rstrip("/")
     run_id = uuid.uuid4().hex[:12]
-    rebase_paths = [f"{wh}/.cc_rebase_{run_id}_{i}" for i in (0, 1)]
+    # NOT dot-prefixed: Spark's hidden-path filter skips files under
+    # `.`-named dirs on some versions/filesystems ("All paths were
+    # ignored" → "Unable to infer schema"), so snapshot roots must be
+    # ordinary visible names.
+    rebase_paths = [f"{wh}/cc_rebase_{run_id}_{i}" for i in (0, 1)]
+    try:
+        E, converged, used_rebase = _star_rounds(
+            spark, E, max_iter, rebase_every, rebase_paths
+        )
+        if not converged:
+            raise RuntimeError(
+                f"connected_components did not reach its star fixpoint in "
+                f"{max_iter} rounds — refusing to return partial labels"
+            )
+        out = (
+            E.select(F.col("u").alias("id"), F.col("v").alias("component"))
+            .union(
+                E.select("v").distinct().select(
+                    F.col("v").alias("id"), F.col("v").alias("component")
+                )
+            )
+            .distinct()
+        )
+        if used_rebase:
+            # the result may read from a rebase path: pin it into executor
+            # storage before the finally-block deletes the snapshots
+            out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        # unconditional: a raise mid-loop can leave snapshots behind even
+        # when the happy-path flag was never returned; deleting paths that
+        # were never written is a no-op
+        _delete_paths(spark, rebase_paths)
+
+
+def _star_rounds(spark, E, max_iter, rebase_every, rebase_paths):
+    """Run large/small-star rounds to the edge-set fixpoint; returns
+    (final edges, converged?, any parquet rebase happened?)."""
     used_rebase = False
-    converged = False
     for it in range(max_iter):
         # ---- large-star ----
         S = E.select("u", "v").union(
@@ -135,42 +171,27 @@ def connected_components(
         )
         E = E2
         if same:
-            converged = True
-            break
+            return E, True, used_rebase
         if it % rebase_every == rebase_every - 1:
             p = rebase_paths[(it // rebase_every) % 2]
             E.write.mode("overwrite").parquet(p)
             E = spark.read.parquet(p)
             used_rebase = True
-    if not converged:
-        raise RuntimeError(
-            f"connected_components did not reach its star fixpoint in "
-            f"{max_iter} rounds — refusing to return partial labels"
-        )
-    out = (
-        E.select(F.col("u").alias("id"), F.col("v").alias("component"))
-        .union(
-            E.select("v").distinct().select(
-                F.col("v").alias("id"), F.col("v").alias("component")
-            )
-        )
-        .distinct()
-    )
-    if used_rebase:
-        # the result may read from a rebase path: pin it into executor
-        # storage, then best-effort delete the snapshots
-        out = out.localCheckpoint(eager=True)
-        try:
-            jvm = spark._jvm
-            jsc = spark._jsc
-            conf = jsc.hadoopConfiguration()
-            for p in rebase_paths:
-                path = jvm.org.apache.hadoop.fs.Path(p)
-                fs = path.getFileSystem(conf)
-                fs.delete(path, True)
-        except Exception:  # cleanup is hygiene, never correctness
-            pass
-    return out
+    return E, False, used_rebase
+
+
+def _delete_paths(spark, paths) -> None:
+    """Best-effort recursive delete of warehouse snapshot dirs — cleanup
+    is hygiene, never correctness."""
+    try:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for p in paths:
+            path = jvm.org.apache.hadoop.fs.Path(p)
+            fs = path.getFileSystem(conf)
+            fs.delete(path, True)
+    except Exception:
+        pass
 
 
 def pagerank_int(

@@ -60,8 +60,29 @@ class IvfTable:
     vec_col: str = "embedding"
 
 
+@dataclass
+class IvfPqTable:
+    """An IVFPQ-encoded artifact served through the same SQL grammar.
+
+    ``vec_col`` is the LOGICAL vector column the statement names — the
+    physical artifact stores PQ ``codes`` (+ ``cluster_id``) instead of
+    the raw vectors; the router serves the ORDER BY from the ADC kernel.
+    Routed answers are APPROXIMATE (PQ quantization error) even at full
+    probe, which is the documented IVFPQ contract — callers needing
+    exact scores use an IvfTable or run the statement verbatim against
+    the raw table."""
+
+    path: str
+    centroids: list
+    codebooks: object  # np.ndarray (m, k_codes, sub)
+    id_col: str = "vec_id"
+    vec_col: str = "embedding"
+
+
 #: name -> IvfTable; registered by the pipeline that built the index
 IVF_TABLES: dict[str, IvfTable] = {}
+#: name -> IvfPqTable; same catalog idea for PQ-encoded artifacts
+IVFPQ_TABLES: dict[str, IvfPqTable] = {}
 
 
 def register_ivf_table(
@@ -72,6 +93,17 @@ def register_ivf_table(
     vec_col: str = "embedding",
 ) -> None:
     IVF_TABLES[name] = IvfTable(path, centroids, id_col, vec_col)
+
+
+def register_ivfpq_table(
+    name: str,
+    path: str,
+    centroids: list,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    IVFPQ_TABLES[name] = IvfPqTable(path, centroids, codebooks, id_col, vec_col)
 
 
 def ensure_sql_functions(spark: SparkSession) -> None:
@@ -178,15 +210,18 @@ def route_topk_sql(spark: SparkSession, sql: str, nprobe: int = 4) -> DataFrame:
         return spark.sql(sql)
     where = m.group("where")
     filters = _parse_where(where) if where is not None else []
-    tbl = IVF_TABLES.get(m.group("tbl"))
+    name = m.group("tbl")
+    tbl = IVF_TABLES.get(name)
+    pq_tbl = IVFPQ_TABLES.get(name) if tbl is None else None
+    any_tbl = tbl or pq_tbl
     proj = m.group("proj")
     if (
-        tbl is None
-        or m.group("col") != tbl.vec_col
+        any_tbl is None
+        or m.group("col") != any_tbl.vec_col
         # only projections whose routed shape is well-defined are served
         # from the layout; anything else (some other column name) must run
         # verbatim so it returns exactly what the SQL says
-        or proj not in ("*", tbl.id_col)
+        or proj not in ("*", any_tbl.id_col)
         # a WHERE outside the conjunctive =/!=/range/IN grammar must run
         # verbatim too — routing may only ever be a transparent speedup
         or filters is None
@@ -198,7 +233,7 @@ def route_topk_sql(spark: SparkSession, sql: str, nprobe: int = 4) -> DataFrame:
     queries = spark.createDataFrame(
         [(0, qvec)], "query_id LONG, query_vec ARRAY<FLOAT>"
     )
-    index = spark.read.parquet(tbl.path)
+    index = spark.read.parquet(any_tbl.path)
     for flt in filters:
         # metadata pre-filters (filtered ANN: restrict BEFORE scoring —
         # the excluded fraction is never scored, and parquet pushdown
@@ -206,6 +241,23 @@ def route_topk_sql(spark: SparkSession, sql: str, nprobe: int = 4) -> DataFrame:
         # analysis error here — no fallback, since the routed table need
         # not exist as a Spark view.
         index = index.filter(flt)
+    if pq_tbl is not None:
+        # PQ-encoded artifact: centroid routing prunes rows, the ADC
+        # kernel scores codes — scores are approximate by contract.
+        from vectordbfaiss_spark.plans.pq import ivfpq_search
+
+        hits = ivfpq_search(
+            index,
+            queries,
+            pq_tbl.centroids,
+            pq_tbl.codebooks,
+            k=k,
+            nprobe=nprobe,
+            id_col=pq_tbl.id_col,
+        )
+        return hits.orderBy(F.desc("approx_score"), F.asc(pq_tbl.id_col)).select(
+            pq_tbl.id_col, F.col("approx_score").alias("score")
+        )
     hits = ivf_search(
         index,
         queries,

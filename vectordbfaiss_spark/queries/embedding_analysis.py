@@ -192,6 +192,62 @@ FROM embeddings
 """
 
 
+def _blocked_knn_edges(
+    spark: SparkSession, sf_dir: str, n_clusters: int, k: int = _KNN_K
+) -> DataFrame:
+    """Cluster-blocked approximate kNN edges (src, dst, score): k-means
+    assignment (IVF quantizer artifacts) + ONE applyInPandas Gram-matrix
+    kernel per cluster. O((N/K)^2) per cell, embarrassingly parallel
+    across cells, shuffle = one exchange on cluster_id."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from vectordbfaiss_spark.plans.ivf import assign_clusters, corpus_fingerprint
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # assign on a COPY column: assign_clusters normalizes vec_col in place
+    # and quantizes it to float32 — fine for routing, but scoring must run
+    # from the raw embeddings or the witness re-derivation (float64 cosine
+    # over the original values) drifts past the 6dp rounding granularity.
+    assigned, _ = assign_clusters(
+        emb.select("vec_id", "embedding", F.col("embedding").alias("nvec")),
+        vec_col="nvec",
+        n_clusters=n_clusters,
+        seed=42,
+        corpus_key=corpus_fingerprint(f"{sf_dir}/embeddings.parquet"),
+    )
+    assigned = assigned.drop("nvec")
+
+    schema = T.StructType(
+        [
+            T.StructField("src", T.LongType()),
+            T.StructField("dst", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        V = np.array(list(pdf["embedding"]), dtype=np.float64)
+        # normalize in float64 from the RAW values: the Gram of unit rows
+        # is then bit-comparable (at 6dp) with the expression cosine
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = np.round(V @ V.T, 6)
+        np.fill_diagonal(S, -np.inf)
+        rows = []
+        for i in range(len(ids)):
+            # top-k with the global tie-break (score DESC, id ASC): ids
+            # ascend, argsort is stable -> sort by (-score, position)
+            order = np.lexsort((np.arange(len(ids)), -S[i]))[: min(k, len(ids) - 1)]
+            for j in order:
+                rows.append((int(ids[i]), int(ids[j]), float(S[i, j])))
+        return pd.DataFrame(rows, columns=["src", "dst", "score"])
+
+    return assigned.groupBy("cluster_id").applyInPandas(kernel, schema)
+
+
 @register("knn_graph_blocked", _BLOCKED_KNN_ORACLE)
 def q_knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-blocked approximate k-NN graph + in-query verification —
@@ -212,57 +268,10 @@ def q_knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.3 (within-cell neighbors only; the fixture's observed recall is
     pinned tighter in tests/test_embedding_analysis.py).
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
     from vectordbfaiss_spark.functions.vector import cosine_similarity
-    from vectordbfaiss_spark.plans.ivf import assign_clusters, corpus_fingerprint
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # assign on a COPY column: assign_clusters normalizes vec_col in place
-    # and quantizes it to float32 — fine for routing, but scoring must run
-    # from the raw embeddings or the witness re-derivation (float64 cosine
-    # over the original values) drifts past the 6dp rounding granularity.
-    assigned, _ = assign_clusters(
-        emb.select("vec_id", "embedding", F.col("embedding").alias("nvec")),
-        vec_col="nvec",
-        n_clusters=8,
-        seed=42,
-        corpus_key=corpus_fingerprint(f"{sf_dir}/embeddings.parquet"),
-    )
-    assigned = assigned.drop("nvec")
-
-    schema = T.StructType(
-        [
-            T.StructField("src", T.LongType()),
-            T.StructField("dst", T.LongType()),
-            T.StructField("score", T.DoubleType()),
-        ]
-    )
-    k = _KNN_K
-
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
-        ids = pdf["vec_id"].to_numpy()
-        V = np.array(list(pdf["embedding"]), dtype=np.float64)
-        # normalize in float64 from the RAW values: the Gram of unit rows
-        # is then bit-comparable (at 6dp) with the expression cosine
-        V = V / np.linalg.norm(V, axis=1, keepdims=True)
-        S = np.round(V @ V.T, 6)
-        np.fill_diagonal(S, -np.inf)
-        rows = []
-        for i in range(len(ids)):
-            # top-k with the global tie-break (score DESC, id ASC): ids
-            # ascend, argsort is stable -> sort by (-score, position)
-            order = np.lexsort((np.arange(len(ids)), -S[i]))[: min(k, len(ids) - 1)]
-            for j in order:
-                rows.append((int(ids[i]), int(ids[j]), float(S[i, j])))
-        return pd.DataFrame(rows, columns=["src", "dst", "score"])
-
-    blocked = assigned.groupBy("cluster_id").applyInPandas(
-        kernel, schema
-    )
+    blocked = _blocked_knn_edges(spark, sf_dir, n_clusters=8)
     blocked = blocked.localCheckpoint(eager=True)  # feeds two checks below
 
     # witness check: re-derive every blocked score from RAW embeddings
@@ -297,6 +306,87 @@ def q_knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nodes",
             "scores_exact",
             (F.col("n_hits") / F.col("n_exact") > 0.3).alias("recall_ok"),
+        )
+    )
+
+
+# target mean cell population for the scaled-grain contract: K is DERIVED
+# from the corpus size (K = max(8, ceil(N / 64))), so per-cell quadratic
+# work stays bounded as the corpus grows — the SemDeDup paper's own design
+# point (50k clusters for 134M embeddings ~= 2.7k/cell). The DuckDB oracle
+# recomputes the same K from count(*), pinning that the knob really is a
+# function of N, not a constant the oracle can't see.
+_SCALED_CELL_TARGET = 64
+
+_BLOCKED_SCALED_ORACLE = f"""
+SELECT count(*) AS n_nodes,
+       CAST(GREATEST(8, CEIL(count(*) / {_SCALED_CELL_TARGET}.0)) AS BIGINT)
+         AS n_clusters,
+       TRUE AS scores_exact,
+       TRUE AS degree_ok
+FROM embeddings
+"""
+
+
+@register("knn_graph_blocked_scaled", _BLOCKED_SCALED_ORACLE)
+def q_knn_graph_blocked_scaled(
+    spark: SparkSession, sf_dir: str, cell_target: int = _SCALED_CELL_TARGET
+) -> DataFrame:
+    """Blocked kNN graph with the PRODUCTION grain contract executed:
+    ``n_clusters = max(8, ceil(N / 64))`` is computed from the corpus
+    size, so mean cell population (and the per-cell Gram cost) stays
+    constant as the corpus scales — the knob `knn_graph_blocked` pins
+    small for its oracle-replayable form. Hash-checked outputs:
+    ``n_clusters`` (the oracle recomputes the same formula from
+    count(*) — a constant K would mismatch the moment the corpus
+    changes), ``scores_exact`` (every edge score re-derived from raw
+    embeddings with the expression cosine, same witness as the unscaled
+    form), and ``degree_ok`` (no self-loops, out-degree <= k)."""
+    from vectordbfaiss_spark.functions.vector import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    n_clusters = max(8, -(-n // cell_target))
+    blocked = _blocked_knn_edges(spark, sf_dir, n_clusters=n_clusters)
+    blocked = blocked.localCheckpoint(eager=True)  # feeds two checks below
+
+    a = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"))
+    rescored = (
+        # corpus-grain store sides: shuffle-hash, never forced broadcasts
+        blocked.join(a.hint("SHUFFLE_HASH"), "src")
+        .join(b.hint("SHUFFLE_HASH"), "dst")
+        .select(
+            (
+                F.abs(F.round(cosine_similarity("va", "vb"), 6) - F.col("score"))
+                < 1e-9
+            ).alias("ok")
+        )
+    )
+    degrees = blocked.groupBy("src").agg(
+        F.count("*").alias("deg"),
+        F.max((F.col("dst") == F.col("src")).cast("int")).alias("self_loop"),
+    )
+    return (
+        emb.agg(F.count("*").alias("n_nodes"))
+        .crossJoin(
+            rescored.agg(
+                F.coalesce(F.min("ok"), F.lit(True)).alias("scores_exact")
+            )
+        )
+        .crossJoin(
+            degrees.agg(
+                F.coalesce(  # empty edge set (all-singleton cells) is ok
+                    (F.max("deg") <= F.lit(_KNN_K)) & (F.max("self_loop") == 0),
+                    F.lit(True),
+                ).alias("degree_ok")
+            )
+        )
+        .select(
+            "n_nodes",
+            F.lit(n_clusters).cast("long").alias("n_clusters"),
+            "scores_exact",
+            "degree_ok",
         )
     )
 

@@ -556,3 +556,148 @@ def q_daily_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed end-to-end curation pipeline: scrub -> dedup -> gate/split -> pack
+# ---------------------------------------------------------------------------
+
+_E2E_BUDGET = 2048
+_E2E_SHARDS = 16
+_E2E_MIN_TOKENS = 5
+_E2E_MAX_TOKENS = 4096
+
+
+def _e2e_oracle() -> str:
+    from vectordbfaiss_spark.operators import scrub as S
+    from vectordbfaiss_spark.queries.curation import (
+        _sql_split_case,
+    )
+    from vectordbfaiss_spark.queries.scrub import _DIRTY_SQL
+
+    redacted = (
+        f"regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        f"dirty, '{S.EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{S.SSN_RE}', '<SSN>', 'g'), "
+        f"'{S.IPV4_RE}', '<IP>', 'g'), "
+        f"'{S.PHONE_RE}', '<PHONE>', 'g')"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_DIRTY_SQL} AS dirty FROM documents
+), clean AS (
+  SELECT doc_id, {redacted} AS clean_text FROM d
+), norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(clean_text),
+              '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+  FROM clean
+), uniq AS (
+  SELECT doc_id, norm_text,
+         row_number() OVER (PARTITION BY md5(norm_text) ORDER BY doc_id) AS rn
+  FROM norm
+), gated AS (
+  SELECT doc_id, len(string_split(norm_text, ' ')) AS n_tokens,
+         {_sql_hash_bucket('doc_id')} AS hkey
+  FROM uniq
+  WHERE rn = 1 AND len(string_split(norm_text, ' '))
+        BETWEEN {_E2E_MIN_TOKENS} AND {_E2E_MAX_TOKENS}
+), assigned AS (
+  SELECT doc_id, n_tokens, hkey,
+         {_sql_split_case('hkey')} AS split,
+         hkey % {_E2E_SHARDS} AS shard
+  FROM gated
+), binned AS (
+  SELECT split, shard, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY split, shard ORDER BY hkey, doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tokens)
+           // {_E2E_BUDGET} AS bin_id
+  FROM assigned
+)
+SELECT split, CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+       CAST(count(DISTINCT bin_id) AS BIGINT) AS n_bins,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM binned GROUP BY split, shard
+"""
+
+
+@register("pipeline_scrub_dedup_pack", _e2e_oracle())
+def q_pipeline_scrub_dedup_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-data pipeline, one logical plan end to end:
+    PII scrub (regex redaction, ``operators/scrub.py``) -> text
+    normalization -> exact dedup keep-first-by-id over the normalized
+    digest -> token-count quality gate -> deterministic 80/10/10 split
+    assignment -> shard-parallel sequence packing -> per-(split, shard)
+    bin report. Every stage exists as its own verified registry query
+    (`pii_redact_docs`, `text_normalize_docs`, `dedup_exact_stats`,
+    `train_test_split_assign`, `sequence_packing_bins`); this entry is
+    the integration witness that the stages compose into ONE Catalyst
+    plan with the expected shuffle structure: a single window exchange
+    on the dedup digest, then one on (split, shard) for the packing
+    cumsum — no driver round-trips between stages, no materialization.
+
+    Scale shape: scrub/normalize/gate are codegen'd maps fused into the
+    scan; dedup is a key-partitioned window (rank filter on the RAW
+    rank, the InferWindowGroupLimit-safe shape); packing windows are
+    bounded at 1/(3*16) of the survivors each. At 100 TB each stage
+    stays a map or a key-partitioned exchange — the composition adds
+    zero driver synchronization over running the stages separately.
+    """
+    from pyspark.sql import Window as W
+
+    from vectordbfaiss_spark.operators import scrub as S
+    from vectordbfaiss_spark.queries.curation import _hash_bucket, _split_expr
+    from vectordbfaiss_spark.queries.scrub import _dirty_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    clean = docs.select(
+        "doc_id", S.redact(_dirty_col()).alias("clean_text")
+    )
+    norm = clean.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("clean_text"), "[^a-z0-9 ]", " "),
+                " +",
+                " ",
+            )
+        ).alias("norm_text"),
+    )
+    dw = W.partitionBy(F.md5("norm_text")).orderBy("doc_id")
+    uniq = (
+        norm.withColumn("rn", F.row_number().over(dw))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    gated = uniq.select(
+        "doc_id",
+        F.size(F.split("norm_text", " ")).alias("n_tokens"),
+        _hash_bucket(F.col("doc_id")).alias("hkey"),
+    ).filter(
+        F.col("n_tokens").between(_E2E_MIN_TOKENS, _E2E_MAX_TOKENS)
+    )
+    assigned = gated.select(
+        "doc_id",
+        "n_tokens",
+        "hkey",
+        _split_expr(F.col("hkey")).alias("split"),
+        (F.col("hkey") % _E2E_SHARDS).alias("shard"),
+    )
+    pw = (
+        W.partitionBy("split", "shard")
+        .orderBy("hkey", "doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    binned = assigned.select(
+        "split",
+        "shard",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(pw) - F.col("n_tokens")) / _E2E_BUDGET
+        ).alias("bin_id"),
+    )
+    return binned.groupBy("split", F.col("shard").cast("long").alias("shard")).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("bin_id").alias("n_bins"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )

@@ -461,6 +461,123 @@ def q_sql_routed_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return route_topk_sql(spark, sql, nprobe=8)
 
 
+_ROUTED_PQ_K = 10
+
+_SQL_ROUTED_PQ_ORACLE = f"""
+SELECT CAST({_ROUTED_PQ_K} AS BIGINT) AS n_hits,
+       TRUE AS filters_respected,
+       TRUE AS scores_monotone,
+       TRUE AS recall_ok
+"""
+
+
+def _ivfpq_artifact(spark: SparkSession, sf_dir: str):
+    """Build-once IVFPQ artifact (cluster_id + PQ codes + metadata,
+    partitioned by cluster_id) + its deterministic models. Centroids and
+    codebooks are seeded retrains keyed by the corpus fingerprint, so a
+    fresh process reusing the parquet re-derives identical models."""
+    import pathlib
+
+    from vectordbfaiss_spark.plans.ivf import (
+        _published_meta,
+        _publish_sidecar,
+        assign_clusters,
+        corpus_fingerprint,
+    )
+    from vectordbfaiss_spark.plans.pq import pq_encode, train_pq_codebooks
+    from vectordbfaiss_spark.queries.sources_io import _PQ_BOOK_CACHE
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = _PQ_BOOK_CACHE.get(sf_dir)
+    if books is None:
+        books = train_pq_codebooks(emb, m=16, k_codes=32, seed=42)
+        _PQ_BOOK_CACHE[sf_dir] = books
+    key = corpus_fingerprint(f"{sf_dir}/embeddings.parquet")
+    assigned, centroids = assign_clusters(
+        emb, n_clusters=8, seed=42, corpus_key=key
+    )
+    out = f"/root/repo/spark-warehouse/ivfpq_index_{pathlib.Path(sf_dir).name}"
+    params = {"corpus_key": key, "m": 16, "k_codes": 32, "n_clusters": 8}
+    if _published_meta(out, "_ivfpq_meta.json", params) is None:
+        (
+            pq_encode(assigned, books)
+            .drop("embedding")  # PQ's point: m bytes per row, not 4d
+            .repartition("cluster_id")
+            .write.mode("overwrite")
+            .partitionBy("cluster_id")
+            .parquet(out)
+        )
+        _publish_sidecar(out, "_ivfpq_meta.json", {"params": params})
+    return out, centroids, books
+
+
+@register("sql_routed_pq_filtered", _SQL_ROUTED_PQ_ORACLE)
+def q_sql_routed_pq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME filtered top-k SQL grammar served from the IVFPQ artifact
+    (plans.sql_router IVFPQ_TABLES — codes + cluster layout, no raw
+    vectors in the index): WHERE conjuncts restrict the encoded index
+    BEFORE the ADC kernel, centroid routing prunes rows, and the ORDER
+    BY is served from the lookup-table scores. Routed answers are
+    approximate by the PQ contract, so the driver check is witness-bound
+    booleans recomputed from RAW embeddings (the pq_recall_bound
+    pattern): ``filters_respected`` — every hit satisfies both WHERE
+    conjuncts; ``scores_monotone`` — hits are served in non-increasing
+    score order with the id tie-break; ``recall_ok`` — recall@10 vs the
+    exact filtered scan >= 0.5 (loose floor; observed means are far
+    higher, see tests/test_pq.py)."""
+    from vectordbfaiss_spark.operators.topk import score_topk_vectorized
+    from vectordbfaiss_spark.plans.sql_router import (
+        register_ivfpq_table,
+        route_topk_sql,
+    )
+
+    out, centroids, books = _ivfpq_artifact(spark, sf_dir)
+    register_ivfpq_table("emb_ivfpq", out, centroids, books)
+    sql = (
+        "SELECT * FROM emb_ivfpq WHERE label IN (1, 3, 5) AND vec_id >= 20 "
+        "ORDER BY "
+        f"cosine_similarity(embedding, array({_ROUTED_LITS})) DESC "
+        f"LIMIT {_ROUTED_PQ_K}"
+    )
+    hits = route_topk_sql(spark, sql, nprobe=8).localCheckpoint(eager=True)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    meta = emb.select("vec_id", "label")
+    checked = hits.join(F.broadcast(meta), "vec_id", "left").select(
+        (F.col("label").isin(1, 3, 5) & (F.col("vec_id") >= 20)).alias("flt_ok")
+    )
+    # the served ORDER is a collect-time property of a k-row result
+    # (k-bounded BY CONTRACT — LIMIT k upstream), so it is checked at the
+    # driver like every other bounded-by-contract collect in this engine
+    served = hits.collect()
+    scores_monotone = all(
+        (a.score, -a.vec_id) >= (b.score, -b.vec_id)
+        for a, b in zip(served, served[1:])
+    )
+    # exact filtered baseline from RAW embeddings, same query vector
+    qdf = spark.createDataFrame(
+        [(0, _routed_query_vec())], "query_id LONG, query_vec ARRAY<FLOAT>"
+    )
+    exact = score_topk_vectorized(
+        qdf,
+        emb.filter(F.col("label").isin(1, 3, 5) & (F.col("vec_id") >= 20)),
+        k=_ROUTED_PQ_K,
+    ).select("vec_id")
+    n_match = hits.join(exact, "vec_id", "left_semi").count()
+    return (
+        hits.agg(F.count("*").alias("n_hits"))
+        .crossJoin(
+            checked.agg(F.min("flt_ok").alias("filters_respected"))
+        )
+        .select(
+            "n_hits",
+            "filters_respected",
+            F.lit(scores_monotone).alias("scores_monotone"),
+            F.lit(n_match / _ROUTED_PQ_K >= 0.5).alias("recall_ok"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding drift report (distribution-shift monitoring between cohorts)
 # ---------------------------------------------------------------------------
@@ -625,6 +742,82 @@ def q_semdedup_witness_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("witness_id") < F.col("vec_id"))
         )
         .alias("witness_ok"),
+    )
+
+
+# K derived from corpus size (same contract constant as
+# knn_graph_blocked_scaled): mean cell population stays <= 64 as the
+# corpus grows, so per-cell Gram cost is flat — the knob semdedup_prune
+# pins small (k=8) for its test-replayable form.
+_SEMDEDUP_CELL_TARGET = 64
+
+_SEMDEDUP_SCALED_ORACLE = f"""
+SELECT count(*) AS n_vecs,
+       CAST(GREATEST(8, CEIL(count(*) / {_SEMDEDUP_CELL_TARGET}.0)) AS BIGINT)
+         AS n_clusters,
+       TRUE AS self_consistent,
+       TRUE AS witness_ok
+FROM embeddings
+"""
+
+
+@register("semdedup_prune_scaled", _SEMDEDUP_SCALED_ORACLE)
+def q_semdedup_prune_scaled(
+    spark: SparkSession, sf_dir: str, cell_target: int = _SEMDEDUP_CELL_TARGET
+) -> DataFrame:
+    """SemDeDup with the PRODUCTION grain contract executed:
+    ``n_clusters = max(8, ceil(N / 64))`` is computed from the corpus
+    size (the paper's own design point — 50k clusters for 134M
+    embeddings keeps the per-cluster Gram bounded), so the quadratic
+    per-cell scan stays flat as the corpus scales. Hash-checked
+    outputs: ``n_clusters`` (the oracle recomputes the formula from
+    count(*)), ``self_consistent`` (every verdict's keep flag agrees
+    with its own n_dup_smaller), and ``witness_ok`` (every removal's
+    recorded witness pair re-scored from RAW embeddings — no clustering
+    involved — must exceed the threshold and match the recorded score,
+    same legs as ``semdedup_witness_bound`` collapsed to corpus-level
+    booleans)."""
+    from vectordbfaiss_spark.functions.vector import cosine_similarity
+    from vectordbfaiss_spark.operators.semdedup import semdedup
+    from vectordbfaiss_spark.plans.ivf import corpus_fingerprint
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    n_clusters = max(8, -(-n // cell_target))
+    verdicts = semdedup(
+        emb,
+        n_clusters=n_clusters,
+        threshold=_SEMDEDUP_TAU,
+        corpus_key=corpus_fingerprint(f"{sf_dir}/embeddings.parquet"),
+    )
+    wa = emb.select(
+        F.col("vec_id").alias("witness_id"), F.col("embedding").alias("w_vec")
+    )
+    wb = emb.select("vec_id", F.col("embedding").alias("v_vec"))
+    j = (
+        verdicts.join(wa, "witness_id", "left")
+        .join(wb, "vec_id", "left")
+        .withColumn("re_sim", cosine_similarity(F.col("w_vec"), F.col("v_vec")))
+        .select(
+            (F.col("keep") == (F.col("n_dup_smaller") == 0)).alias("sc"),
+            F.when(F.col("keep"), F.lit(True))
+            .otherwise(
+                (F.col("re_sim") > F.lit(_SEMDEDUP_TAU))
+                & (F.abs(F.col("re_sim") - F.col("max_sim_smaller")) < F.lit(1e-5))
+                & (F.col("witness_id") < F.col("vec_id"))
+            )
+            .alias("wk"),
+        )
+    )
+    return j.agg(
+        F.count("*").alias("n_vecs"),
+        F.min("sc").alias("self_consistent"),
+        F.min("wk").alias("witness_ok"),
+    ).select(
+        "n_vecs",
+        F.lit(n_clusters).cast("long").alias("n_clusters"),
+        "self_consistent",
+        "witness_ok",
     )
 
 

@@ -98,6 +98,10 @@ _PRIORITY: tuple[str, ...] = (
     "snapshot_diff_report",
     "ranking_eval_metrics",
     # ---- round-6 additions (new this round; first driver rows) ----
+    "knn_graph_blocked_scaled",
+    "semdedup_prune_scaled",
+    "pipeline_scrub_dedup_pack",
+    "sql_routed_pq_filtered",
     # refresh block: oldest driver evidence (sampled only in round 1)
     "deterministic_sample_docs",
     "train_test_split_assign",
