@@ -64,3 +64,20 @@ def test_near_identical_vectors_share_a_cluster(spark):
     }
     assert out[1] == out[2] == out[3]
     assert out[10] == out[11]
+
+
+def test_witness_joins_never_broadcast_the_store(spark):
+    """The witness re-derivation joins verdicts against the FULL embedding
+    store — corpus-grain, so those joins must plan as shuffle-hash, never
+    broadcast (at syn100 the 51 MB store slid under the 64 MB threshold
+    and the broadcast build blew a 1g driver heap; caught round 6 by
+    tools/scaled_registry_probe.py)."""
+    from tests.conftest import SF_SMOKE
+    from vectordbfaiss_spark.queries.vector_search import (
+        q_semdedup_prune_scaled,
+        q_semdedup_witness_bound,
+    )
+
+    for fn in (q_semdedup_witness_bound, q_semdedup_prune_scaled):
+        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ShuffledHashJoin") >= 2, fn.__name__

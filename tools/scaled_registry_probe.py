@@ -37,7 +37,10 @@ def main() -> None:
     from vectordbfaiss_spark.session import get_spark
 
     dirs = sys.argv[1:] or [".scratch/syn1", ".scratch/syn10", ".scratch/syn100"]
-    spark = get_spark(app_name="scaled-registry-probe")
+    spark = get_spark(
+        app_name="scaled-registry-probe",
+        driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    )
     load0 = os.getloadavg()[0]
     print(f"load_avg_start={load0:.2f} contaminated={load0 > 1.0}")
 

@@ -721,8 +721,12 @@ def q_semdedup_witness_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vec_id"), F.col("embedding").alias("v_vec")
     )
     j = (
-        verdicts.join(wa, "witness_id", "left")
-        .join(wb, "vec_id", "left")
+        # wa/wb are the FULL embedding store (corpus-grain): shuffle-hash,
+        # never a broadcast — at syn100 the 51 MB store slid under the
+        # 64 MB threshold and the broadcast BUILD blew the driver heap
+        # (caught by tools/scaled_registry_probe.py, round 6)
+        verdicts.join(wa.hint("SHUFFLE_HASH"), "witness_id", "left")
+        .join(wb.hint("SHUFFLE_HASH"), "vec_id", "left")
         .withColumn(
             "re_sim", cosine_similarity(F.col("w_vec"), F.col("v_vec"))
         )
@@ -795,8 +799,10 @@ def q_semdedup_prune_scaled(
     )
     wb = emb.select("vec_id", F.col("embedding").alias("v_vec"))
     j = (
-        verdicts.join(wa, "witness_id", "left")
-        .join(wb, "vec_id", "left")
+        # corpus-grain store sides: shuffle-hash, never broadcast (same
+        # OOM class as semdedup_witness_bound — see comment there)
+        verdicts.join(wa.hint("SHUFFLE_HASH"), "witness_id", "left")
+        .join(wb.hint("SHUFFLE_HASH"), "vec_id", "left")
         .withColumn("re_sim", cosine_similarity(F.col("w_vec"), F.col("v_vec")))
         .select(
             (F.col("keep") == (F.col("n_dup_smaller") == 0)).alias("sc"),
