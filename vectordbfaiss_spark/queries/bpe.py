@@ -222,3 +222,121 @@ def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fertility"),
     )
+
+
+_PACK_BUDGET = 2048
+_PACK_SHARDS = 16
+
+
+def _bpe_pack_oracle(n_merges: int) -> str:
+    """Encode oracle's CTE chain extended with per-document token totals
+    and the shard-parallel packing window — the token-EXACT form of
+    `sequence_packing_bins` (which packs on whitespace counts)."""
+    from vectordbfaiss_spark.queries.curation import _sql_hash_bucket
+
+    enc = _bpe_encode_oracle(n_merges)
+    head = enc.split("\nSELECT word, freq, seq AS encoded")[0]
+    return (
+        head
+        + f""",
+docw AS (
+  SELECT doc_id, unnest(string_split_regex(rtrim(text), '\\s+')) AS word
+  FROM documents
+),
+dtok AS (
+  SELECT d.doc_id,
+         CAST(sum(len(string_split(w.seq, ' '))) AS BIGINT) AS n_tokens
+  FROM docw d JOIN w{n_merges} w ON d.word = w.word
+  GROUP BY 1
+),
+keyed AS (
+  SELECT doc_id, n_tokens, {_sql_hash_bucket('doc_id')} AS hkey FROM dtok
+),
+ordered AS (
+  SELECT doc_id, n_tokens, hkey % {_PACK_SHARDS} AS shard,
+         sum(n_tokens) OVER (PARTITION BY hkey % {_PACK_SHARDS}
+                             ORDER BY hkey, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM keyed
+),
+binned AS (
+  SELECT doc_id, n_tokens, shard, (cum - n_tokens) // {_PACK_BUDGET} AS bin_id
+  FROM ordered
+)
+SELECT CAST(shard AS BIGINT) AS shard, CAST(bin_id AS BIGINT) AS bin_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_bpe_tokens,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM binned GROUP BY shard, bin_id
+"""
+    )
+
+
+@register("pipeline_bpe_pack", _bpe_pack_oracle(_N_MERGES))
+def q_pipeline_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-exact sequence packing, composed end to end: train the
+    5-rule BPE merge table -> encode the word dictionary with it -> join
+    each document's words against the encoded dictionary for its TRUE
+    token count -> shard-parallel budget packing on those counts.
+    `sequence_packing_bins` packs on whitespace counts (the cheap proxy);
+    a real pre-training pipeline packs on tokenizer output, because bin
+    overflow is measured in model tokens — this query is that form, with
+    the DuckDB oracle replaying training, encoding, the per-doc totals
+    AND the packing cumsum.
+
+    Scale shape: training state is |vocab|-grain (one agg collapses the
+    corpus); the merge table is the collected tokenizer artifact (bounded
+    by merge count, like any model checkpoint); the doc-token join is
+    word-keyed (vocab-grain dictionary side, shuffle-hash — an open
+    vocabulary is NOT broadcastable at 100 TB); packing windows hold
+    1/16 of the corpus each. No stage is corpus-quadratic and the only
+    corpus-grain shuffles are the explode-agg and the packing exchange.
+    """
+    from pyspark.sql import Window as W, functions as F
+
+    from vectordbfaiss_spark.operators.bpe import (
+        apply_bpe_merges,
+        train_bpe_merges,
+        word_freq_dict,
+    )
+    from vectordbfaiss_spark.queries.curation import _hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["pa"], r["pb"])
+        for r in train_bpe_merges(docs, _N_MERGES).orderBy("iteration").collect()
+    ]
+    dict_tok = apply_bpe_merges(word_freq_dict(docs), merges).select(
+        "word", F.size(F.split(F.col("seq"), " ")).cast("long").alias("wtok")
+    )
+    docw = docs.select(
+        "doc_id", F.explode(F.split(F.rtrim("text"), r"\s+")).alias("word")
+    )
+    dtok = (
+        docw.join(dict_tok.hint("SHUFFLE_HASH"), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("wtok").alias("n_tokens"))
+    )
+    keyed = dtok.select(
+        "doc_id", "n_tokens", _hash_bucket(F.col("doc_id")).alias("hkey")
+    ).withColumn("shard", F.col("hkey") % _PACK_SHARDS)
+    pw = (
+        W.partitionBy("shard")
+        .orderBy("hkey", "doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    binned = keyed.select(
+        "doc_id",
+        "n_tokens",
+        "shard",
+        F.floor(
+            (F.sum("n_tokens").over(pw) - F.col("n_tokens")) / _PACK_BUDGET
+        ).alias("bin_id"),
+    )
+    return binned.groupBy(
+        F.col("shard").cast("long").alias("shard"), "bin_id"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_bpe_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
