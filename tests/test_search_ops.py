@@ -556,3 +556,35 @@ def test_fingerprint_attribution_recovers_the_source(spark):
         assert prs[0]["doc_id"] == probe_id and prs[0]["self_match"]
         counts = [r["n_shared"] for r in prs]
         assert counts == sorted(counts, reverse=True)
+
+
+def test_contrastive_triplets_label_semantics(spark):
+    """Per anchor: the positive must share the anchor's label, the
+    negative must not, both must differ from the anchor itself, and the
+    margin equals pos_sim - neg_sim at 6dp."""
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_SMOKE
+    from vectordbfaiss_spark.queries.vector_search import (
+        q_contrastive_triplet_mining,
+    )
+    from vectordbfaiss_spark.session import load_table
+
+    out = q_contrastive_triplet_mining(spark, SF_SMOKE)
+    lab = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "label")
+    a = lab.withColumnRenamed("vec_id", "anchor_id").withColumnRenamed(
+        "label", "al"
+    )
+    p = lab.withColumnRenamed("vec_id", "positive_id").withColumnRenamed(
+        "label", "pl"
+    )
+    n = lab.withColumnRenamed("vec_id", "negative_id").withColumnRenamed(
+        "label", "nl"
+    )
+    j = out.join(a, "anchor_id").join(p, "positive_id").join(n, "negative_id")
+    rows = j.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.pl == r.al and r.nl != r.al
+        assert r.positive_id != r.anchor_id and r.negative_id != r.anchor_id
+        assert abs(r.margin - round(r.pos_sim - r.neg_sim, 6)) < 1e-9

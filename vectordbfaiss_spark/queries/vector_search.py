@@ -896,6 +896,93 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRIPLET_ORACLE = """
+WITH a AS (
+  SELECT vec_id AS anchor_id, label AS a_label, embedding::DOUBLE[] AS av
+  FROM embeddings WHERE vec_id < 20
+), c AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), p AS (
+  SELECT anchor_id, c.vec_id, (c.label = a.a_label) AS same,
+         round(list_dot_product(av, v)
+               / (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(v, v))),
+               6) AS sim
+  FROM a JOIN c ON c.vec_id <> a.anchor_id
+), r AS (
+  SELECT anchor_id, vec_id, same, sim,
+         row_number() OVER (PARTITION BY anchor_id, same
+                            ORDER BY sim DESC, vec_id) AS rnk
+  FROM p
+), t AS (SELECT * FROM r WHERE rnk = 1)
+SELECT anchor_id,
+       CAST(max(CASE WHEN same THEN vec_id END) AS BIGINT) AS positive_id,
+       max(CASE WHEN same THEN sim END) AS pos_sim,
+       CAST(max(CASE WHEN NOT same THEN vec_id END) AS BIGINT) AS negative_id,
+       max(CASE WHEN NOT same THEN sim END) AS neg_sim,
+       round(max(CASE WHEN same THEN sim END)
+             - max(CASE WHEN NOT same THEN sim END), 6) AS margin
+FROM t GROUP BY anchor_id
+HAVING positive_id IS NOT NULL AND negative_id IS NOT NULL
+"""
+
+
+@register("contrastive_triplet_mining", _TRIPLET_ORACLE)
+def q_contrastive_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, negative) TRIPLET mining for contrastive
+    training: per anchor, the most-similar SAME-label vector (hardest
+    positive is the easiest to verify; any positive-selection rule slots
+    in) and the most-similar DIFFERENT-label vector (the hard negative),
+    plus the margin between them — the quantity a triplet loss actually
+    optimizes, and the standard dataset-construction job upstream of
+    SimCLR/DPR-style training. `hard_negative_mining` is the
+    negatives-only half; this composes both sides in one corpus pass.
+
+    Scale shape: anchors broadcast (the bounded side by contract), the
+    corpus streams ONCE — one scored pass with a (anchor, same-label?)
+    partitioned rank window (rank filter on the raw rank), then a
+    2-rows-per-anchor conditional pivot. No second scan for positives."""
+    from pyspark.sql import Window as W2
+
+    from vectordbfaiss_spark.functions.vector import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("av"),
+    )
+    scored = (
+        load_table(spark, sf_dir, "embeddings")
+        .join(F.broadcast(anchors), F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "vec_id",
+            (F.col("label") == F.col("a_label")).alias("same"),
+            F.round(cosine_similarity("av", "embedding"), 6).alias("sim"),
+        )
+    )
+    w = W2.partitionBy("anchor_id", "same").orderBy(F.desc("sim"), "vec_id")
+    top = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") == 1
+    )
+    agg = top.groupBy("anchor_id").agg(
+        F.max(F.when(F.col("same"), F.col("vec_id"))).alias("positive_id"),
+        F.max(F.when(F.col("same"), F.col("sim"))).alias("pos_sim"),
+        F.max(F.when(~F.col("same"), F.col("vec_id"))).alias("negative_id"),
+        F.max(F.when(~F.col("same"), F.col("sim"))).alias("neg_sim"),
+    )
+    return agg.filter(
+        F.col("positive_id").isNotNull() & F.col("negative_id").isNotNull()
+    ).select(
+        "anchor_id",
+        "positive_id",
+        "pos_sim",
+        "negative_id",
+        "neg_sim",
+        F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Binary quantization: sign-bit pack -> Hamming prefilter -> exact re-rank
 # ---------------------------------------------------------------------------

@@ -103,6 +103,7 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_scrub_dedup_pack",
     "sql_routed_pq_filtered",
     "pipeline_bpe_pack",
+    "contrastive_triplet_mining",
     # refresh block: oldest driver evidence (sampled only in round 1)
     "deterministic_sample_docs",
     "train_test_split_assign",
