@@ -44,7 +44,11 @@ _SCRIPT = textwrap.dedent(
                  "udtf_chunk_spans", "snapshot_pinned_read_docs",
                  "ingest_index_build", "sql_routed_topk", "mmr_rerank_topk",
                  "range_window_last_hour", "text_repetition_filter",
-                 "crossdoc_span_dedup"]:
+                 "crossdoc_span_dedup",
+                 # round-6 additions (first driver rows pending)
+                 "knn_graph_blocked_scaled", "semdedup_prune_scaled",
+                 "pipeline_scrub_dedup_pack", "sql_routed_pq_filtered",
+                 "pipeline_bpe_pack", "contrastive_triplet_mining"]:
         mine = mod.queries()[name](spark, sf).toPandas()
         orc = con.sql(mod.oracle_sql()[name]).df()
         assert len(mine) == len(orc), (name, len(mine), len(orc))
