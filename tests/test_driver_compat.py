@@ -48,7 +48,10 @@ _SCRIPT = textwrap.dedent(
                  # round-6 additions (first driver rows pending)
                  "knn_graph_blocked_scaled", "semdedup_prune_scaled",
                  "pipeline_scrub_dedup_pack", "sql_routed_pq_filtered",
-                 "pipeline_bpe_pack", "contrastive_triplet_mining"]:
+                 "pipeline_bpe_pack", "contrastive_triplet_mining",
+                 "pareto_frontier_docs", "frequent_pairs_market_basket",
+                 "benford_first_digit_audit", "acf_daily_counts",
+                 "kcore_mutual_knn"]:
         mine = mod.queries()[name](spark, sf).toPandas()
         orc = con.sql(mod.oracle_sql()[name]).df()
         assert len(mine) == len(orc), (name, len(mine), len(orc))

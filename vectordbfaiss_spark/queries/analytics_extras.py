@@ -1,0 +1,416 @@
+"""Corpus analytics beyond the reference's query surface: Pareto-frontier
+selection, market-basket co-occurrence, first-digit (Benford) auditing,
+autocorrelation of daily activity, and k-core extraction over the
+mutual-kNN graph.
+
+Why these belong in a 100 TB training-data engine:
+
+- a PARETO FRONTIER over (length, lexical diversity) is how curation
+  picks documents that are not dominated on any quality axis — the
+  multi-objective generalization of the single-score threshold in
+  ``text_quality_score``;
+- FREQUENT PAIRS (apriori-pruned co-occurrence with support/confidence/
+  lift) is the classic basket analysis any relational engine ships, and
+  the pruning discipline (item-support filter BEFORE the pair self-join)
+  is exactly what keeps the pair explosion bounded at scale;
+- a BENFORD first-digit audit is a cheap data-quality screen for
+  fabricated or truncated numeric columns (ops run it before trusting a
+  new source's amounts);
+- the sample AUTOCORRELATION of daily event counts is the seasonality
+  probe behind trend models (``daily_trend_ols``'s diagnostic sibling);
+- K-CORE of the mutual-kNN graph isolates the densely-connected
+  embedding neighborhoods (topic cores) from chain-like noise —
+  the degree-robust complement of ``mutual_knn_components``.
+
+The reference itself has none of these (its query surface is
+server.js:1-357); they follow the engine's registry conventions —
+identical aliases and round(x, 6) on both engines — so the DuckDB
+oracles replay every number digit for digit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from vectordbfaiss_spark.registry import register
+from vectordbfaiss_spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline) over document quality axes
+# ---------------------------------------------------------------------------
+
+_SKYLINE_BUCKETS = 16
+
+_PARETO_ORACLE = r"""
+WITH m AS (
+  SELECT doc_id, n_chars,
+         round(len(list_distinct(string_split_regex(rtrim(text), '\s+'))) * 1.0
+               / len(string_split_regex(rtrim(text), '\s+')), 6) AS ttr
+  FROM documents
+)
+SELECT a.doc_id, a.n_chars, a.ttr
+FROM m a
+WHERE NOT EXISTS (
+  SELECT 1 FROM m b
+  WHERE b.n_chars >= a.n_chars AND b.ttr >= a.ttr
+    AND (b.n_chars > a.n_chars OR b.ttr > a.ttr)
+)
+"""
+
+
+@register("pareto_frontier_docs", _PARETO_ORACLE)
+def q_pareto_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline of documents maximizing BOTH length (n_chars) and type-token
+    ratio — the docs no other doc dominates on every axis.
+
+    Two-phase distributed skyline (the standard partition-prune-merge
+    plan): phase 1 computes a LOCAL skyline inside each of
+    ``_SKYLINE_BUCKETS`` hash buckets — valid because skyline(S) is a
+    subset of the union of per-partition skylines for ANY partitioning —
+    using a bucket-partitioned range-frame window (max ttr over rows with
+    strictly larger n_chars; O(n log n) per bucket, no pair join). Phase 2
+    resolves the tiny survivor set exactly with a dominance anti-join —
+    a BroadcastNestedLoopJoin bounded by (local-skyline size)^2, which is
+    frontier-sized, not corpus-sized: the corpus-scale work is all in the
+    partitioned phase 1. The oracle states dominance declaratively
+    (NOT EXISTS) — an independent formulation of the same fixed point."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.rtrim(F.col("text")), r"\s+")
+    m = docs.select(
+        "doc_id",
+        "n_chars",
+        F.round(F.size(F.array_distinct(words)) / F.size(words), 6).alias("ttr"),
+    ).withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(_SKYLINE_BUCKETS)))
+    w_gt = (
+        W.partitionBy("bucket")
+        .orderBy("n_chars")
+        .rangeBetween(1, W.unboundedFollowing)
+    )
+    w_eq = W.partitionBy("bucket", "n_chars")
+    local = (
+        m.withColumn("maxy_gt", F.max("ttr").over(w_gt))
+        .withColumn("maxy_eq", F.max("ttr").over(w_eq))
+        .filter(
+            (F.col("maxy_gt").isNull() | (F.col("ttr") > F.col("maxy_gt")))
+            & (F.col("ttr") == F.col("maxy_eq"))
+        )
+        .select("doc_id", "n_chars", "ttr")
+    )
+    a, b = local.alias("a"), local.alias("b")
+    dominated = (
+        (F.col("b.n_chars") >= F.col("a.n_chars"))
+        & (F.col("b.ttr") >= F.col("a.ttr"))
+        & ((F.col("b.n_chars") > F.col("a.n_chars")) | (F.col("b.ttr") > F.col("a.ttr")))
+    )
+    return a.join(b, dominated, "left_anti").select("doc_id", "n_chars", "ttr")
+
+
+# ---------------------------------------------------------------------------
+# Market-basket frequent pairs (apriori-pruned co-occurrence)
+# ---------------------------------------------------------------------------
+
+_PAIR_MIN_SUPPORT = 3  # baskets; also the item-level apriori prune bound
+_PAIR_TOP = 50
+
+_BASKET_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), nb AS (SELECT count(DISTINCT ok) AS n_baskets FROM items),
+supp AS (
+  SELECT pk, count(*) AS supp FROM items GROUP BY pk
+  HAVING count(*) >= {_PAIR_MIN_SUPPORT}
+), fitems AS (
+  SELECT i.ok, i.pk, s.supp FROM items i JOIN supp s ON i.pk = s.pk
+), pairs AS (
+  SELECT a.pk AS p1, b.pk AS p2, any_value(a.supp) AS supp1,
+         any_value(b.supp) AS supp2, count(*) AS pair_count
+  FROM fitems a JOIN fitems b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY a.pk, b.pk
+  HAVING count(*) >= {_PAIR_MIN_SUPPORT}
+)
+SELECT p1, p2, CAST(pair_count AS BIGINT) AS pair_count,
+       round(pair_count * 1.0 / n_baskets, 6) AS support,
+       round(pair_count * 1.0 / supp1, 6) AS conf_p1_p2,
+       round(pair_count * 1.0 / supp2, 6) AS conf_p2_p1,
+       round(pair_count * 1.0 * n_baskets / (supp1 * supp2), 6) AS lift
+FROM pairs CROSS JOIN nb
+ORDER BY pair_count DESC, lift DESC, p1, p2
+LIMIT {_PAIR_TOP}
+"""
+
+
+@register("frequent_pairs_market_basket", _BASKET_ORACLE)
+def q_frequent_pairs_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part pairs across order baskets with support, directional
+    confidence, and lift — top-{50} under a deterministic total order.
+
+    The scale discipline is apriori pruning: an item in fewer than
+    ``_PAIR_MIN_SUPPORT`` baskets cannot appear in a qualifying pair, so
+    the per-item support filter runs BEFORE the basket self-join and the
+    pair generation is bounded by the frequent-item basket sizes (at
+    100 TB you additionally cap basket cardinality, like the LSH bucket
+    guards). The self-join shuffles once on the basket key; the item
+    support table is dimension-sized, so AQE broadcasts it; the 1-row
+    basket count rides the whitelisted scalar crossJoin idiom; the final
+    top-k is a TakeOrderedAndProject with a full tie-break (count desc,
+    lift desc, p1, p2), never a global sort of all pairs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    nb = items.agg(F.countDistinct("ok").alias("n_baskets"))
+    supp = (
+        items.groupBy("pk")
+        .agg(F.count("*").alias("supp"))
+        .filter(F.col("supp") >= _PAIR_MIN_SUPPORT)
+    )
+    fitems = items.join(supp, "pk")
+    a = fitems.select(F.col("ok"), F.col("pk").alias("p1"), F.col("supp").alias("supp1"))
+    b = fitems.select(F.col("ok"), F.col("pk").alias("p2"), F.col("supp").alias("supp2"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(
+            F.first("supp1").alias("supp1"),
+            F.first("supp2").alias("supp2"),
+            F.count("*").alias("pair_count"),
+        )
+        .filter(F.col("pair_count") >= _PAIR_MIN_SUPPORT)
+    )
+    return (
+        pairs.crossJoin(F.broadcast(nb))
+        .select(
+            "p1",
+            "p2",
+            F.col("pair_count").cast("long").alias("pair_count"),
+            F.round(F.col("pair_count") / F.col("n_baskets"), 6).alias("support"),
+            F.round(F.col("pair_count") / F.col("supp1"), 6).alias("conf_p1_p2"),
+            F.round(F.col("pair_count") / F.col("supp2"), 6).alias("conf_p2_p1"),
+            F.round(
+                F.col("pair_count") * F.col("n_baskets") / (F.col("supp1") * F.col("supp2")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("pair_count"), F.desc("lift"), "p1", "p2")
+        .limit(_PAIR_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+_BENFORD_ORACLE = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INTEGER) AS first_digit
+  FROM lineitem WHERE l_extendedprice > 0
+), obs AS (
+  SELECT first_digit, count(*) AS n FROM digits GROUP BY first_digit
+), tot AS (SELECT sum(n) AS total FROM obs),
+expected AS (
+  SELECT first_digit, n, total,
+         round(log10(1.0 + 1.0 / first_digit), 6) AS expected_pct
+  FROM obs CROSS JOIN tot
+)
+SELECT first_digit, CAST(n AS BIGINT) AS n,
+       round(n * 1.0 / total, 6) AS observed_pct,
+       expected_pct,
+       round((n - total * expected_pct) * (n - total * expected_pct)
+             / (total * expected_pct), 6) AS chi2_term
+FROM expected
+"""
+
+
+@register("benford_first_digit_audit", _BENFORD_ORACLE)
+def q_benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of lineitem prices vs Benford's
+    law, with per-digit chi-square contributions — the data-quality screen
+    for fabricated/truncated numeric sources.
+
+    Digit extraction goes through exact integer cents (round(price*100)
+    cast to long, first character of the integer's decimal string) rather
+    than floor(log10): prices carry 2 decimals so the cents value is
+    within 1e-9 of an integer on both engines, whereas log10 at power-of-
+    ten boundaries is one ulp from flipping floor(). One map-side-combined
+    9-group aggregate plus the scalar-total crossJoin; the expected
+    percentages are rounded BEFORE the chi-square terms so both engines
+    feed identical inputs into the division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    obs = (
+        li.filter(F.col("l_extendedprice") > 0)
+        .select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("first_digit"))
+        .groupBy("first_digit")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = obs.agg(F.sum("n").alias("total"))
+    e = obs.crossJoin(F.broadcast(tot)).withColumn(
+        "expected_pct", F.round(F.log10(1.0 + 1.0 / F.col("first_digit")), 6)
+    )
+    return e.select(
+        "first_digit",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.col("total"), 6).alias("observed_pct"),
+        "expected_pct",
+        F.round(
+            (F.col("n") - F.col("total") * F.col("expected_pct"))
+            * (F.col("n") - F.col("total") * F.col("expected_pct"))
+            / (F.col("total") * F.col("expected_pct")),
+            6,
+        ).alias("chi2_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation of daily event counts
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+_ACF_ORACLE = f"""
+WITH daily AS (
+  SELECT ts::DATE AS day, count(*) AS n FROM events GROUP BY 1
+), bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+spine AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds
+), series AS (
+  SELECT s.day, coalesce(d.n, 0) AS n FROM spine s LEFT JOIN daily d ON s.day = d.day
+), st AS (SELECT avg(n) AS m FROM series),
+den AS (SELECT sum((n - m) * (n - m)) AS den, any_value(m) AS m
+        FROM series CROSS JOIN st),
+lags AS (SELECT CAST(unnest(generate_series(1, {_ACF_MAX_LAG})) AS INTEGER) AS lag)
+SELECT CAST(l.lag AS INTEGER) AS lag,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(sum((a.n - d.m) * (b.n - d.m)) / any_value(d.den), 6) AS acf
+FROM series a
+CROSS JOIN lags l
+JOIN series b ON b.day = a.day + l.lag
+CROSS JOIN den d
+GROUP BY l.lag
+"""
+
+
+@register("acf_daily_counts", _ACF_ORACLE)
+def q_acf_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the gap-filled daily event-count series at
+    lags 1..{7} — the seasonality diagnostic behind trend models.
+
+    The series is CALENDAR-sized (days between min and max event), not
+    corpus-sized, so the scale-sensitive stage is only the daily
+    aggregate (map-side combinable); everything after operates on the
+    tiny series: the date spine comes from a 1-row bounds aggregate via
+    sequence(), the mean/denominator are scalar crossJoins, and each lag
+    is an equi-join of the series against itself shifted by date_add —
+    no global window, no per-lag rescan of the raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count("*").alias("n"))
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    series = (
+        spine.join(daily, "day", "left")
+        .select("day", F.coalesce("n", F.lit(0)).alias("n"))
+        .localCheckpoint(eager=True)  # calendar-sized; feeds 4 subtrees
+    )
+    st = series.agg(F.avg("n").alias("m"))
+    den = (
+        series.crossJoin(F.broadcast(st))
+        .agg(
+            F.sum((F.col("n") - F.col("m")) * (F.col("n") - F.col("m"))).alias("den"),
+            F.first("m").alias("m"),
+        )
+    )
+    lags = (
+        ev.sparkSession.range(1, _ACF_MAX_LAG + 1)
+        .select(F.col("id").cast("int").alias("lag"))
+    )
+    shifted = series.crossJoin(F.broadcast(lags)).select(
+        F.date_add("day", F.col("lag")).alias("jday"), F.col("n").alias("x"), "lag"
+    )
+    pairs = shifted.join(
+        series.select(F.col("day").alias("jday"), F.col("n").alias("y")), "jday"
+    )
+    return (
+        pairs.crossJoin(F.broadcast(den))
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(
+                F.sum((F.col("x") - F.col("m")) * (F.col("y") - F.col("m")))
+                / F.first("den"),
+                6,
+            ).alias("acf"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-core of the mutual-kNN graph
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 2
+_KCORE_ORACLE_ROUNDS = 24  # >= max simultaneous-peel depth (measured 12 at sf0.1)
+
+
+def _kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ORACLE_ROUNDS) -> str:
+    """Unrolled simultaneous-peel SQL: round r keeps nodes whose degree in
+    the round-(r-1) subgraph is >= k. The round count is a FIXED POINT
+    bound, not a semantic knob — extra rounds are identity, and the Spark
+    kernel raises if any component's true peel depth exceeds it
+    (operators/graph.py k_core max_peel_rounds), so the two formulations
+    can never silently diverge."""
+    from vectordbfaiss_spark.queries.embedding_analysis import _KNN_CTES
+
+    parts = [
+        f"WITH {_KNN_CTES},",
+        "mut AS MATERIALIZED (SELECT a.src, a.dst FROM knn a"
+        " JOIN knn b ON a.src = b.dst AND a.dst = b.src WHERE a.src < a.dst),",
+        "e0 AS MATERIALIZED (SELECT src, dst FROM mut UNION ALL SELECT dst, src FROM mut)",
+    ]
+    # AS MATERIALIZED is load-bearing: each round references the previous
+    # CTE three times, and DuckDB's default inlining would blow the plan
+    # up 3^rounds (observed as fd exhaustion re-opening the parquet).
+    for r in range(1, rounds + 1):
+        parts.append(
+            f", n{r} AS MATERIALIZED (SELECT src AS id FROM e{r - 1}"
+            f" GROUP BY src HAVING count(*) >= {k})"
+        )
+        parts.append(
+            f", e{r} AS MATERIALIZED (SELECT s.src, s.dst FROM e{r - 1} s"
+            f" JOIN n{r} a ON s.src = a.id JOIN n{r} b ON s.dst = b.id)"
+        )
+    parts.append(
+        f" SELECT src AS vec_id, CAST(count(*) AS BIGINT) AS core_degree"
+        f" FROM e{rounds} GROUP BY src"
+    )
+    return "\n".join(parts)
+
+
+@register("kcore_mutual_knn", _kcore_oracle())
+def q_kcore_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{2}-core of the mutual-kNN graph: the densely-embedded neighborhoods
+    that survive when every member must keep >= 2 mutual neighbors —
+    chain-like bridges and satellites peel away, which plain connected
+    components (mutual_knn_components) cannot distinguish.
+
+    Global iterative peeling is diameter-shaped (measured 12 simultaneous
+    rounds at sf0.1 — the round-5 audit's convergence trap), so the Spark
+    plan gets its parallelism from LOCALITY instead: star-contraction
+    components first (O(log^2 n) rounds independent of diameter), then one
+    exact per-component peel inside applyInPandas — linear per-task work,
+    embarrassingly parallel across components, with explicit size/depth
+    guards that raise rather than degrade (operators/graph.py:k_core).
+    Reads the published kNN-edge artifact (build-once, O(N*k) rows)."""
+    from vectordbfaiss_spark.operators.graph import k_core
+    from vectordbfaiss_spark.queries.embedding_analysis import knn_edges_published
+
+    edges = knn_edges_published(spark, sf_dir).select("src", "dst")
+    edges = edges.localCheckpoint(eager=True)
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = edges.join(rev, ["src", "dst"], "left_semi").filter(
+        F.col("src") < F.col("dst")
+    )
+    core = k_core(mutual, k=_KCORE_K, max_peel_rounds=_KCORE_ORACLE_ROUNDS)
+    return core.select(F.col("id").alias("vec_id"), "core_degree")

@@ -104,6 +104,11 @@ _PRIORITY: tuple[str, ...] = (
     "sql_routed_pq_filtered",
     "pipeline_bpe_pack",
     "contrastive_triplet_mining",
+    "pareto_frontier_docs",
+    "frequent_pairs_market_basket",
+    "benford_first_digit_audit",
+    "acf_daily_counts",
+    "kcore_mutual_knn",
     # refresh block: oldest driver evidence (sampled only in round 1)
     "deterministic_sample_docs",
     "train_test_split_assign",
@@ -137,6 +142,7 @@ def _load() -> None:
     _loaded = True
     # import for side effect: each module registers its queries
     from vectordbfaiss_spark.queries import (  # noqa: F401
+        analytics_extras,
         bpe,
         curation,
         dedup,
