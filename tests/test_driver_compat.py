@@ -51,7 +51,10 @@ _SCRIPT = textwrap.dedent(
                  "pipeline_bpe_pack", "contrastive_triplet_mining",
                  "pareto_frontier_docs", "frequent_pairs_market_basket",
                  "benford_first_digit_audit", "acf_daily_counts",
-                 "kcore_mutual_knn"]:
+                 "kcore_mutual_knn", "graph_ann_recall_bound",
+                 "semantic_decontamination", "theilsen_daily_trend",
+                 "weekday_seasonality_anomalies", "k_anonymity_audit",
+                 "sql_routed_score_projection"]:
         mine = mod.queries()[name](spark, sf).toPandas()
         orc = con.sql(mod.oracle_sql()[name]).df()
         assert len(mine) == len(orc), (name, len(mine), len(orc))

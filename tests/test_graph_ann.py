@@ -1,0 +1,101 @@
+"""Graph-ANN beam search semantics: exhaustive-budget equivalence to the
+exact scan, visited-set bounds, and entry-point determinism. Registry
+oracle parity for graph_ann_recall_bound is covered by
+tests/test_registry_oracle.py."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vectordbfaiss_spark.operators.graph_ann import graph_beam_search
+
+
+def _toy_corpus(spark, n=40, dim=8, seed=3):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(4, dim))
+    rows = []
+    for i in range(n):
+        v = centers[i % 4] + 0.15 * rng.normal(size=dim)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _knn_edges_df(spark, emb_df, k):
+    pdf = emb_df.toPandas()
+    X = np.stack(pdf.embedding.to_numpy())
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    np.fill_diagonal(S, -2)
+    ids = pdf.vec_id.to_numpy()
+    rows = []
+    for i in range(len(ids)):
+        for j in np.argsort(-S[i])[:k]:
+            rows.append((int(ids[i]), int(ids[j])))
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_beam_search_with_exhaustive_budget_matches_exact(spark):
+    from vectordbfaiss_spark.operators.topk import score_topk_vectorized
+
+    emb = _toy_corpus(spark)
+    edges = _knn_edges_df(spark, emb, k=6)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    # budget big enough to visit the whole 40-node corpus: result must
+    # EQUAL the exact scan, not just approximate it
+    visited = graph_beam_search(queries, edges, emb, beam=40, rounds=12, n_entries=8)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), "vec_id")
+    approx = (
+        visited.filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "vec_id")
+    )
+    exact = score_topk_vectorized(queries, emb, k=5, exclude_self=True).select(
+        "query_id", "vec_id"
+    )
+    got = {(r.query_id, r.vec_id) for r in approx.collect()}
+    want = {(r.query_id, r.vec_id) for r in exact.collect()}
+    assert got == want
+
+
+def test_beam_search_visited_is_query_bounded(spark):
+    emb = _toy_corpus(spark)
+    edges = _knn_edges_df(spark, emb, k=4)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    one_round = graph_beam_search(queries, edges, emb, beam=2, rounds=1, n_entries=3)
+    per_q = one_round.groupBy("query_id").count().collect()
+    # after 1 round: entries + at most beam * out-degree new candidates
+    assert all(r["count"] <= 3 + 2 * 4 for r in per_q)
+    assert {r.query_id for r in per_q} == {0, 1, 2}
+
+
+def test_beam_search_scores_are_rounded_cosines(spark):
+    emb = _toy_corpus(spark)
+    edges = _knn_edges_df(spark, emb, k=4)
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    visited = graph_beam_search(queries, edges, emb, beam=8, rounds=3, n_entries=4)
+    row = visited.filter(F.col("vec_id") == 0).collect()
+    if row:  # self reached: cosine with itself must be exactly 1.0
+        assert row[0].score == pytest.approx(1.0, abs=1e-6)
+    assert visited.filter(F.col("score") > 1.000001).count() == 0
+
+
+def test_graph_ann_artifact_uses_own_path(spark, tmp_path):
+    # the k=8 search graph must not clobber the k=3 analytics artifact:
+    # the helper derives a k-specific path
+    import inspect
+
+    from vectordbfaiss_spark.queries import embedding_analysis as ea
+
+    src = inspect.getsource(ea._graph_ann_edges)
+    assert "knn_edges{_GRAPH_ANN_K_EDGES}" in src or "knn_edges8" in src

@@ -266,3 +266,54 @@ def test_pq_routed_filters_apply_before_scoring(spark, tmp_path):
     assert len(got) == 5
     for r in got:
         assert r.label in (1, 2) and r.vec_id >= 100
+
+
+def test_score_projection_routes_with_alias(spark, tmp_path):
+    name = _ivf(spark, tmp_path, "t_router_alias")
+    sql = (
+        f"SELECT vec_id, cosine_similarity(embedding, array({_LITS})) AS sim "
+        f"FROM {name} ORDER BY "
+        f"cosine_similarity(embedding, array({_LITS})) DESC LIMIT 10"
+    )
+    routed = route_topk_sql(spark, sql, nprobe=4)
+    assert routed.columns == ["vec_id", "sim"]
+    got = routed.collect()
+
+    ensure_sql_functions(spark)
+    spark.read.parquet(IVF_TABLES[name].path).createOrReplaceTempView("t_alias_exact")
+    exact = spark.sql(
+        f"SELECT vec_id, cosine_similarity(embedding, array({_LITS})) AS sim "
+        "FROM t_alias_exact ORDER BY sim DESC, vec_id LIMIT 10"
+    ).collect()
+    assert [r.vec_id for r in got] == [r.vec_id for r in exact]
+    for r, e in zip(got, exact):
+        assert abs(r.sim - e.sim) < 1e-5
+
+
+def test_score_projection_with_different_vector_falls_back(spark, tmp_path):
+    name = _ivf(spark, tmp_path, "t_router_alias_fb")
+    other = ", ".join(repr(x) for x in reversed(_QV))
+    # projected cosine uses a DIFFERENT literal vector than the ORDER BY:
+    # not the ranking expression, so it must run verbatim via spark.sql
+    sql = (
+        f"SELECT vec_id, cosine_similarity(embedding, array({other})) AS sim "
+        f"FROM {name} ORDER BY "
+        f"cosine_similarity(embedding, array({_LITS})) DESC LIMIT 3"
+    )
+    ensure_sql_functions(spark)
+    spark.read.parquet(IVF_TABLES[name].path).createOrReplaceTempView(name)
+    out = route_topk_sql(spark, sql)
+    assert out.count() == 3  # verbatim execution, not the routed plan
+
+
+def test_score_projection_whitespace_insensitive_vector_match(spark, tmp_path):
+    name = _ivf(spark, tmp_path, "t_router_alias_ws")
+    spaced = " , ".join(repr(x) for x in _QV)
+    sql = (
+        f"SELECT vec_id, cosine_similarity(embedding, array({spaced})) AS s2 "
+        f"FROM {name} ORDER BY "
+        f"cosine_similarity(embedding, array({_LITS})) DESC LIMIT 5"
+    )
+    routed = route_topk_sql(spark, sql, nprobe=4)
+    assert routed.columns == ["vec_id", "s2"]
+    assert routed.count() == 5

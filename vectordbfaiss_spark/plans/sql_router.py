@@ -6,11 +6,18 @@ PySpark cannot inject a Catalyst strategy, so the router works at the SQL
 string level with a deliberately tight, documented grammar:
 
     SELECT * | <id_col>
+         [, cosine_similarity(<vec_col>, array(<floats>)) AS <alias>]
     FROM <table>
     [WHERE <pred> [AND <pred>]*]          -- pred: <col> {=,!=,<>,<,<=,>,>=} <literal>
                                           --     | <col> IN (<literal>, ...)
     ORDER BY cosine_similarity(<vec_col>, array(<float literals>)) DESC
     LIMIT <k>
+
+The optional score projection is routable only when the projected
+expression is LITERALLY the ranking expression (same column, same vector
+literals, whitespace-insensitive) and the first projected item is the id
+column; the routed output then carries the score under the requested
+alias. Any other projection pair runs verbatim.
 
 The optional WHERE is the filtered-ANN form — the conjunctive predicate
 shapes real metadata filters take (equality, comparisons, IN-lists, ANDed
@@ -128,7 +135,9 @@ def ensure_sql_functions(spark: SparkSession) -> None:
 
 
 _PATTERN = re.compile(
-    r"""^\s*SELECT\s+(?P<proj>\*|[A-Za-z_]\w*)\s+
+    r"""^\s*SELECT\s+(?P<proj>\*|[A-Za-z_]\w*)
+        (?:\s*,\s*cosine_similarity\(\s*(?P<pcol>[A-Za-z_]\w*)\s*,\s*
+            array\((?P<pvec>[-+0-9eE.,\s]*)\)\s*\)\s+AS\s+(?P<alias>[A-Za-z_]\w*))?\s+
         FROM\s+(?P<tbl>[A-Za-z_]\w*)\s+
         (?:WHERE\s+(?P<where>.+?)\s+)?
         ORDER\s+BY\s+cosine_similarity\(\s*(?P<col>[A-Za-z_]\w*)\s*,\s*
@@ -136,6 +145,12 @@ _PATTERN = re.compile(
         LIMIT\s+(?P<k>\d+)\s*;?\s*$""",
     re.IGNORECASE | re.VERBOSE | re.DOTALL,
 )
+
+
+def _vec_key(lits: str) -> str:
+    """Whitespace-insensitive identity of an array literal list, so the
+    projected expression can be compared against the ORDER BY one."""
+    return ",".join(tok.strip() for tok in lits.split(",") if tok.strip())
 
 _LITERAL = r"'[^']*'|[-+]?\d+(?:\.\d+)?"
 _PRED_IN = re.compile(
@@ -215,6 +230,7 @@ def route_topk_sql(spark: SparkSession, sql: str, nprobe: int = 4) -> DataFrame:
     pq_tbl = IVFPQ_TABLES.get(name) if tbl is None else None
     any_tbl = tbl or pq_tbl
     proj = m.group("proj")
+    alias = m.group("alias")
     if (
         any_tbl is None
         or m.group("col") != any_tbl.vec_col
@@ -222,6 +238,18 @@ def route_topk_sql(spark: SparkSession, sql: str, nprobe: int = 4) -> DataFrame:
         # from the layout; anything else (some other column name) must run
         # verbatim so it returns exactly what the SQL says
         or proj not in ("*", any_tbl.id_col)
+        # score projection (SELECT <id>, cosine_similarity(...) AS s) is
+        # routable only when the projected expression IS the ranking
+        # expression — same column, same literal vector; anything else
+        # must run verbatim
+        or (
+            alias is not None
+            and (
+                proj != any_tbl.id_col
+                or m.group("pcol") != m.group("col")
+                or _vec_key(m.group("pvec")) != _vec_key(m.group("vec"))
+            )
+        )
         # a WHERE outside the conjunctive =/!=/range/IN grammar must run
         # verbatim too — routing may only ever be a transparent speedup
         or filters is None
@@ -256,7 +284,7 @@ def route_topk_sql(spark: SparkSession, sql: str, nprobe: int = 4) -> DataFrame:
             id_col=pq_tbl.id_col,
         )
         return hits.orderBy(F.desc("approx_score"), F.asc(pq_tbl.id_col)).select(
-            pq_tbl.id_col, F.col("approx_score").alias("score")
+            pq_tbl.id_col, F.col("approx_score").alias(alias or "score")
         )
     hits = ivf_search(
         index,
@@ -268,5 +296,5 @@ def route_topk_sql(spark: SparkSession, sql: str, nprobe: int = 4) -> DataFrame:
         index_vec=tbl.vec_col,
     )
     return hits.orderBy(F.desc("score"), F.asc(tbl.id_col)).select(
-        tbl.id_col, "score"
+        tbl.id_col, F.col("score").alias(alias or "score")
     )

@@ -414,3 +414,155 @@ def q_kcore_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     core = k_core(mutual, k=_KCORE_K, max_peel_rounds=_KCORE_ORACLE_ROUNDS)
     return core.select(F.col("id").alias("vec_id"), "core_degree")
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend (the breakdown-resistant twin of daily_trend_ols)
+# ---------------------------------------------------------------------------
+
+_THEILSEN_ORACLE = """
+WITH daily AS (
+  SELECT ts::DATE AS day, count(*) AS n FROM events GROUP BY 1
+), bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+spine AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds
+), series AS (
+  SELECT CAST(date_diff('day', b.d0, s.day) AS BIGINT) AS x,
+         coalesce(d.n, 0) AS y
+  FROM spine s CROSS JOIN bounds b LEFT JOIN daily d ON s.day = d.day
+), slopes AS (
+  SELECT (b.y - a.y) * 1.0 / (b.x - a.x) AS slope
+  FROM series a JOIN series b ON b.x > a.x
+), med AS (SELECT quantile_cont(slope, 0.5) AS slope FROM slopes)
+SELECT CAST((SELECT count(*) FROM series) AS BIGINT) AS n_days,
+       CAST((SELECT count(*) FROM slopes) AS BIGINT) AS n_pairs,
+       round(m.slope, 6) AS slope,
+       round(quantile_cont(s.y - m.slope * s.x, 0.5), 6) AS intercept
+FROM series s CROSS JOIN med m
+GROUP BY m.slope
+"""
+
+
+@register("theilsen_daily_trend", _THEILSEN_ORACLE)
+def q_theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily event counts: slope = median of all
+    pairwise slopes, intercept = median residual — the 29%-breakdown
+    estimator next to `daily_trend_ols` (one corrupted ingest day drags an
+    OLS fit, not this one).
+
+    The pairwise-slope join is CALENDAR-squared, not corpus-squared —
+    the only corpus-scale stage is the daily aggregate, after which a
+    year is 365 rows and the pair join is ~66k tiny rows on one
+    executor. Median via interpolating percentile on both engines;
+    the median slope is a 1-row broadcast for the residual pass."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count("*").alias("n"))
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    series = (
+        bounds.select(
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"), "d0"
+        )
+        .join(daily, "day", "left")
+        .select(
+            F.datediff("day", "d0").cast("long").alias("x"),
+            F.coalesce("n", F.lit(0)).alias("y"),
+        )
+        .localCheckpoint(eager=True)  # calendar-sized; feeds 3 subtrees
+    )
+    a = series.alias("a")
+    b = series.select(F.col("x").alias("bx"), F.col("y").alias("by"))
+    slopes = a.join(b, F.col("bx") > F.col("x")).select(
+        ((F.col("by") - F.col("y")) / (F.col("bx") - F.col("x"))).alias("slope")
+    )
+    med = slopes.agg(F.percentile("slope", F.lit(0.5)).alias("slope"))
+    counts = series.agg(F.count("*").cast("long").alias("n_days")).crossJoin(
+        F.broadcast(slopes.agg(F.count("*").cast("long").alias("n_pairs")))
+    )
+    return (
+        series.crossJoin(F.broadcast(med))
+        .agg(
+            F.round(F.first("slope"), 6).alias("slope"),
+            F.round(
+                F.percentile(F.col("y") - F.col("slope") * F.col("x"), F.lit(0.5)), 6
+            ).alias("intercept"),
+        )
+        .crossJoin(F.broadcast(counts))
+        .select("n_days", "n_pairs", "slope", "intercept")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekday seasonality decomposition + anomaly flags
+# ---------------------------------------------------------------------------
+
+_SEASONAL_Z = 2.0
+
+_WEEKDAY_ORACLE = f"""
+WITH daily AS (
+  SELECT ts::DATE AS day, count(*) AS n FROM events GROUP BY 1
+), bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+spine AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds
+), series AS (
+  SELECT s.day, coalesce(d.n, 0) AS n,
+         date_diff('day', DATE '1970-01-05', s.day) % 7 AS dow
+  FROM spine s LEFT JOIN daily d ON s.day = d.day
+), dm AS (
+  SELECT dow, avg(n) AS dow_mean FROM series GROUP BY dow
+), dev AS (
+  SELECT s.day, s.n, s.dow, m.dow_mean, s.n - m.dow_mean AS resid
+  FROM series s JOIN dm m ON s.dow = m.dow
+), sig AS (SELECT stddev_samp(resid) AS sigma FROM dev)
+SELECT strftime(day, '%Y-%m-%d') AS day, CAST(n AS BIGINT) AS n,
+       CAST(dow AS INTEGER) AS dow,
+       round(dow_mean, 6) AS dow_mean,
+       round(resid, 6) AS resid,
+       round(resid / sigma, 6) AS z,
+       abs(resid / sigma) > {_SEASONAL_Z} AS anomaly
+FROM dev CROSS JOIN sig
+"""
+
+
+@register("weekday_seasonality_anomalies", _WEEKDAY_ORACLE)
+def q_weekday_seasonality_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal decomposition of daily event counts with
+    z-scored residual anomaly flags — the volume-monitoring screen that
+    separates "it's Sunday" from "ingest broke". dow is computed as
+    days-since-a-known-Monday mod 7 (0 = Monday) because the engines'
+    dayofweek() builtins disagree on week origin (Spark 1=Sunday,
+    DuckDB 0=Sunday); arithmetic on the epoch is identical everywhere.
+
+    Scale shape: one map-side-combinable daily aggregate; the seasonal
+    means are a 7-row table and the residual sigma a 1-row scalar — both
+    broadcast; no window over the raw events at all."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count("*").alias("n"))
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    series = (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.pmod(F.datediff("day", F.lit("1970-01-05").cast("date")), F.lit(7))
+            .cast("int")
+            .alias("dow"),
+        )
+        .localCheckpoint(eager=True)  # calendar-sized; feeds 3 subtrees
+    )
+    dm = series.groupBy("dow").agg(F.avg("n").alias("dow_mean"))
+    dev = series.join(F.broadcast(dm), "dow").withColumn(
+        "resid", F.col("n") - F.col("dow_mean")
+    )
+    sig = dev.agg(F.stddev_samp("resid").alias("sigma"))
+    return dev.crossJoin(F.broadcast(sig)).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("long").alias("n"),
+        "dow",
+        F.round("dow_mean", 6).alias("dow_mean"),
+        F.round("resid", 6).alias("resid"),
+        F.round(F.col("resid") / F.col("sigma"), 6).alias("z"),
+        (F.abs(F.col("resid") / F.col("sigma")) > _SEASONAL_Z).alias("anomaly"),
+    )

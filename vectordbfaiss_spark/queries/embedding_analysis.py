@@ -1063,3 +1063,119 @@ def q_recursive_cte_knn_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM r GROUP BY seed
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph-based ANN: beam search over the published kNN edge artifact
+# ---------------------------------------------------------------------------
+
+_GRAPH_ANN_K_EDGES = 8  # out-degree of the search graph (own artifact; the
+# k=3 analytics graph above is too sparse to navigate — measured recall
+# collapsed to ~0.2 on it, vs >=0.8 min at out-degree 8)
+_GRAPH_ANN_BEAM = 24
+_GRAPH_ANN_ROUNDS = 10
+
+
+def _graph_ann_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pathlib
+
+    return knn_edges_published(
+        spark,
+        sf_dir,
+        k=_GRAPH_ANN_K_EDGES,
+        # own path: the sidecar is keyed by (fingerprint, k), so reusing the
+        # k=3 path would make the two consumers rebuild over each other
+        out_path=(
+            "/root/repo/spark-warehouse/"
+            f"knn_edges{_GRAPH_ANN_K_EDGES}_{pathlib.Path(sf_dir).name}"
+        ),
+    )
+
+
+def _graph_ann_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectordbfaiss_spark.operators.graph_ann import graph_beam_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    edges = _graph_ann_edges(spark, sf_dir).select("src", "dst")
+    return graph_beam_search(
+        queries, edges, emb, beam=_GRAPH_ANN_BEAM, rounds=_GRAPH_ANN_ROUNDS
+    )
+
+
+@register("graph_ann_topk_search", rows_only=True)
+def q_graph_ann_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN top-10: best-first beam search over the out-degree-8
+    published kNN artifact (operators/graph_ann.py), the HNSW/NSG-family
+    answer surface next to the flat scan (`topk_search`, server.js:53-60
+    parity) and the IVF/PQ families. Rows-only by design — the traversal
+    is approximate; `graph_ann_recall_bound` is its hash-checked witness
+    (the ivf/pq recall-bound pattern). Per-query probes are visited-set
+    sized (~entries + beam * out-degree * rounds), independent of corpus
+    rows; every corpus-sized table enters only as the build side of an
+    equi-join."""
+    visited = _graph_ann_visited(spark, sf_dir)
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), "vec_id")
+    return (
+        visited.filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "vec_id", "score", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+_GRAPH_ANN_BOUND_ORACLE = """
+SELECT vec_id AS query_id, TRUE AS self_found, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 50
+"""
+
+
+@register("graph_ann_recall_bound", _GRAPH_ANN_BOUND_ORACLE)
+def q_graph_ann_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked companion to graph_ann_topk_search (the
+    ivf/pq_recall_bound pattern): per-query BOOLEANS the driver verifies.
+
+    (a) ``self_found`` — a corpus-drawn query must reach its own vector
+    through the graph (cosine 1.0, so it wins the beam the moment any
+    neighbor is touched; a traversal that misses it has a broken frontier
+    or entry spread); (b) ``recall_ok`` — recall@10 vs the exact in-plan
+    scan >= 0.5, far under the measured floor (min 0.8, means 0.91-0.97
+    at sf0.001/0.01/0.1 with beam=24, rounds=10, entries=max(16, N/32)),
+    so it fires on real traversal regressions, not fixture noise."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    visited = _graph_ann_visited(spark, sf_dir).localCheckpoint(eager=True)
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), "vec_id")
+    approx = (
+        visited.filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "vec_id")
+    )
+    exact = score_topk_vectorized(queries, emb, k=10, exclude_self=True).select(
+        "query_id", "vec_id"
+    )
+    # Q-bounded frames throughout: broadcast explicitly (post-window frames
+    # carry no stats and would degrade to sort-merge joins)
+    hits = (
+        exact.join(F.broadcast(approx), ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    self_found = visited.filter(F.col("query_id") == F.col("vec_id")).select(
+        "query_id", F.lit(True).alias("self_found")
+    )
+    return (
+        queries.select("query_id")
+        .join(F.broadcast(hits), "query_id", "left")
+        .join(F.broadcast(self_found), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("self_found", F.lit(False)).alias("self_found"),
+            (F.coalesce("n_hits", F.lit(0)) >= F.lit(5)).alias("recall_ok"),
+        )
+    )

@@ -737,3 +737,52 @@ def q_dp_noised_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") + noise, 4).alias("noised_count"),
         F.lit(_DP_SCALE).alias("laplace_scale"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over event quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_K_ANON = 5
+
+_K_ANON_ORACLE = f"""
+WITH qi AS (
+  SELECT event_type,
+         CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS BIGINT)
+           AS k_bucket,
+         user_id
+  FROM events
+)
+SELECT event_type, k_bucket,
+       CAST(count(*) AS BIGINT) AS n_records,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       count(DISTINCT user_id) >= {_K_ANON} AS anonymous
+FROM qi GROUP BY event_type, k_bucket
+"""
+
+
+@register("k_anonymity_audit", _K_ANON_ORACLE)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the event stream: group sizes per
+    quasi-identifier combination (event_type x bucketed payload value) and
+    a flag for combos re-identifiable below k={5} distinct users — the
+    release gate a privacy review runs before sharing event-level data
+    (`dp_noised_event_counts` is the mitigation; this is the measurement).
+
+    One hash aggregate with a map-side-combinable exact distinct (the
+    QI grain is small so the count-distinct expansion is bounded by the
+    combo count, not the corpus); JSON extraction stays in the scan
+    projection so the aggregate reads two narrow columns."""
+    ev = load_table(spark, sf_dir, "events")
+    qi = ev.select(
+        "event_type",
+        (F.get_json_object("props", "$.k").cast("long") / 10)
+        .cast("long")
+        .alias("k_bucket"),
+        "user_id",
+    )
+    return qi.groupBy("event_type", "k_bucket").agg(
+        F.count("*").cast("long").alias("n_records"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        (F.countDistinct("user_id") >= _K_ANON).alias("anonymous"),
+    )

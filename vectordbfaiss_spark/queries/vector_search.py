@@ -1803,3 +1803,113 @@ def q_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "maxsim",
         F.col("rank").cast("long").alias("rnk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic benchmark decontamination (embedding-space twin of
+# benchmark_decontamination's n-gram overlap)
+# ---------------------------------------------------------------------------
+
+_SEM_DECON_TAU = 0.35  # flags the top similarity tail of this fixture's
+# cluster+noise geometry (p99 of max-cos is 0.384); real corpora tune
+# this against a held-out contamination set
+
+_SEM_DECON_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+bench AS (SELECT * FROM v WHERE vec_id % 20 = 0),
+corp AS (SELECT * FROM v WHERE vec_id % 20 <> 0),
+s AS (
+  SELECT c.vec_id, b.vec_id AS bench_id,
+         round(list_dot_product(c.e, b.e)
+               / (sqrt(list_dot_product(c.e, c.e))
+                  * sqrt(list_dot_product(b.e, b.e))), 6) AS score,
+         row_number() OVER (PARTITION BY c.vec_id
+                            ORDER BY round(list_dot_product(c.e, b.e)
+               / (sqrt(list_dot_product(c.e, c.e))
+                  * sqrt(list_dot_product(b.e, b.e))), 6) DESC, b.vec_id) AS rnk
+  FROM corp c CROSS JOIN bench b
+)
+SELECT vec_id, bench_id, score AS max_cos, score >= {_SEM_DECON_TAU} AS contaminated
+FROM s WHERE rnk = 1
+"""
+
+
+@register("semantic_decontamination", _SEM_DECON_ORACLE)
+def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination: for every corpus vector,
+    its nearest BENCHMARK vector (vec_id % 20 == 0 plays the eval set) and
+    a contamination flag at cosine >= tau — the semantic twin of
+    `benchmark_decontamination`'s 5-gram overlap, catching paraphrased
+    leakage that n-grams miss.
+
+    Asymmetric by construction: benchmark sets are eval-suite-sized
+    (thousands), so the scoring reuses the tiled top-k kernel with the
+    CORPUS as the tiled query side and the benchmark as the (small) index
+    side — per-tile broadcast is corpus-tile-bounded, work is
+    O(corpus x bench) BLAS batches, never a corpus x corpus join. The
+    LSH/IVF families are the sub-linear path when the benchmark itself is
+    large."""
+    from vectordbfaiss_spark.queries.embedding_analysis import knn_edges
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 20 == 0)
+    corp = emb.filter(F.col("vec_id") % 20 != 0)
+    top1 = knn_edges(corp, k=1, index=bench, exclude_self=False)
+    return top1.select(
+        F.col("src").alias("vec_id"),
+        F.col("dst").alias("bench_id"),
+        F.col("score").alias("max_cos"),
+        (F.col("score") >= F.lit(_SEM_DECON_TAU)).alias("contaminated"),
+    )
+
+
+_SQL_ROUTED_ALIAS_ORACLE = f"""
+WITH qr AS (SELECT [{_ROUTED_LITS}]::REAL[]::DOUBLE[] AS q),
+nq AS (
+  SELECT list_transform(q, x -> CAST(x / sqrt(list_dot_product(q, q)) AS REAL))::DOUBLE[] AS qv
+  FROM qr
+),
+nv AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+            x -> CAST(x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS REAL))::DOUBLE[] AS v
+  FROM embeddings
+),
+s AS (SELECT vec_id, round(list_dot_product(nq.qv, nv.v), 6) AS sim FROM nv, nq)
+SELECT vec_id, sim FROM s ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
+@register("sql_routed_score_projection", _SQL_ROUTED_ALIAS_ORACLE)
+def q_sql_routed_score_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grammar step 3 of the SQL front door: the statement PROJECTS the
+    similarity expression with an alias (`SELECT vec_id,
+    cosine_similarity(...) AS sim ... ORDER BY cosine_similarity(...)
+    DESC LIMIT k`) — the shape ORMs and BI tools emit, where the ranking
+    expression is repeated in the projection. The router proves the
+    projected expression IS the ranking expression (same column, same
+    literal vector, whitespace-insensitive) and serves it from the IVF
+    layout with the score under the requested alias; any mismatch runs
+    verbatim (tests/test_sql_router.py pins both directions). Full probe,
+    so the routed answer is exact and hash-checkable."""
+    import pathlib
+
+    from vectordbfaiss_spark.plans.ivf import build_ivf_index, corpus_fingerprint
+    from vectordbfaiss_spark.plans.sql_router import (
+        register_ivf_table,
+        route_topk_sql,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = f"/root/repo/spark-warehouse/ivf_index_{pathlib.Path(sf_dir).name}"
+    centroids = build_ivf_index(
+        emb, out, n_clusters=8, seed=42,
+        corpus_key=corpus_fingerprint(f"{sf_dir}/embeddings.parquet"),
+    )
+    register_ivf_table("emb_ivf", out, centroids)
+    sql = (
+        f"SELECT vec_id, cosine_similarity(embedding, array({_ROUTED_LITS})) AS sim "
+        "FROM emb_ivf ORDER BY "
+        f"cosine_similarity(embedding, array({_ROUTED_LITS})) DESC LIMIT 10"
+    )
+    return route_topk_sql(spark, sql, nprobe=8)

@@ -109,6 +109,13 @@ _PRIORITY: tuple[str, ...] = (
     "benford_first_digit_audit",
     "acf_daily_counts",
     "kcore_mutual_knn",
+    "graph_ann_topk_search",
+    "graph_ann_recall_bound",
+    "semantic_decontamination",
+    "theilsen_daily_trend",
+    "weekday_seasonality_anomalies",
+    "k_anonymity_audit",
+    "sql_routed_score_projection",
     # refresh block: oldest driver evidence (sampled only in round 1)
     "deterministic_sample_docs",
     "train_test_split_assign",
