@@ -96,3 +96,49 @@ def test_k_anonymity_flags_match_user_counts(spark):
         assert r.anonymous == (r.n_users >= _K_ANON)
         assert r.n_records >= r.n_users
         assert 0 <= r.k_bucket <= 9
+
+
+def test_neyman_allocation_tracks_budget_and_weights(spark):
+    from vectordbfaiss_spark.queries.analytics_extras import (
+        _NEYMAN_TOTAL,
+        q_neyman_allocation_plan,
+    )
+
+    rows = q_neyman_allocation_plan(spark, SF_SMOKE).collect()
+    assert rows
+    # proportions form a distribution; integer allocations land within
+    # rounding slack of the budget and respect the weight ordering
+    assert abs(sum(r.alloc_prop for r in rows) - 1.0) < 1e-4
+    total = sum(r.n_alloc for r in rows)
+    assert abs(total - _NEYMAN_TOTAL) <= len(rows)
+    by_weight = sorted(rows, key=lambda r: r.alloc_prop)
+    allocs = [r.n_alloc for r in by_weight]
+    assert allocs == sorted(allocs)
+
+
+def test_stratified_sample_executes_the_plan_exactly(spark):
+    from vectordbfaiss_spark.queries.analytics_extras import (
+        q_neyman_allocation_plan,
+        q_stratified_sample_neyman,
+    )
+
+    plan = {r.source: r.n_alloc for r in q_neyman_allocation_plan(spark, SF_SMOKE).collect()}
+    got = q_stratified_sample_neyman(spark, SF_SMOKE).collect()
+    from collections import Counter
+
+    sizes = Counter(r.source for r in got)
+    assert dict(sizes) == {s: min(n, sizes[s]) for s, n in plan.items()} == {
+        s: n for s, n in plan.items() if s in sizes
+    }
+    # re-running yields the identical sample (deterministic, seedless)
+    again = {(r.doc_id, r.source) for r in q_stratified_sample_neyman(spark, SF_SMOKE).collect()}
+    assert again == {(r.doc_id, r.source) for r in got}
+
+
+def test_sampled_ci_brackets_exact_total(spark):
+    from vectordbfaiss_spark.queries.analytics_extras import q_sampled_token_count_ci
+
+    r = q_sampled_token_count_ci(spark, SF_SMOKE).collect()[0]
+    assert r.lower <= r.estimate <= r.upper
+    assert r.within_ci == (r.lower <= r.exact_total <= r.upper)
+    assert 0 < r.n_sampled < r.n_total

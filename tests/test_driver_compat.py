@@ -54,7 +54,8 @@ _SCRIPT = textwrap.dedent(
                  "kcore_mutual_knn", "graph_ann_recall_bound",
                  "semantic_decontamination", "theilsen_daily_trend",
                  "weekday_seasonality_anomalies", "k_anonymity_audit",
-                 "sql_routed_score_projection"]:
+                 "sql_routed_score_projection", "neyman_allocation_plan",
+                 "stratified_sample_neyman", "sampled_token_count_ci"]:
         mine = mod.queries()[name](spark, sf).toPandas()
         orc = con.sql(mod.oracle_sql()[name]).df()
         assert len(mine) == len(orc), (name, len(mine), len(orc))

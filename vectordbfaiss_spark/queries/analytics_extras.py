@@ -566,3 +566,185 @@ def q_weekday_seasonality_anomalies(spark: SparkSession, sf_dir: str) -> DataFra
         F.round(F.col("resid") / F.col("sigma"), 6).alias("z"),
         (F.abs(F.col("resid") / F.col("sigma")) > _SEASONAL_Z).alias("anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman allocation: optimal stratified-sampling design + its executor
+# ---------------------------------------------------------------------------
+
+_NEYMAN_TOTAL = 100  # total sample budget across strata
+
+_NEYMAN_CTES = """
+strata AS (
+  SELECT source, count(*) AS n_docs, stddev_samp(n_chars) AS sd
+  FROM documents GROUP BY source
+), tot AS (SELECT sum(n_docs * sd) AS wsum FROM strata),
+alloc AS (
+  SELECT source, n_docs,
+         round(sd, 6) AS sd_chars,
+         round(n_docs * sd / wsum, 6) AS alloc_prop,
+         greatest(1, CAST(floor({total} * round(n_docs * sd / wsum, 6) + 0.5)
+                          AS BIGINT)) AS n_alloc
+  FROM strata CROSS JOIN tot
+)
+""".format(total=_NEYMAN_TOTAL)
+
+_NEYMAN_ORACLE = f"WITH {_NEYMAN_CTES} SELECT source, CAST(n_docs AS BIGINT) AS n_docs, sd_chars, alloc_prop, n_alloc FROM alloc"
+
+
+def _neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    strata = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.stddev_samp("n_chars").alias("sd")
+    )
+    tot = strata.agg(F.sum(F.col("n_docs") * F.col("sd")).alias("wsum"))
+    prop = F.round(F.col("n_docs") * F.col("sd") / F.col("wsum"), 6)
+    return strata.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round("sd", 6).alias("sd_chars"),
+        prop.alias("alloc_prop"),
+        # floor(x + 0.5), not round(): the engines' round() half-rules
+        # differ, floor arithmetic is identical everywhere
+        F.greatest(
+            F.lit(1), F.floor(_NEYMAN_TOTAL * prop + 0.5).cast("long")
+        ).alias("n_alloc"),
+    )
+
+
+@register("neyman_allocation_plan", _NEYMAN_ORACLE)
+def q_neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling DESIGN: allocate a fixed label /
+    inspection budget across per-source strata proportional to
+    N_h * S_h (stratum size x stddev of the length signal) — the
+    variance-minimizing allocation, and the sampling plan a human-audit
+    or eval-labeling pipeline starts from (uniform sampling oversamples
+    homogeneous strata). One 5-group aggregate + the 1-row scalar
+    crossJoin; allocation integers via floor(x + 0.5) so both engines
+    round identically."""
+    return _neyman_alloc(spark, sf_dir)
+
+
+_NEYMAN_EXEC_ORACLE = f"""
+WITH {_NEYMAN_CTES},
+ranked AS (
+  SELECT d.doc_id, d.source,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+           AS rk
+  FROM documents d
+)
+SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rk
+FROM ranked r JOIN alloc a ON r.source = a.source
+WHERE r.rk <= a.n_alloc
+"""
+
+
+@register("stratified_sample_neyman", _NEYMAN_EXEC_ORACLE)
+def q_stratified_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE the Neyman design: per stratum, take the n_alloc docs with
+    the smallest md5(doc_id) — a deterministic, seedless uniform draw
+    (the engine-shared md5 ordering every sampler here uses), so the
+    sample is reproducible on any engine and incremental reruns pick the
+    same rows. Plan: the rank window is PARTITIONED by stratum (never
+    global) and rank-filtered raw so InferWindowGroupLimit bounds it;
+    the 5-row allocation table broadcasts onto the rank join."""
+    docs = load_table(spark, sf_dir, "documents")
+    alloc = _neyman_alloc(spark, sf_dir).select("source", "n_alloc")
+    w = W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = docs.select(
+        "doc_id", "source", F.row_number().over(w).alias("rk")
+    )
+    return (
+        ranked.join(F.broadcast(alloc), "source")
+        .filter(F.col("rk") <= F.col("n_alloc"))
+        .select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sampled estimator with a finite-population confidence interval
+# ---------------------------------------------------------------------------
+
+_CI_RATE_BUCKETS = 1677722  # ~10% of the 16^6 md5-bucket space
+
+# engine-shared md5 bucket (the sampler convention from queries/curation.py)
+from vectordbfaiss_spark.queries.curation import _sql_hash_bucket  # noqa: E402
+
+_sql_hash_bucket_docs = _sql_hash_bucket("doc_id") + " AS bucket"
+
+_CI_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(rtrim(text), '\\s+')) AS BIGINT) AS toks,
+         {_sql_hash_bucket_docs}
+  FROM documents
+), pop AS (SELECT count(*) AS n_total, sum(toks) AS exact_total FROM t),
+samp AS (
+  SELECT count(*) AS n_sampled, avg(toks) AS mean_s, var_samp(toks) AS var_s
+  FROM t WHERE bucket < {_CI_RATE_BUCKETS}
+)
+SELECT CAST(n_sampled AS BIGINT) AS n_sampled,
+       CAST(n_total AS BIGINT) AS n_total,
+       round(n_total * mean_s, 4) AS estimate,
+       round(n_total * mean_s
+             - 1.96 * n_total * sqrt(var_s / n_sampled)
+                    * sqrt(1.0 - n_sampled * 1.0 / n_total), 4) AS lower,
+       round(n_total * mean_s
+             + 1.96 * n_total * sqrt(var_s / n_sampled)
+                    * sqrt(1.0 - n_sampled * 1.0 / n_total), 4) AS upper,
+       CAST(exact_total AS BIGINT) AS exact_total,
+       (exact_total >= n_total * mean_s
+             - 1.96 * n_total * sqrt(var_s / n_sampled)
+                    * sqrt(1.0 - n_sampled * 1.0 / n_total))
+       AND (exact_total <= n_total * mean_s
+             + 1.96 * n_total * sqrt(var_s / n_sampled)
+                    * sqrt(1.0 - n_sampled * 1.0 / n_total)) AS within_ci
+FROM samp CROSS JOIN pop
+"""
+
+
+@register("sampled_token_count_ci", _CI_ORACLE)
+def q_sampled_token_count_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate the corpus token count from a deterministic ~10% hash
+    sample with a 95% CLT confidence interval (finite-population
+    corrected) — the estimate-before-you-scan discipline: at 100 TB you
+    size the tokenization job from a sample, and the CI says whether the
+    sample was enough. The sample is the md5-bucket rule every sampler
+    here shares, so the oracle replays the same rows; `within_ci` is the
+    self-check (the exact total is computed in the same pass for the
+    audit — in production you'd skip it and keep only the bounds)."""
+    from vectordbfaiss_spark.queries.curation import _hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(F.split(F.rtrim(F.col("text")), r"\s+")).cast("long").alias("toks"),
+        _hash_bucket(F.col("doc_id")).alias("bucket"),
+    )
+    pop = t.agg(
+        F.count("*").alias("n_total"), F.sum("toks").alias("exact_total")
+    )
+    samp = t.filter(F.col("bucket") < _CI_RATE_BUCKETS).agg(
+        F.count("*").alias("n_sampled"),
+        F.avg("toks").alias("mean_s"),
+        F.var_samp("toks").alias("var_s"),
+    )
+    est = F.col("n_total") * F.col("mean_s")
+    se = (
+        F.lit(1.96)
+        * F.col("n_total")
+        * F.sqrt(F.col("var_s") / F.col("n_sampled"))
+        * F.sqrt(1.0 - F.col("n_sampled") / F.col("n_total"))
+    )
+    return samp.crossJoin(F.broadcast(pop)).select(
+        F.col("n_sampled").cast("long").alias("n_sampled"),
+        F.col("n_total").cast("long").alias("n_total"),
+        F.round(est, 4).alias("estimate"),
+        F.round(est - se, 4).alias("lower"),
+        F.round(est + se, 4).alias("upper"),
+        F.col("exact_total").cast("long").alias("exact_total"),
+        ((F.col("exact_total") >= est - se) & (F.col("exact_total") <= est + se)).alias(
+            "within_ci"
+        ),
+    )

@@ -116,6 +116,9 @@ _PRIORITY: tuple[str, ...] = (
     "weekday_seasonality_anomalies",
     "k_anonymity_audit",
     "sql_routed_score_projection",
+    "neyman_allocation_plan",
+    "stratified_sample_neyman",
+    "sampled_token_count_ci",
     # refresh block: oldest driver evidence (sampled only in round 1)
     "deterministic_sample_docs",
     "train_test_split_assign",
