@@ -55,7 +55,8 @@ _SCRIPT = textwrap.dedent(
                  "semantic_decontamination", "theilsen_daily_trend",
                  "weekday_seasonality_anomalies", "k_anonymity_audit",
                  "sql_routed_score_projection", "neyman_allocation_plan",
-                 "stratified_sample_neyman", "sampled_token_count_ci"]:
+                 "stratified_sample_neyman", "sampled_token_count_ci",
+                 "dedup_cluster_size_histogram", "graph_ann_beam_curve"]:
         mine = mod.queries()[name](spark, sf).toPandas()
         orc = con.sql(mod.oracle_sql()[name]).df()
         assert len(mine) == len(orc), (name, len(mine), len(orc))

@@ -1179,3 +1179,59 @@ def q_graph_ann_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_hits", F.lit(0)) >= F.lit(5)).alias("recall_ok"),
         )
     )
+
+
+_BEAM_CURVE_BEAMS = (4, 24)
+_BEAM_CURVE_QUERIES = 25
+
+_BEAM_CURVE_ORACLE = f"""
+SELECT CAST(b AS INTEGER) AS beam, TRUE AS recall_ok, TRUE AS monotone_ok
+FROM (VALUES ({_BEAM_CURVE_BEAMS[0]}), ({_BEAM_CURVE_BEAMS[1]})) t(b)
+"""
+
+
+@register("graph_ann_beam_curve", _BEAM_CURVE_ORACLE)
+def q_graph_ann_beam_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam-width/recall trade-off curve for graph ANN — the knob sweep an
+    operator runs before picking the serving beam (`ivf_nprobe_curve`'s
+    graph-family twin). One row per beam with hash-checked witness
+    booleans: ``recall_ok`` (mean recall@10 over {25} corpus-drawn
+    queries >= 0.4 at the narrow beam, >= 0.7 at the wide one — both far
+    under observed means) and ``monotone_ok`` (mean recall at beam=24 is
+    not below beam=4 minus noise slack 0.05: widening the beam must not
+    LOSE recall, the regression a broken frontier introduces first)."""
+    from vectordbfaiss_spark.operators.graph_ann import graph_beam_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _BEAM_CURVE_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    edges = _graph_ann_edges(spark, sf_dir).select("src", "dst")
+    exact = score_topk_vectorized(queries, emb, k=10, exclude_self=True).select(
+        "query_id", "vec_id"
+    ).localCheckpoint(eager=True)
+    floors = {_BEAM_CURVE_BEAMS[0]: 0.4, _BEAM_CURVE_BEAMS[1]: 0.7}
+    rows = []
+    means = {}
+    for beam in _BEAM_CURVE_BEAMS:
+        visited = graph_beam_search(
+            queries, edges, emb, beam=beam, rounds=_GRAPH_ANN_ROUNDS
+        )
+        w = W.partitionBy("query_id").orderBy(F.desc("score"), "vec_id")
+        approx = (
+            visited.filter(F.col("query_id") != F.col("vec_id"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 10)
+            .select("query_id", "vec_id")
+        )
+        hits = exact.join(F.broadcast(approx), ["query_id", "vec_id"], "left_semi")
+        # bounded driver collect: two scalars per beam (the knob-curve
+        # pattern of ivf_nprobe_curve)
+        mean_recall = hits.count() / (10.0 * _BEAM_CURVE_QUERIES)
+        means[beam] = mean_recall
+        rows.append((beam, mean_recall >= floors[beam]))
+    monotone = means[_BEAM_CURVE_BEAMS[1]] >= means[_BEAM_CURVE_BEAMS[0]] - 0.05
+    return spark.createDataFrame(
+        [(b, ok, monotone) for b, ok in rows],
+        "beam int, recall_ok boolean, monotone_ok boolean",
+    )

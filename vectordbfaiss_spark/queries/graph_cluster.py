@@ -517,3 +517,93 @@ def q_entity_resolution_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         F.coalesce(F.col("hit"), F.col("rec_id")).alias("entity_id"),
         F.col("hit").isNull().alias("is_new_entity"),
     )
+
+
+_CC_HIST_ORACLE = r"""
+WITH RECURSIVE
+d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+keys AS (
+  SELECT doc_id,
+         array_to_string(list_slice(w, 1, 5), ' ') AS k1,
+         array_to_string(list_slice(list_reverse(w), 1, 5), ' ') AS k2
+  FROM d
+),
+b1 AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY k1) AS hub FROM keys
+),
+b2 AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY k2) AS hub FROM keys
+),
+edges AS (
+  SELECT hub AS src, doc_id AS dst FROM b1 WHERE doc_id <> hub
+  UNION
+  SELECT hub AS src, doc_id AS dst FROM b2 WHERE doc_id <> hub
+),
+sym AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+reach(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.id
+),
+comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+grp AS (SELECT component, count(*) AS sz FROM comp GROUP BY component),
+tot AS (SELECT count(*) AS n_total FROM documents),
+indeg AS (SELECT count(*) AS n_grouped FROM comp),
+hist AS (
+  SELECT sz AS group_size, count(*) AS n_groups, sum(sz) AS n_docs
+  FROM grp GROUP BY sz
+  UNION ALL
+  SELECT 1, n_total - n_grouped, n_total - n_grouped
+  FROM tot CROSS JOIN indeg WHERE n_total > n_grouped
+)
+SELECT CAST(group_size AS BIGINT) AS group_size,
+       CAST(n_groups AS BIGINT) AS n_groups,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       round(n_docs * 1.0 / n_total, 6) AS pct_docs
+FROM hist CROSS JOIN tot
+"""
+
+
+@register("dedup_cluster_size_histogram", _CC_HIST_ORACLE)
+def q_dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group SIZE DISTRIBUTION — the dedup health report read
+    before choosing a survivor policy: a long tail of giant groups means
+    boilerplate contamination (scrub first), mass 2-3 groups mean true
+    near-dups (keep one), and the singleton share is the corpus that
+    dedup never touches. Singletons (docs in no candidate pair) are
+    counted into the size-1 bucket from two scalar aggregates — never by
+    materializing a singleton edge list. Reuses the one shared blocking +
+    star-contraction closure (`_dedup_components`), so the histogram can
+    never desynchronize from the components/survivors queries."""
+    docs = load_table(spark, sf_dir, "documents")
+    comp = _dedup_components(docs)
+    grp = comp.groupBy("component").agg(F.count("*").alias("sz"))
+    hist = grp.groupBy(F.col("sz").alias("group_size")).agg(
+        F.count("*").alias("n_groups"), F.sum("sz").alias("n_docs")
+    )
+    tot = docs.agg(F.count("*").alias("n_total"))
+    indeg = comp.agg(F.count("*").alias("n_grouped"))
+    singles = (
+        tot.crossJoin(F.broadcast(indeg))
+        .filter(F.col("n_total") > F.col("n_grouped"))
+        .select(
+            F.lit(1).cast("long").alias("group_size"),
+            (F.col("n_total") - F.col("n_grouped")).alias("n_groups"),
+            (F.col("n_total") - F.col("n_grouped")).alias("n_docs"),
+        )
+    )
+    return (
+        hist.unionByName(singles)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("group_size").cast("long").alias("group_size"),
+            F.col("n_groups").cast("long").alias("n_groups"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(F.col("n_docs") / F.col("n_total"), 6).alias("pct_docs"),
+        )
+    )

@@ -119,6 +119,8 @@ _PRIORITY: tuple[str, ...] = (
     "neyman_allocation_plan",
     "stratified_sample_neyman",
     "sampled_token_count_ci",
+    "dedup_cluster_size_histogram",
+    "graph_ann_beam_curve",
     # refresh block: oldest driver evidence (sampled only in round 1)
     "deterministic_sample_docs",
     "train_test_split_assign",
