@@ -118,6 +118,21 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    def _drop_leaked_blocks() -> None:
+        """Unpersist blocks the finished query left in the shared JVM.
+
+        Many queries eagerly localCheckpoint small frames (the loop/
+        multi-consumer discipline) and never unpersist — correct inside
+        one query, but across a 250+-query bench the block manager
+        accumulates and the GC tail punishes late-alphabet queries: the
+        first clean 253-query run showed a clean 0.99x first quartile vs
+        1.17-1.27x after, with two full-GC outliers (16x). A real
+        workload runs one query per job; dropping leaked blocks between
+        timings restores that isolation without touching query code."""
+        spark.catalog.clearCache()
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist(False)
+
     timings: dict[str, float] = {}
     for name, fn in sorted(registry.queries().items()):
         if wanted is not None and name not in wanted:
@@ -125,6 +140,7 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        _drop_leaked_blocks()
 
     total = round(sum(timings.values()), 3)
     # Per-query timings go to a sidecar file, NOT stdout: the driver parses
