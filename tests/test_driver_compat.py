@@ -56,7 +56,8 @@ _SCRIPT = textwrap.dedent(
                  "weekday_seasonality_anomalies", "k_anonymity_audit",
                  "sql_routed_score_projection", "neyman_allocation_plan",
                  "stratified_sample_neyman", "sampled_token_count_ci",
-                 "dedup_cluster_size_histogram", "graph_ann_beam_curve"]:
+                 "dedup_cluster_size_histogram", "graph_ann_beam_curve",
+                 "equi_depth_buckets_orders", "corr_matrix_lineitem"]:
         mine = mod.queries()[name](spark, sf).toPandas()
         orc = con.sql(mod.oracle_sql()[name]).df()
         assert len(mine) == len(orc), (name, len(mine), len(orc))

@@ -748,3 +748,100 @@ def q_sampled_token_count_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_ci"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth bucketing via percentile cutpoints (no global sort)
+# ---------------------------------------------------------------------------
+
+_EQUIDEPTH_BUCKETS = 10
+
+_EQUIDEPTH_ORACLE = f"""
+WITH cuts AS (
+  SELECT quantile_cont(o_totalprice,
+           [x * 1.0 / {_EQUIDEPTH_BUCKETS} FOR x IN range(1, {_EQUIDEPTH_BUCKETS})]) AS c
+  FROM orders
+), b AS (
+  SELECT round(o_totalprice, 4) AS v,
+         1 + len(list_filter(c, x -> o_totalprice > x)) AS bucket
+  FROM orders CROSS JOIN cuts
+)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(v), 4) AS lo,
+       round(max(v), 4) AS hi
+FROM b GROUP BY bucket
+"""
+
+
+@register("equi_depth_buckets_orders", _EQUIDEPTH_ORACLE)
+def q_equi_depth_buckets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-population) bucketing of order values — the
+    histogram form query optimizers and drift monitors actually keep,
+    where every bucket holds ~1/10 of the rows regardless of skew
+    (`histogram_order_values` is the equi-width sibling).
+
+    The naive formulation is ntile() over a GLOBAL sort — the
+    one-task-unbounded-window shape the plan-smell sweep exists to
+    catch. This plan instead computes the 9 interior cutpoints with one
+    interpolating-percentile aggregate (map-side partials, a 9-double
+    result), broadcasts them, and buckets with a comparison expression —
+    two scans, zero sorts, bucket assignment embarrassingly parallel.
+    Both engines interpolate percentiles identically; values are rounded
+    AFTER bucketing so boundary assignment sees identical doubles."""
+    orders = load_table(spark, sf_dir, "orders")
+    pcts = [i / _EQUIDEPTH_BUCKETS for i in range(1, _EQUIDEPTH_BUCKETS)]
+    cuts = orders.agg(
+        F.percentile("o_totalprice", F.array(*[F.lit(p) for p in pcts])).alias("c")
+    )
+    b = orders.crossJoin(F.broadcast(cuts)).select(
+        F.round("o_totalprice", 4).alias("v"),
+        (
+            1
+            + F.size(
+                F.filter(F.col("c"), lambda x: F.col("o_totalprice") > x)
+            )
+        ).alias("bucket"),
+    )
+    return b.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.min("v"), 4).alias("lo"),
+        F.round(F.max("v"), 4).alias("hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation matrix over lineitem measures
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+_CORR_ORACLE = f"""
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+       round(corr(l_quantity, l_extendedprice), 6) AS r FROM lineitem
+UNION ALL
+SELECT 'l_quantity', 'l_discount', round(corr(l_quantity, l_discount), 6) FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', 'l_discount', round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+"""
+
+
+@register("corr_matrix_lineitem", _CORR_ORACLE)
+def q_corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem measures — the
+    feature-redundancy screen run before building models or choosing
+    clustering axes. All three pairs come out of ONE aggregate over one
+    scan (corr is a map-side-combinable moment aggregate); the oracle
+    formulation scans per pair to state each correlation independently —
+    the 3x-scan shape the single-pass plan avoids."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a, b, c = _CORR_COLS
+    wide = li.agg(
+        F.round(F.corr(a, b), 6).alias("r_ab"),
+        F.round(F.corr(a, c), 6).alias("r_ac"),
+        F.round(F.corr(b, c), 6).alias("r_bc"),
+    )
+    return wide.selectExpr(
+        f"stack(3, '{a}', '{b}', r_ab, '{a}', '{c}', r_ac, '{b}', '{c}', r_bc) "
+        "AS (col_a, col_b, r)"
+    )

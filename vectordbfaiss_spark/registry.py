@@ -121,6 +121,8 @@ _PRIORITY: tuple[str, ...] = (
     "sampled_token_count_ci",
     "dedup_cluster_size_histogram",
     "graph_ann_beam_curve",
+    "equi_depth_buckets_orders",
+    "corr_matrix_lineitem",
     # refresh block: oldest driver evidence (sampled only in round 1)
     "deterministic_sample_docs",
     "train_test_split_assign",
