@@ -98,6 +98,8 @@ _PRIORITY: tuple[str, ...] = (
     "snapshot_diff_report",
     "ranking_eval_metrics",
     # ---- round-6 additions (new this round; first driver rows) ----
+    # (first-session block, then the second-session batches — all staged
+    # ahead of the refresh block so every new query gets a driver row)
     "knn_graph_blocked_scaled",
     "semdedup_prune_scaled",
     "pipeline_scrub_dedup_pack",
