@@ -306,6 +306,31 @@ def test_score_projection_with_different_vector_falls_back(spark, tmp_path):
     assert out.count() == 3  # verbatim execution, not the routed plan
 
 
+def test_score_projection_on_ivfpq_falls_back_verbatim(spark, tmp_path):
+    """An explicitly projected `cosine_similarity(...) AS alias` over an
+    IVFPQ-registered table must NOT be routed: the artifact serves ADC
+    quantized scores, and an expression the SQL defines exactly may never
+    silently come back approximate ('routing is only ever a transparent
+    speedup'). The statement runs verbatim against the SQL view instead,
+    returning exact cosine values."""
+    name = _ivfpq(spark, tmp_path, "t_pq_router_alias")
+    # verbatim execution needs the name resolvable as a view with a raw
+    # vector column — the base table, as a production catalog would have
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    ensure_sql_functions(spark)
+    emb.createOrReplaceTempView(name)
+    sql = (
+        f"SELECT vec_id, cosine_similarity(embedding, array({_LITS})) AS sim "
+        f"FROM {name} ORDER BY "
+        f"cosine_similarity(embedding, array({_LITS})) DESC LIMIT 5"
+    )
+    out = route_topk_sql(spark, sql, nprobe=4).collect()
+    exact = spark.sql(sql).collect()
+    assert [r.vec_id for r in out] == [r.vec_id for r in exact]
+    for r, e in zip(out, exact):
+        assert r.sim == e.sim  # exact values, not ADC approximations
+
+
 def test_score_projection_whitespace_insensitive_vector_match(spark, tmp_path):
     name = _ivf(spark, tmp_path, "t_router_alias_ws")
     spaced = " , ".join(repr(x) for x in _QV)

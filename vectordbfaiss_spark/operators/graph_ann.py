@@ -69,9 +69,10 @@ def graph_beam_search(
     kNN artifact (src, dst). ``n_entries`` defaults to max(16, N/32) —
     see the module docstring for the production entry-point story.
     """
-    n = emb.count()
     if n_entries is None:
-        n_entries = max(16, n // 32)
+        # only pay the corpus scan when the caller didn't size the entry
+        # set explicitly
+        n_entries = max(16, emb.count() // 32)
     entries = (
         emb.select("vec_id")
         .orderBy(F.xxhash64("vec_id"), "vec_id")

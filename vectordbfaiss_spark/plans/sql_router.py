@@ -240,12 +240,17 @@ def route_topk_sql(spark: SparkSession, sql: str, nprobe: int = 4) -> DataFrame:
         or proj not in ("*", any_tbl.id_col)
         # score projection (SELECT <id>, cosine_similarity(...) AS s) is
         # routable only when the projected expression IS the ranking
-        # expression — same column, same literal vector; anything else
-        # must run verbatim
+        # expression — same column, same literal vector — AND the artifact
+        # serves exact scores. On IVFPQ the served score is the ADC
+        # quantized approximation: fine as a router-added extra column in
+        # the bare grammar (ranking contract), but an explicitly projected
+        # expression is something the SQL defines exactly, so routing it
+        # would silently return approximate values — verbatim instead.
         or (
             alias is not None
             and (
-                proj != any_tbl.id_col
+                pq_tbl is not None
+                or proj != any_tbl.id_col
                 or m.group("pcol") != m.group("col")
                 or _vec_key(m.group("pvec")) != _vec_key(m.group("vec"))
             )

@@ -187,8 +187,13 @@ def q_frequent_pairs_market_basket(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.col("pair_count") / F.col("n_baskets"), 6).alias("support"),
             F.round(F.col("pair_count") / F.col("supp1"), 6).alias("conf_p1_p2"),
             F.round(F.col("pair_count") / F.col("supp2"), 6).alias("conf_p2_p1"),
+            # multiply in double (like the oracle's * 1.0): a long*long
+            # product can overflow at the corpus sizes the docstring targets
             F.round(
-                F.col("pair_count") * F.col("n_baskets") / (F.col("supp1") * F.col("supp2")), 6
+                F.col("pair_count").cast("double")
+                * F.col("n_baskets")
+                / (F.col("supp1") * F.col("supp2")),
+                6,
             ).alias("lift"),
         )
         .orderBy(F.desc("pair_count"), F.desc("lift"), "p1", "p2")

@@ -776,7 +776,9 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     qi = ev.select(
         "event_type",
-        (F.get_json_object("props", "$.k").cast("long") / 10)
+        # floor, not truncate-toward-zero: DuckDB's // is floor division,
+        # and the two diverge for negative k
+        F.floor(F.get_json_object("props", "$.k").cast("long") / 10)
         .cast("long")
         .alias("k_bucket"),
         "user_id",
