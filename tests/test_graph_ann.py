@@ -91,11 +91,59 @@ def test_beam_search_scores_are_rounded_cosines(spark):
 
 
 def test_graph_ann_artifact_uses_own_path(spark, tmp_path):
-    # the k=8 search graph must not clobber the k=3 analytics artifact:
-    # the helper derives a k-specific path
+    # the search graph must not clobber the k=3 analytics artifact: the
+    # linear-build publisher writes under its own graph_ann_edges_ prefix
     import inspect
 
     from vectordbfaiss_spark.queries import embedding_analysis as ea
 
-    src = inspect.getsource(ea._graph_ann_edges)
-    assert "knn_edges{_GRAPH_ANN_K_EDGES}" in src or "knn_edges8" in src
+    src = inspect.getsource(ea.graph_ann_edges_published)
+    assert "graph_ann_edges_" in src and "knn_edges_" not in src
+
+
+def test_ivf_entry_pairs_cover_query_cells(spark):
+    from vectordbfaiss_spark.operators.graph_ann import ivf_entry_pairs
+    from vectordbfaiss_spark.plans.ivf import assign_clusters
+
+    emb = _toy_corpus(spark)
+    assigned, centroids = assign_clusters(
+        emb.select("vec_id", F.col("embedding").alias("nvec")),
+        vec_col="nvec",
+        n_clusters=4,
+        seed=7,
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    pairs = ivf_entry_pairs(queries, assigned, centroids, nprobe=2)
+    got = pairs.collect()
+    assert {r.query_id for r in got} == {0, 1, 2}
+    # a corpus-drawn query's own vector lies in its nearest cell, so the
+    # seed set must contain (q, q) — the self_found precondition
+    selfs = {(r.query_id, r.vec_id) for r in got}
+    for q in (0, 1, 2):
+        assert (q, q) in selfs
+    # entries are exactly the members of the nprobe chosen cells
+    amap = {r.vec_id: r.cluster_id for r in assigned.select("vec_id", "cluster_id").collect()}
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, set()).add(amap[r.vec_id])
+    for q, cells in by_q.items():
+        assert len(cells) <= 2
+
+
+def test_beam_search_entry_pairs_override_global_sample(spark):
+    emb = _toy_corpus(spark)
+    edges = _knn_edges_df(spark, emb, k=4)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    seeds = spark.createDataFrame(
+        [(0, 5), (1, 7)], "query_id long, vec_id long"
+    )
+    one_round = graph_beam_search(
+        queries, edges, emb, beam=2, rounds=0, entry_pairs=seeds
+    )
+    got = {(r.query_id, r.vec_id) for r in one_round.collect()}
+    # zero rounds: visited IS the seed set, scored — nothing else
+    assert got == {(0, 5), (1, 7)}

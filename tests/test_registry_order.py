@@ -18,14 +18,14 @@ def test_priority_is_the_registry_prefix():
     assert tuple(order[: len(registry._PRIORITY)]) == registry._PRIORITY
 
 
-def test_first_window_is_round6_rotation():
-    """Round-6 rotation contract: the sampled prefix holds the sentinels,
-    then every query with no driver row in rounds 1-5 (closing cumulative
-    coverage at 230/230), then this round's new queries, then a refresh
-    block of the oldest evidence (round-1-only samples). Driver-SAMPLED
-    means the query has any row in a CORRECTNESS_r* file — rows-only
-    entries record `no_oracle` rows and count as sampled once the driver
-    has executed them."""
+def test_first_window_is_round7_rotation():
+    """Round-7 rotation contract: with cumulative driver coverage closed
+    at 255/255 in round 6, the sampled prefix holds the sentinels, then
+    this round's NEW queries (each needing a first driver row), then a
+    refresh block of the stalest evidence (round-1-only samples first).
+    Driver-SAMPLED means the query has any row in a CORRECTNESS_r* file —
+    rows-only entries record `no_oracle` rows and count as sampled once
+    the driver has executed them."""
     import json
     import os
 
@@ -41,6 +41,7 @@ def test_first_window_is_round6_rotation():
         "CORRECTNESS_r03.json",
         "CORRECTNESS_r04.json",
         "CORRECTNESS_r05.json",
+        "CORRECTNESS_r06.json",
     ):
         with open(os.path.join(repo, rnd)) as fh:
             sampled.update(json.load(fh))

@@ -22,13 +22,14 @@ convergence action), so the plan is a static 10-stage DAG with one eager
 checkpoint per round to keep lineage flat — the pagerank/BPE loop
 discipline.
 
-Entry points are a hash-spread sample scaled with the corpus
-(max(16, N/32) here, so the recall floor holds from sf0.001 through
-sf0.1 without retuning). At production scale the entry set comes from a
-coarse quantizer instead — enter at the members of the nprobe closest IVF
-cells (plans/ivf.py supplies both the centroids and the assignment) — or
-from the upper layers of a hierarchical graph; corpus-proportional random
-entries are the honest single-layer form at fixture scale.
+Entry points come in two forms: a hash-spread sample scaled with the
+corpus (max(16, N/32) — the honest single-layer default at fixture
+scale, but entry scoring grows with N), or the production form —
+:func:`ivf_entry_pairs` seeds each query at the members of its nprobe
+closest IVF cells (plans/ivf.py supplies centroids and assignment), so
+at the scaled cell grain entry cost is corpus-INDEPENDENT. The
+`graph_ann_ivf_entries` registry query runs the IVF-seeded form
+end-to-end.
 """
 
 from __future__ import annotations
@@ -52,6 +53,40 @@ def _score_against_queries(
     )
 
 
+def ivf_entry_pairs(
+    queries: DataFrame,
+    assigned: DataFrame,
+    centroids,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Beam-search entry seeds from the coarse quantizer: (query_id,
+    vec_id) pairs covering the members of each query's ``nprobe``
+    nearest k-means cells — the production entry-point form the module
+    docstring promises. At the scaled cell grain (population ~constant,
+    see ``knn_graph_blocked_scaled``) entry-scoring cost per query is
+    nprobe * cell_population — CORPUS-INDEPENDENT, unlike the global
+    hash sample whose cost grows as N/32.
+
+    ``assigned`` is the (id, cluster_id) assignment frame and
+    ``centroids`` the trained centroid list (``plans/ivf.py``
+    ``assign_clusters`` supplies both). Centroid routing ranks cells by
+    dot product; per-query ranking is invariant to the query's norm, so
+    raw query vectors route identically to normalized ones. The Q-bounded
+    cell list broadcasts into one equi-join against the corpus-grain
+    assignment — never the reverse."""
+    from vectordbfaiss_spark.plans.ivf import _nearest_centroids
+
+    qcells = _nearest_centroids(
+        queries.select("query_id", "query_vec"), "query_vec", centroids, nprobe
+    ).select("query_id", F.explode("cluster_ids").alias("cluster_id"))
+    return (
+        assigned.select(F.col(id_col).alias("vec_id"), "cluster_id")
+        .join(F.broadcast(qcells), "cluster_id")
+        .select("query_id", "vec_id")
+    )
+
+
 def graph_beam_search(
     queries: DataFrame,
     edges: DataFrame,
@@ -59,29 +94,37 @@ def graph_beam_search(
     beam: int = 24,
     rounds: int = 10,
     n_entries: int | None = None,
+    entry_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """All visited-and-scored nodes per query after ``rounds`` of beam
     expansion: (query_id, vec_id, score). Callers take their top-k and/or
     check self-reachability from this one frame.
 
     ``queries`` is (query_id, query_vec) and must be query-bounded (the
-    broadcast contract of operators/topk.py). ``edges`` is the directed
-    kNN artifact (src, dst). ``n_entries`` defaults to max(16, N/32) —
-    see the module docstring for the production entry-point story.
+    broadcast contract of operators/topk.py). ``edges`` is the published
+    kNN artifact (src, dst). Entry points, in precedence order:
+    ``entry_pairs`` — an explicit (query_id, vec_id) seed frame (the
+    production form: IVF-seeded entries from the nprobe nearest cells,
+    see :func:`ivf_entry_pairs` — entry cost is per-cell, corpus-
+    INDEPENDENT at the scaled cell grain); else a hash-spread global
+    sample of ``n_entries`` nodes (default max(16, N/32) — honest at
+    fixture scale, but entry scoring grows with the corpus).
     """
-    if n_entries is None:
-        # only pay the corpus scan when the caller didn't size the entry
-        # set explicitly
-        n_entries = max(16, emb.count() // 32)
-    entries = (
-        emb.select("vec_id")
-        .orderBy(F.xxhash64("vec_id"), "vec_id")
-        .limit(n_entries)
-    )
+    if entry_pairs is not None:
+        seed_pairs = entry_pairs.select("query_id", "vec_id")
+    else:
+        if n_entries is None:
+            # only pay the corpus scan when the caller didn't size the
+            # entry set explicitly
+            n_entries = max(16, emb.count() // 32)
+        entries = (
+            emb.select("vec_id")
+            .orderBy(F.xxhash64("vec_id"), "vec_id")
+            .limit(n_entries)
+        )
+        seed_pairs = entries.crossJoin(F.broadcast(queries.select("query_id")))
     visited = _score_against_queries(
-        entries.crossJoin(F.broadcast(queries.select("query_id"))),
-        queries,
-        emb,
+        seed_pairs, queries, emb
     ).localCheckpoint(eager=True)
 
     rank_w = W.partitionBy("query_id").orderBy(F.desc("score"), "vec_id")

@@ -71,69 +71,21 @@ _loaded = False
 #   45 next never-verified rows (cumulative driver-sampled after r4:
 #   167/230);
 #   round 5 verified 48 more (cumulative 215/230);
-#   round 6 (this order): window = the two sentinels + the LAST 15
-#   never-driver-sampled queries (closing cumulative coverage at
-#   230/230) + the round-6 additions (new queries this round, each
-#   needing a first driver row) + a refresh block of the 22 queries
-#   whose only driver sample is round 1 (oldest evidence first).
+#   round 6 verified the last 15 never-sampled + all 19 additions,
+#   closing cumulative coverage at 255/255;
+#   round 7 (this order): with the ledger closed, the window = the two
+#   sentinels + the round-7 additions (new queries, each needing a
+#   first driver row) + a refresh block of the STALEST evidence: the
+#   14 queries whose only driver sample is round 1, then the oldest
+#   round-2-only block, in natural registration order.
 _PRIORITY: tuple[str, ...] = (
     # sentinels: flagship operators re-proven every round
     "topk_search",
     "ingest_index_build",
-    # the last 15 never-driver-sampled queries (rounds 1-5), natural
-    # registration order — closes cumulative coverage at 230/230
-    "join_skew_report",
-    "bloom_prefilter_join",
-    "source_temperature_weights",
-    "event_transition_matrix",
-    "length_bucketed_batches",
-    "event_sequence_pattern",
-    "top_event_paths",
-    "mad_outlier_events",
-    "daily_trend_ols",
-    "selfrep_span_scrub",
-    "phrase_search_postings",
-    "rag_context_budget_pack",
-    "inverted_index_incremental",
-    "snapshot_diff_report",
-    "ranking_eval_metrics",
-    # ---- round-6 additions (new this round; first driver rows) ----
-    # (first-session block, then the second-session batches — all staged
-    # ahead of the refresh block so every new query gets a driver row)
-    "knn_graph_blocked_scaled",
-    "semdedup_prune_scaled",
-    "pipeline_scrub_dedup_pack",
-    "sql_routed_pq_filtered",
-    "pipeline_bpe_pack",
-    "contrastive_triplet_mining",
-    "pareto_frontier_docs",
-    "frequent_pairs_market_basket",
-    "benford_first_digit_audit",
-    "acf_daily_counts",
-    "kcore_mutual_knn",
-    "graph_ann_topk_search",
-    "graph_ann_recall_bound",
-    "semantic_decontamination",
-    "theilsen_daily_trend",
-    "weekday_seasonality_anomalies",
-    "k_anonymity_audit",
-    "sql_routed_score_projection",
-    "neyman_allocation_plan",
-    "stratified_sample_neyman",
-    "sampled_token_count_ci",
-    "dedup_cluster_size_histogram",
-    "graph_ann_beam_curve",
-    "equi_depth_buckets_orders",
-    "corr_matrix_lineitem",
+    # ---- round-7 additions (new this round; first driver rows) ----
+    "graph_ann_build_bound",
+    "graph_ann_ivf_entries",
     # refresh block: oldest driver evidence (sampled only in round 1)
-    "deterministic_sample_docs",
-    "train_test_split_assign",
-    "balanced_downsample_per_lang",
-    "unigram_logprob_quality",
-    "winsorize_event_values",
-    "distinct_counts",
-    "rollup_lineitem",
-    "orders_per_customer_having",
     "case_when_buckets",
     "q3_shipping_priority",
     "star_join_rollup",
@@ -148,6 +100,42 @@ _PRIORITY: tuple[str, ...] = (
     "asof_join_click_purchase",
     "percentiles_order_value",
     "correlated_subquery_orders",
+    # refresh block: next-oldest evidence (latest sample round 2),
+    # natural registration order
+    "text_normalize_docs",
+    "benchmark_decontamination",
+    "dedup_exact_stats",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "neardup_triangle_count",
+    "dedup_cluster_components",
+    "bm25_doc_ranking",
+    "hybrid_rrf_fusion",
+    "filtered_topk_search",
+    "weighted_sample_docs",
+    "mmr_rerank_topk",
+    "text_pipeline_tokenize",
+    "hash_embedder_checksum",
+    "charcode_mock_embed",
+    "documents_dump",
+    "in_list_lookup",
+    "q1_pricing_summary",
+    "semi_join_big_spenders",
+    "topn_orders",
+    "set_operations",
+    "string_functions_part",
+    "json_extract_events",
+    "tumbling_window_daily",
+    "approx_distinct_sketch",
+    "sliding_window_2h_1h",
+    "text_chunk_documents",
+    "rag_answer_extractive",
+    "binary_roundtrip_vectors",
+    "csv_roundtrip_part",
+    "json_roundtrip_events",
+    "relevant_tokens_report",
+    "udtf_chunk_spans",
 )
 
 
