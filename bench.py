@@ -133,14 +133,52 @@ def main() -> None:
         for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             jrdd.unpersist(False)
 
+    # Stall re-measure gate (round-6 verdict): multi-second host freezes
+    # hit RANDOM queries (pure-compute TPC-H q19 at 36x with an identical
+    # plan — host scheduling, not code). Compare each timing to the
+    # committed clean anchor; a >3x outlier that is also >1 s over gets
+    # ONE re-measure, and the sidecar records both samples. The official
+    # number is the MIN (a persistent regression stays slow in both).
+    anchor_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_ANCHOR",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "bench_records",
+            "r6_clean_bench_queries.json",
+        ),
+    )
+    anchor: dict[str, float] = {}
+    try:
+        with open(anchor_path) as fh:
+            anchor = json.load(fh).get("queries", {})
+    except (OSError, json.JSONDecodeError):
+        pass
+
+    def _timed(fn) -> float:
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = round(time.perf_counter() - t0, 3)
+        _drop_leaked_blocks()
+        return dt
+
     timings: dict[str, float] = {}
+    retried: dict[str, list[float]] = {}
     for name, fn in sorted(registry.queries().items()):
         if wanted is not None and name not in wanted:
             continue
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        _drop_leaked_blocks()
+        dt = _timed(fn)
+        ref = anchor.get(name)
+        if ref is not None and dt > 3.0 * ref and dt > ref + 1.0:
+            dt2 = _timed(fn)
+            retried[name] = [dt, dt2]
+            dt = min(dt, dt2)
+        timings[name] = dt
+    if retried:
+        print(
+            f"NOTE: re-measured {len(retried)} stall-suspect queries "
+            f"(>3x the clean anchor): {sorted(retried)}",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     # Per-query timings go to a sidecar file, NOT stdout: the driver parses
@@ -163,6 +201,9 @@ def main() -> None:
                 "recently_busy": recently_busy,
                 "load_avg_start": _load_start,
                 "load_avg_end": list(load_after),
+                # stall-suspect queries re-measured once: [first, second]
+                # samples; the official timing above is the min
+                "retried": retried,
                 "queries": timings,
             },
             f,

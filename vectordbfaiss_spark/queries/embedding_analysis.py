@@ -250,8 +250,13 @@ def _blocked_knn_edges(
 
 @register("knn_graph_blocked", _BLOCKED_KNN_ORACLE)
 def q_knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster-blocked approximate k-NN graph + in-query verification —
-    the production-scale path for graph construction.
+    """Cluster-blocked kNN graph, FIXTURE-GRAIN oracle form (production contract = knn_graph_blocked_scaled).
+
+    n_clusters is pinned to 8 so the
+    DuckDB oracle can replay it; the production contract (K derived from
+    corpus size, per-cell population constant) is the `_scaled` twin
+    `knn_graph_blocked_scaled` below — never read this pinned-K plan as
+    the scale path.
 
     Vectors are k-means-assigned (reusing the IVF quantizer artifacts),
     and each cluster computes its members' top-3 neighbors with ONE

@@ -685,12 +685,20 @@ def _semdedup_df(spark: SparkSession, sf_dir: str):
 
 @register("semdedup_prune", rows_only=True)
 def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023): k-means clusters as blocking, then
+    """SemDeDup (Abbas et al. 2023), FIXTURE-GRAIN form (production contract = semdedup_prune_scaled).
+
+    K-means clusters as blocking, then
     keep-first-by-id removal of within-cluster vectors whose cosine to a
     smaller-id member exceeds the threshold. Rows-only (k-means is not
     SQL-expressible); every removal carries a witness_id that
     ``semdedup_witness_bound`` re-checks from raw embeddings, and
-    tests/test_semdedup.py pins exact behavior on a constructed corpus."""
+    tests/test_semdedup.py pins exact behavior on a constructed corpus.
+
+    FIXTURE-GRAIN form: the cluster count is pinned for replayability;
+    the production contract (K = max(8, ceil(N/64)) derived from the
+    corpus size, per-cell population constant) is the `_scaled` twin
+    `semdedup_prune_scaled` — never read this pinned-K plan as the
+    scale path."""
     return _semdedup_df(spark, sf_dir)
 
 
