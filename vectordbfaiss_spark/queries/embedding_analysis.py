@@ -193,7 +193,11 @@ FROM embeddings
 
 
 def _blocked_knn_edges(
-    spark: SparkSession, sf_dir: str, n_clusters: int, k: int = _KNN_K
+    spark: SparkSession,
+    sf_dir: str,
+    n_clusters: int,
+    k: int = _KNN_K,
+    min_id: int | None = None,
 ) -> DataFrame:
     """Cluster-blocked approximate kNN edges (src, dst, score): k-means
     assignment (IVF quantizer artifacts) + ONE applyInPandas Gram-matrix
@@ -206,6 +210,8 @@ def _blocked_knn_edges(
     from vectordbfaiss_spark.plans.ivf import assign_clusters, corpus_fingerprint
 
     emb = load_table(spark, sf_dir, "embeddings")
+    if min_id is not None:
+        emb = emb.filter(F.col("vec_id") >= min_id)
     # assign on a COPY column: assign_clusters normalizes vec_col in place
     # and quantizes it to float32 — fine for routing, but scoring must run
     # from the raw embeddings or the witness re-derivation (float64 cosine
@@ -215,7 +221,9 @@ def _blocked_knn_edges(
         vec_col="nvec",
         n_clusters=n_clusters,
         seed=42,
-        corpus_key=corpus_fingerprint(f"{sf_dir}/embeddings.parquet"),
+        # the subset must NOT share the full corpus's centroid-cache key
+        corpus_key=corpus_fingerprint(f"{sf_dir}/embeddings.parquet")
+        + (f":min{min_id}" if min_id is not None else ""),
     )
     assigned = assigned.drop("nvec")
 
@@ -1082,7 +1090,10 @@ _GRAPH_ANN_ROUNDS = 10
 
 
 def graph_ann_edges_published(
-    spark: SparkSession, sf_dir: str, out_path: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str | None = None,
+    subset_min_id: int | None = None,
 ) -> DataFrame:
     """The search graph the graph-ANN family traverses, built by the
     LINEAR path and published build-once (the IVF artifact shape).
@@ -1109,8 +1120,10 @@ def graph_ann_edges_published(
         corpus_fingerprint,
     )
 
+    suffix = f"_min{subset_min_id}" if subset_min_id is not None else ""
     out = out_path or (
-        f"/root/repo/spark-warehouse/graph_ann_edges_{pathlib.Path(sf_dir).name}"
+        "/root/repo/spark-warehouse/"
+        f"graph_ann_edges_{pathlib.Path(sf_dir).name}{suffix}"
     )
     params = {
         "corpus_key": corpus_fingerprint(f"{sf_dir}/embeddings.parquet"),
@@ -1118,15 +1131,21 @@ def graph_ann_edges_published(
         "k_build": _GRAPH_ANN_BUILD_K,
         "rounds": _GRAPH_ANN_NND_ROUNDS,
         "degree_cap": _GRAPH_ANN_DEGREE_CAP,
+        "subset_min_id": subset_min_id,
     }
     if _published_meta(out, "_graph_meta.json", params) is None:
         emb = load_table(spark, sf_dir, "embeddings")
+        if subset_min_id is not None:
+            # base-only build for the incremental-insert lifecycle: the
+            # held-out ids arrive later as delta segments
+            emb = emb.filter(F.col("vec_id") >= subset_min_id)
         n = emb.count()
         blocked = _blocked_knn_edges(
             spark,
             sf_dir,
             n_clusters=max(8, -(-n // _SCALED_CELL_TARGET)),
             k=_GRAPH_ANN_BUILD_K,
+            min_id=subset_min_id,
         ).select("src", "dst")
         knn = nn_descent(
             emb,
@@ -1376,6 +1395,80 @@ def q_graph_ann_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Q-bounded frames throughout: broadcast explicitly (post-window frames
     # carry no stats and would degrade to sort-merge joins)
+    hits = (
+        exact.join(F.broadcast(approx), ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    self_found = visited.filter(F.col("query_id") == F.col("vec_id")).select(
+        "query_id", F.lit(True).alias("self_found")
+    )
+    return (
+        queries.select("query_id")
+        .join(F.broadcast(hits), "query_id", "left")
+        .join(F.broadcast(self_found), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("self_found", F.lit(False)).alias("self_found"),
+            (F.coalesce("n_hits", F.lit(0)) >= F.lit(5)).alias("recall_ok"),
+        )
+    )
+
+
+@register("graph_ann_incremental", _GRAPH_ANN_BOUND_ORACLE)
+def q_graph_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental graph maintenance, end to end: the graph twin of
+    `ivf_append_search` and the last IVF/graph family asymmetry. A base
+    graph is built (linear path) over vec_id >= 50 only; the 50 held-out
+    vectors are then INSERTED via the HNSW add() lifecycle
+    (``operators/graph_ann_incremental.py``: each new point beam-searches
+    the base graph for its neighbors, links top-k BOTH directions, plus
+    intra-batch links) — no base rewrite, the delta is a segment-shaped
+    edge frame unioned at read time. The bound: searching the UPDATED
+    graph with the inserted vectors as queries must find them
+    (``self_found`` — reachability comes only from the delta's reverse
+    links) and reach recall@10 >= 0.5 vs the exact scan over the FULL
+    corpus (``recall_ok``) — i.e. freshly inserted vectors are
+    first-class citizens of the index immediately, the whole point of
+    incremental maintenance."""
+    from vectordbfaiss_spark.operators.graph_ann import graph_beam_search
+    from vectordbfaiss_spark.operators.graph_ann_incremental import (
+        graph_insert_edges,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") < 50).select("vec_id", "embedding")
+    base_emb = emb.filter(F.col("vec_id") >= 50)
+    base_edges = graph_ann_edges_published(spark, sf_dir, subset_min_id=50)
+    delta = graph_insert_edges(
+        batch,
+        base_edges.select("src", "dst"),
+        base_emb,
+        k=_GRAPH_ANN_BUILD_K,
+        beam=_GRAPH_ANN_BEAM,
+        rounds=_GRAPH_ANN_ROUNDS,
+    )
+    serving = (
+        base_edges.select("src", "dst")
+        .unionByName(delta.select("src", "dst"))
+        .localCheckpoint(eager=True)
+    )
+    queries = batch.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    visited = graph_beam_search(
+        queries, serving, emb, beam=_GRAPH_ANN_BEAM, rounds=_GRAPH_ANN_ROUNDS
+    ).localCheckpoint(eager=True)
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), "vec_id")
+    approx = (
+        visited.filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "vec_id")
+    )
+    exact = score_topk_vectorized(queries, emb, k=10, exclude_self=True).select(
+        "query_id", "vec_id"
+    )
     hits = (
         exact.join(F.broadcast(approx), ["query_id", "vec_id"], "left_semi")
         .groupBy("query_id")

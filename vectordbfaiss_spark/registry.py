@@ -85,6 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     # ---- round-7 additions (new this round; first driver rows) ----
     "graph_ann_build_bound",
     "graph_ann_ivf_entries",
+    "graph_ann_incremental",
     # refresh block: oldest driver evidence (sampled only in round 1)
     "case_when_buckets",
     "q3_shipping_priority",
