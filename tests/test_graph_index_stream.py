@@ -102,3 +102,35 @@ def test_stream_insert_serves_new_nodes_and_compacts(spark, tmp_path: pathlib.Pa
         .count()
     )
     assert self2 == 30
+
+
+def test_tombstones_remove_all_touching_edges_and_compact_drops(spark, tmp_path):
+    from vectordbfaiss_spark.operators.graph_ann_incremental import (
+        apply_tombstones,
+        compact_graph,
+    )
+
+    emb = _corpus(spark, n=60)
+    base_path = str(tmp_path / "base")
+    nn_descent(emb, k=5, rounds=3).select("src", "dst", "score").write.parquet(
+        base_path
+    )
+    tombs = spark.createDataFrame([(7,), (13,), (21,)], "vec_id long")
+    edges = spark.read.parquet(base_path)
+    served = apply_tombstones(edges, tombs)
+    got = served.collect()
+    dead = {7, 13, 21}
+    assert all(r.src not in dead and r.dst not in dead for r in got)
+    # non-touching edges all survive
+    keep = edges.filter(~F.col("src").isin(*dead) & ~F.col("dst").isin(*dead))
+    assert served.count() == keep.count()
+
+    # physical compaction with tombstones: the new base carries none
+    out = str(tmp_path / "compacted")
+    (tmp_path / "segments").mkdir()
+    compact_graph(
+        spark, base_path, str(tmp_path / "segments"), out, degree_cap=10,
+        tombstones=tombs,
+    )
+    comp = spark.read.parquet(out)
+    assert comp.filter(F.col("src").isin(*dead) | F.col("dst").isin(*dead)).count() == 0

@@ -109,18 +109,40 @@ def read_graph(
     return df
 
 
+def apply_tombstones(
+    edges: DataFrame, tombstones: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Serving-time DELETE: drop every edge touching a tombstoned id —
+    two anti-joins against the (small) tombstone set, so deleted vectors
+    can neither be returned nor traversed THROUGH. The FAISS
+    ``remove_ids`` analog for the segment layout: deletes are logical
+    until ``compact_graph`` folds them in; the base artifact is never
+    rewritten at delete time."""
+    t = tombstones.select(F.col(id_col).alias("_tomb"))
+    return (
+        edges.join(
+            F.broadcast(t), edges["src"] == F.col("_tomb"), "left_anti"
+        ).join(F.broadcast(t), edges["dst"] == F.col("_tomb"), "left_anti")
+    )
+
+
 def compact_graph(
     spark: SparkSession,
     base_path: str,
     segments_root: str,
     out_path: str,
     degree_cap: int = 24,
+    tombstones: DataFrame | None = None,
 ) -> None:
-    """Fold delta segments into a new base: union, dedup on (src, dst)
-    keeping the best score, re-apply the per-node degree cap, rewrite
-    src-clustered — the maintenance step that bounds out-degree growth
-    from accumulated reverse links."""
+    """Fold delta segments into a new base: union, apply tombstones
+    physically (deleted nodes' edges disappear from the artifact), dedup
+    on (src, dst) keeping the best score, re-apply the per-node degree
+    cap, rewrite src-clustered — the maintenance step that bounds
+    out-degree growth from accumulated reverse links and makes logical
+    deletes durable."""
     all_edges = read_graph(spark, base_path, segments_root)
+    if tombstones is not None:
+        all_edges = apply_tombstones(all_edges, tombstones)
     best = all_edges.groupBy("src", "dst").agg(F.max("score").alias("score"))
     w = W.partitionBy("src").orderBy(F.desc("score"), "dst")
     (

@@ -1489,6 +1489,75 @@ def q_graph_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DELETE_MOD = 40  # tombstone every 40th id (~2.5% of the corpus)
+
+_GRAPH_DELETE_ORACLE = f"""
+SELECT vec_id AS query_id, TRUE AS no_deleted_hits, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 50 AND vec_id % {_DELETE_MOD} != 0
+"""
+
+
+@register("graph_ann_delete_serve", _GRAPH_DELETE_ORACLE)
+def q_graph_ann_delete_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE side of the graph-index lifecycle (FAISS ``remove_ids`` /
+    Lucene tombstones): every ~40th vector is tombstoned, serving drops
+    every edge touching a deleted id via two broadcast anti-joins
+    (``apply_tombstones``) — no base rewrite, deletes stay logical until
+    compaction. Hash-checked per-query bounds: ``no_deleted_hits`` (the
+    top-10 from the tombstoned graph NEVER returns a deleted id — the
+    correctness contract of delete) and ``recall_ok`` (recall@10 vs the
+    exact scan over the SURVIVING corpus >= 0.5 — dropping ~2.5% of a
+    degree-capped symmetric graph must not break navigability)."""
+    from vectordbfaiss_spark.operators.graph_ann import graph_beam_search
+    from vectordbfaiss_spark.operators.graph_ann_incremental import (
+        apply_tombstones,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tombstones = emb.filter(F.col("vec_id") % _DELETE_MOD == 0).select("vec_id")
+    survivors = emb.filter(F.col("vec_id") % _DELETE_MOD != 0)
+    edges = _graph_ann_edges(spark, sf_dir).select("src", "dst")
+    serving = apply_tombstones(edges, tombstones)
+    queries = survivors.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    visited = graph_beam_search(
+        queries, serving, survivors, beam=_GRAPH_ANN_BEAM, rounds=_GRAPH_ANN_ROUNDS
+    ).localCheckpoint(eager=True)
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), "vec_id")
+    approx = (
+        visited.filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "vec_id")
+    ).localCheckpoint(eager=True)
+    deleted_hits = (
+        approx.join(
+            F.broadcast(tombstones.select(F.col("vec_id"))), "vec_id", "left_semi"
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_del"))
+    )
+    exact = score_topk_vectorized(
+        queries, survivors, k=10, exclude_self=True
+    ).select("query_id", "vec_id")
+    hits = (
+        exact.join(F.broadcast(approx), ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        queries.select("query_id")
+        .join(F.broadcast(deleted_hits), "query_id", "left")
+        .join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce("n_del", F.lit(0)) == 0).alias("no_deleted_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= F.lit(5)).alias("recall_ok"),
+        )
+    )
+
+
 _BEAM_CURVE_BEAMS = (4, 24)
 _BEAM_CURVE_QUERIES = 25
 

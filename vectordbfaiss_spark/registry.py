@@ -86,6 +86,7 @@ _PRIORITY: tuple[str, ...] = (
     "graph_ann_build_bound",
     "graph_ann_ivf_entries",
     "graph_ann_incremental",
+    "graph_ann_delete_serve",
     # refresh block: oldest driver evidence (sampled only in round 1)
     "case_when_buckets",
     "q3_shipping_priority",
