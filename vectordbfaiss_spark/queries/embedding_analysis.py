@@ -1085,6 +1085,12 @@ def q_recursive_cte_knn_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GRAPH_ANN_BUILD_K = 16  # NN-descent per-node list size during the build
 _GRAPH_ANN_DEGREE_CAP = 24  # out-degree cap of the published symmetrized graph
 _GRAPH_ANN_NND_ROUNDS = 4
+# init blocking grain: 250/cell is the r6-proven scaled grain whose DRIVER
+# k-means fit was measured through syn100 (K=800 at 200k vectors, 104.6 s);
+# the 64/cell grain derives K=3125 there and Lloyd's driver matrices blow
+# past 5 GB/iteration. The init is an accelerator, not a correctness
+# surface — beam-search floors were re-measured at this grain.
+_GRAPH_INIT_CELL_TARGET = 250
 _GRAPH_ANN_BEAM = 24
 _GRAPH_ANN_ROUNDS = 10
 
@@ -1131,6 +1137,7 @@ def graph_ann_edges_published(
         "k_build": _GRAPH_ANN_BUILD_K,
         "rounds": _GRAPH_ANN_NND_ROUNDS,
         "degree_cap": _GRAPH_ANN_DEGREE_CAP,
+        "init_cell_target": _GRAPH_INIT_CELL_TARGET,
         "subset_min_id": subset_min_id,
     }
     if _published_meta(out, "_graph_meta.json", params) is None:
@@ -1143,7 +1150,7 @@ def graph_ann_edges_published(
         blocked = _blocked_knn_edges(
             spark,
             sf_dir,
-            n_clusters=max(8, -(-n // _SCALED_CELL_TARGET)),
+            n_clusters=max(8, -(-n // _GRAPH_INIT_CELL_TARGET)),
             k=_GRAPH_ANN_BUILD_K,
             min_id=subset_min_id,
         ).select("src", "dst")
@@ -1231,7 +1238,7 @@ def q_graph_ann_build_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings with the expression cosine matches at 6dp (zero trust in
     the build kernels). ``edge_recall_ok``: the published edge set
     covers >= 35% of the exact directed kNN@{k_build} edges (measured
-    0.89/0.92/0.47 at sf0.001/0.01/0.1 — the random-vector fixture has
+    0.89/0.92/0.43 at sf0.001/0.01/0.1 — the random-vector fixture has
     ZERO locality structure, the hostile case for any neighbor-descent
     method; the floor fires on real build regressions — a broken
     NN-Descent round or a lost init, which collapse recall to ~0.1 —
@@ -1375,7 +1382,7 @@ def q_graph_ann_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     reachable, and a traversal that misses it has a broken frontier or
     entry spread); (b) ``recall_ok`` — recall@10 vs the exact in-plan
     scan >= 0.5, under the measured floor on the NN-Descent-built graph
-    (per-query min >= 0.5 everywhere; means 0.99/0.996/0.88 at
+    (per-query min >= 0.5 everywhere; means 0.99/0.996/0.87 at
     sf0.001/0.01/0.1 with beam=24, rounds=10, entries=max(16, N/32)),
     so it fires on real traversal regressions, not fixture noise."""
     emb = load_table(spark, sf_dir, "embeddings")
