@@ -38,7 +38,12 @@ def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rungs = sys.argv[1:] or ["syn1", "syn10", "syn100"]
     spark = get_spark(
-        app_name="graph_build_probe", master="local[32]", shuffle_partitions=32
+        app_name="graph_build_probe",
+        master="local[32]",
+        shuffle_partitions=32,
+        # local mode: one heap for driver + all 32 task threads; the
+        # NN-Descent candidate shuffles at syn100 OOM the 1g default
+        driver_memory="16g",
     )
     out: dict[str, dict] = {}
     for rung in rungs:
