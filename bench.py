@@ -26,6 +26,13 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # Sample host load FIRST — before the SparkSession or any warmup
+    # work exists. The contamination gate wants EXTERNAL load; sampling
+    # after the warmup (as rounds 3-7 did) counts the bench's own
+    # JVM/page-cache warmup in the 1-min average and false-flagged the
+    # round-8 anchor (launched at 0.21, read 1.18 post-warmup).
+    _load_start = list(os.getloadavg())
+
     from vectordbfaiss_spark import registry
     from vectordbfaiss_spark.session import get_spark
 
@@ -92,7 +99,6 @@ def main() -> None:
 
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     wanted = set(subset.split(",")) if subset else None
-    _load_start = list(os.getloadavg())
     # Contamination gate (round-3 verdict): a 1-min load average >> 0 from
     # OUTSIDE this process before we start timing means another workload is
     # sharing the cores and the whole tail inflates ~12-40% with identical
@@ -161,8 +167,17 @@ def main() -> None:
         _drop_leaked_blocks()
         return dt
 
+    # cold/warm pairs (round-7 verdict item 3): with
+    # SPARK_GRAFT_BENCH_PASSES=2 every query is timed twice back-to-back
+    # and both samples land in the sidecar ("pairs") — the second sample
+    # isolates steady-state compute from first-touch costs (shuffle-file
+    # page cache, codegen, broadcast rebuilds) for drift adjudication.
+    # The OFFICIAL timing stays the first (stall-gated) sample, so the
+    # number remains comparable with rounds 1-7.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "1"))
     timings: dict[str, float] = {}
     retried: dict[str, list[float]] = {}
+    pairs: dict[str, list[float]] = {}
     for name, fn in sorted(registry.queries().items()):
         if wanted is not None and name not in wanted:
             continue
@@ -172,6 +187,8 @@ def main() -> None:
             dt2 = _timed(fn)
             retried[name] = [dt, dt2]
             dt = min(dt, dt2)
+        if passes > 1:
+            pairs[name] = [dt, _timed(fn)]
         timings[name] = dt
     if retried:
         print(
@@ -204,6 +221,9 @@ def main() -> None:
                 # stall-suspect queries re-measured once: [first, second]
                 # samples; the official timing above is the min
                 "retried": retried,
+                # [official-first, immediate-warm] samples when
+                # SPARK_GRAFT_BENCH_PASSES=2 (empty otherwise)
+                "pairs": pairs,
                 "queries": timings,
             },
             f,

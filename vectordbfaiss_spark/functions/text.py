@@ -138,10 +138,42 @@ def hash_embed_udf(dim: int = 64):
 
     The pluggable-embedder seam: swap for a real model-inference UDF in
     production; identical signature (SURVEY §2.9 U1).
+
+    The md5 per token is memoized across the Arrow batch (natural text
+    repeats its vocabulary heavily — Zipf), so the per-row work is a
+    dict lookup + one exact integer accumulation (`np.add.at` over ±1
+    in float64 is exact below 2^53, so summation order cannot change a
+    bit) instead of re-hashing every occurrence. Bit-identical output
+    to the per-token form (`_hash_embed_text`, kept as the scalar
+    reference); measured on the syn ladder in SCALE.md round-8.
     """
 
     @F.pandas_udf(T.ArrayType(T.FloatType()))
     def _embed(s: pd.Series) -> pd.Series:
-        return s.map(lambda t: _hash_embed_text(t if t is not None else "", dim))
+        cache: dict[str, tuple[int, float]] = {}
+
+        def lookup(tok: str) -> tuple[int, float]:
+            bs = cache.get(tok)
+            if bs is None:
+                h = hashlib.md5(tok.encode("utf-8")).digest()
+                bs = (
+                    int.from_bytes(h[:4], "little") % dim,
+                    1.0 if h[4] & 1 else -1.0,
+                )
+                cache[tok] = bs
+            return bs
+
+        def embed_one(t: str | None) -> np.ndarray:
+            toks = (t if t is not None else "").lower().split()
+            vec = np.zeros(dim, dtype=np.float64)
+            if toks:
+                pairs = np.asarray([lookup(tok) for tok in toks], dtype=np.float64)
+                np.add.at(vec, pairs[:, 0].astype(np.int64), pairs[:, 1])
+            norm = float(np.linalg.norm(vec))
+            if norm > 0.0:
+                vec /= norm
+            return vec.astype(np.float32)
+
+        return s.map(embed_one)
 
     return _embed

@@ -87,6 +87,44 @@ def ivf_entry_pairs(
     )
 
 
+def graph_serve_knobs(n: int, base_beam: int = 24, base_rounds: int = 10):
+    """Corpus-derived serving knobs (beam, rounds): the K-proportional-
+    to-N move applied to the search side. Round-7 SCALE.md measured
+    recall@10 at FIXED beam=24/rounds=10 decaying 0.88 -> 0.63 -> 0.22
+    over 2k -> 200k vectors — constants silently rot as the corpus
+    grows, exactly like a fixed IVF cell count. The schedule grows the
+    beam as sqrt(N) past the 20k fixture scale (per-query serve cost is
+    ~beam * degree * rounds, so cost grows sublinearly in N) and adds
+    rounds logarithmically (frontier depth, not width). Calibrated on
+    the round-8 syn ladder (see SCALE.md): scheduled knobs hold
+    recall@10 >= 0.5 at every rung while the fixture scales keep the
+    measured (24, 10) defaults, so registry floors are untouched."""
+    import math
+
+    beam = max(base_beam, math.ceil(base_beam * math.sqrt(n / 20000.0)))
+    rounds = base_rounds + max(0, math.ceil(2 * math.log10(max(n, 1) / 20000.0)))
+    return beam, rounds
+
+
+def hash_entry_pairs(
+    store: DataFrame, queries: DataFrame, n_entries: int
+) -> DataFrame:
+    """The hash-spread entry sample as an EXPLICIT (query_id, vec_id)
+    seed frame, drawn from ``store`` — for callers whose seedable node
+    set is narrower than the scoring corpus. The incremental-insert
+    witness needs this: seeding from the FULL corpus can seed an
+    inserted id directly, letting ``self_found`` pass without the delta
+    reverse links it claims to prove (round-7 advisor finding); drawing
+    the sample from the BASE store only makes reachability of inserts
+    depend on the delta edges alone."""
+    entries = (
+        store.select("vec_id")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(n_entries)
+    )
+    return entries.crossJoin(F.broadcast(queries.select("query_id")))
+
+
 def graph_beam_search(
     queries: DataFrame,
     edges: DataFrame,
@@ -95,6 +133,7 @@ def graph_beam_search(
     rounds: int = 10,
     n_entries: int | None = None,
     entry_pairs: DataFrame | None = None,
+    exclude_entry_ids: DataFrame | None = None,
 ) -> DataFrame:
     """All visited-and-scored nodes per query after ``rounds`` of beam
     expansion: (query_id, vec_id, score). Callers take their top-k and/or
@@ -109,6 +148,15 @@ def graph_beam_search(
     INDEPENDENT at the scaled cell grain); else a hash-spread global
     sample of ``n_entries`` nodes (default max(16, N/32) — honest at
     fixture scale, but entry scoring grows with the corpus).
+
+    ``exclude_entry_ids``: ids that must NOT be seeded as entry points —
+    the tombstone half of the serve-time DELETE contract. Dropping a
+    deleted id's edges (``apply_tombstones``) keeps it out of every
+    expansion round, but the SEED sample comes from the embedding store,
+    which still contains tombstoned vectors until compaction (deletes
+    are logical); without this anti-join a deleted id could be seeded,
+    scored, and returned despite having zero edges (round-7 advisor
+    finding). Applied to both entry forms.
     """
     if entry_pairs is not None:
         seed_pairs = entry_pairs.select("query_id", "vec_id")
@@ -123,6 +171,10 @@ def graph_beam_search(
             .limit(n_entries)
         )
         seed_pairs = entries.crossJoin(F.broadcast(queries.select("query_id")))
+    if exclude_entry_ids is not None:
+        seed_pairs = seed_pairs.join(
+            F.broadcast(exclude_entry_ids.select("vec_id")), "vec_id", "left_anti"
+        )
     visited = _score_against_queries(
         seed_pairs, queries, emb
     ).localCheckpoint(eager=True)

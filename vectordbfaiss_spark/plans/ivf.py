@@ -71,6 +71,13 @@ def _fit_centroids(
     # float64 math over the float32-bounded sample (stored vectors are
     # float32, so the widening is value-exact)
     X = collect_training_sample(index, vec_col, seed).astype(np.float64)
+    if n_clusters > _DRIVER_FIT_MAX_K and len(X) > n_clusters:
+        # K past the flat-fit ceiling: coarse driver fit + distributed
+        # per-cell sub-fits (the 100 TB grain path); the flat path below
+        # is bit-stable for every existing artifact
+        return _fit_centroids_hierarchical(
+            index.sparkSession, X, n_clusters, seed, iters
+        )
     rng = np.random.default_rng(seed)
     k = min(n_clusters, len(X))
     centers = X[rng.choice(len(X), size=k, replace=False)]
@@ -85,6 +92,110 @@ def _fit_centroids(
             if len(pts):
                 centers[c] = pts.mean(0)
     return [c.tolist() for c in centers]
+
+
+# Above this K the flat driver fit is out of budget: Lloyd's distance
+# matrix is (sample_n x K) float64 — K=3,125 at a 200k sample is ~5 GB
+# per iteration and the first syn100 probe attempt spun 80+ minutes
+# (SCALE.md round-7). The hierarchical path bounds memory at
+# O(sample_n * (d + sqrt(K))) and distributes the sub-fits.
+_DRIVER_FIT_MAX_K = 1024
+
+
+def _lloyd_vectorized(X, k: int, seed: int, iters: int = 10):
+    """Seeded Lloyd's with a vectorized center update (np.add.at +
+    bincount instead of a Python loop over clusters) — used by the
+    hierarchical path only, so the flat fit's float behavior (and every
+    published centroid artifact derived from it) is untouched."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    k = min(k, len(X))
+    if k == 0:
+        return np.zeros((0, X.shape[1] if X.ndim == 2 else 0))
+    centers = X[rng.choice(len(X), size=k, replace=False)].copy()
+    x_sq = (X * X).sum(1, keepdims=True)
+    lab = None
+    for _ in range(iters):
+        d = x_sq - 2.0 * (X @ centers.T) + (centers * centers).sum(1)
+        lab = d.argmin(1)
+        sums = np.zeros_like(centers)
+        np.add.at(sums, lab, X)
+        counts = np.bincount(lab, minlength=len(centers)).astype(np.float64)
+        nz = counts > 0
+        centers[nz] = sums[nz] / counts[nz, None]
+    return centers
+
+
+def _fit_centroids_hierarchical(
+    spark: SparkSession,
+    X,
+    n_clusters: int,
+    seed: int,
+    iters: int = 10,
+):
+    """Two-level k-means for K past the flat-fit ceiling: a COARSE
+    driver fit over the training sample (K1 = ceil(sqrt(K)) centers —
+    small matrices), then one DISTRIBUTED sub-fit per coarse cell
+    (``applyInPandas``: each cell is an independent numpy Lloyd's over
+    its own points for its size-proportional share of K). This is the
+    production path for the K-proportional-to-N grain at 100 TB —
+    K = N/250 crosses the driver ceiling around N = 256k, exactly where
+    the corpus stops fitting one box anyway. Memory: the coarse fit's
+    matrix is (n x sqrt(K)); each sub-fit's is (n_cell x K/K1) ~ (n/K1
+    x K/K1), so nothing scales as n x K. Deterministic: sub-fits sort
+    their cell's points lexicographically (groupBy delivery order is
+    not stable across partitionings) and seed by (seed, cell id).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    k1 = max(2, math.ceil(math.sqrt(n_clusters)))
+    coarse = _lloyd_vectorized(X, k1, seed, iters)
+    x_sq = (X * X).sum(1, keepdims=True)
+    lab = (x_sq - 2.0 * (X @ coarse.T) + (coarse * coarse).sum(1)).argmin(1)
+    counts = np.bincount(lab, minlength=len(coarse))
+    # size-proportional sub-K allocation: one center minimum per
+    # non-empty cell, remainders to the largest cells, total == K
+    present = np.flatnonzero(counts > 0)
+    alloc = np.maximum(1, (counts[present] / counts.sum() * n_clusters).astype(int))
+    while alloc.sum() > n_clusters:
+        alloc[np.argmax(alloc)] -= 1
+    order = np.argsort(-counts[present], kind="stable")
+    i = 0
+    while alloc.sum() < n_clusters:
+        c = order[i % len(order)]
+        if alloc[c] < counts[present][c]:  # never more centers than points
+            alloc[c] += 1
+        i += 1
+    sub_k = dict(zip(present.tolist(), alloc.tolist()))
+
+    dim = X.shape[1]
+    pdf = pd.DataFrame(
+        {"cell": lab.astype("int32"), "vec": [row for row in X.astype(np.float32)]}
+    )
+    sdf = spark.createDataFrame(
+        pdf, "cell int, vec array<float>"
+    ).repartition("cell")
+    bc_sub_k = spark.sparkContext.broadcast(sub_k)
+    out_schema = T.StructType([T.StructField("center", T.ArrayType(T.DoubleType()))])
+
+    def fit_cell(key: tuple, cell_pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(key[0])
+        P = np.array(list(cell_pdf["vec"]), dtype=np.float64)
+        P = P[np.lexsort(P.T[::-1])]  # delivery-order independence
+        centers = _lloyd_vectorized(
+            P, bc_sub_k.value.get(cell, 1), seed * 100003 + cell, iters
+        )
+        return pd.DataFrame({"center": [c.tolist() for c in centers]})
+
+    rows = sdf.groupBy("cell").applyInPandas(fit_cell, out_schema).collect()
+    centers = sorted((r["center"] for r in rows))  # stable global order
+    assert len(centers[0]) == dim
+    return [list(c) for c in centers]
 
 
 def _nearest_centroids(df: DataFrame, vec_col: str, centroids, n: int) -> DataFrame:

@@ -628,11 +628,15 @@ def q_quality_prune_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     `quality_calibration_deciles` says where each source's distribution
     sits; this query prices the cut itself, which is how the floor is
     actually chosen ("highest floor that keeps >= X% of tokens"). One
-    stopword-scan pass computes (quality, n_tokens) per doc (the 2-column
-    frame is checkpointed — two consumers), then a broadcast nested-loop
-    against the 9-row threshold frame feeds a map-side-combinable
-    conditional aggregate: O(9N) flat rows, no shuffle bigger than 9
-    groups, no re-scan per threshold.
+    stopword-scan pass computes (quality, n_tokens) per doc, then a
+    broadcast nested-loop against the 9-row threshold frame feeds a
+    map-side-combinable conditional aggregate: O(9N) flat rows, no
+    shuffle bigger than 9 groups, no re-scan per threshold. The corpus
+    total rides the SAME aggregate (every floor group sees every doc
+    via the replication, so the unconditional sum per group IS the
+    total) — SINGLE PASS, no checkpoint: the round-7 bench showed the
+    eager localCheckpoint here regressing 0.93->5.4 s under fleet
+    storage-memory pressure for a frame cheap to recompute.
     """
     from vectordbfaiss_spark.operators import textstats as TS
 
@@ -640,7 +644,6 @@ def q_quality_prune_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = TS.quality_score(docs, "doc_id", "text").select(
         "quality", "n_tokens"
     )
-    scored = scored.localCheckpoint(eager=True)
     thr = spark.createDataFrame(
         [(i / 10.0,) for i in range(1, 10)], "quality_floor double"
     )
@@ -662,10 +665,10 @@ def q_quality_prune_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("tokens_kept"),
+            F.sum("n_tokens").alias("total_tokens"),
         )
     )
-    tot = scored.agg(F.sum("n_tokens").alias("total_tokens"))
-    return agg.crossJoin(F.broadcast(tot)).select(
+    return agg.select(
         "quality_floor",
         "n_docs_kept",
         "tokens_kept",
