@@ -18,14 +18,30 @@ def test_priority_is_the_registry_prefix():
     assert tuple(order[: len(registry._PRIORITY)]) == registry._PRIORITY
 
 
-def test_first_window_is_round7_rotation():
-    """Round-7 rotation contract: with cumulative driver coverage closed
-    at 255/255 in round 6, the sampled prefix holds the sentinels, then
-    this round's NEW queries (each needing a first driver row), then a
-    refresh block of the stalest evidence (round-1-only samples first).
-    Driver-SAMPLED means the query has any row in a CORRECTNESS_r* file —
-    rows-only entries record `no_oracle` rows and count as sampled once
-    the driver has executed them."""
+# queries whose CODE changed in round 8 (shared published traversals +
+# hardened witnesses; re-aggregated prune tradeoff; memoized embedder) —
+# each needs a fresh driver row against the changed implementation
+_R8_CHANGED: tuple[str, ...] = (
+    "quality_prune_tradeoff",
+    "hash_embedder_checksum",
+    "graph_ann_topk_search",
+    "graph_ann_build_bound",
+    "graph_ann_recall_bound",
+    "graph_ann_ivf_entries",
+    "graph_ann_incremental",
+    "graph_ann_delete_serve",
+    "graph_ann_beam_curve",
+)
+
+
+def test_first_window_is_round8_rotation():
+    """Round-8 rotation contract: cumulative driver coverage closed at
+    259/259 in round 7, so the sampled prefix holds the sentinels, then
+    every query whose code CHANGED this round (fresh rows against the
+    changed implementation), then a refresh block of the stalest
+    evidence. Driver-SAMPLED means the query has any row in a
+    CORRECTNESS_r* file — rows-only entries record `no_oracle` rows and
+    count as sampled once the driver has executed them."""
     import json
     import os
 
@@ -35,34 +51,30 @@ def test_first_window_is_round7_rotation():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sampled: set[str] = set()
-    for rnd in (
-        "CORRECTNESS_r01.json",
-        "CORRECTNESS_r02.json",
-        "CORRECTNESS_r03.json",
-        "CORRECTNESS_r04.json",
-        "CORRECTNESS_r05.json",
-        "CORRECTNESS_r06.json",
-    ):
-        with open(os.path.join(repo, rnd)) as fh:
+    for n in range(1, 8):
+        with open(os.path.join(repo, f"CORRECTNESS_r0{n}.json")) as fh:
             sampled.update(json.load(fh))
 
-    # every never-sampled query must sit inside the window, ahead of any
-    # refresh entry (new-this-round queries are also never-sampled, so
-    # this single rule covers both)
+    # nothing is never-sampled anymore; the priority rules are (a) every
+    # changed query sits in the window right after the sentinels, and
+    # (b) refresh entries that follow are genuinely stale (no round-7
+    # sample), so the window extends the freshness frontier
+    head = window[2 : 2 + len(_R8_CHANGED)]
+    assert set(head) == set(_R8_CHANGED), head
+    with open(os.path.join(repo, "CORRECTNESS_r07.json")) as fh:
+        r7 = set(json.load(fh))
+    fresh_refreshers = [
+        n
+        for n in window[2 + len(_R8_CHANGED) :]
+        if n in r7 and n not in _R8_CHANGED
+    ]
+    assert not fresh_refreshers, (
+        f"round-7-fresh queries burn refresh slots: {fresh_refreshers}"
+    )
+    # and every never-sampled query (none expected) would have to be here
     never = [n for n in registry.queries() if n not in sampled]
     missing = [n for n in never if n not in window]
     assert not missing, f"never-sampled queries outside the window: {missing}"
-    if never:
-        last_never = max(window.index(n) for n in never)
-        refreshers = [
-            i
-            for i, n in enumerate(window)
-            if n in sampled and n not in sentinels
-        ]
-        early = [window[i] for i in refreshers if i < last_never]
-        assert not early, (
-            f"already-sampled queries ahead of never-sampled ones: {early}"
-        )
 
 
 def test_queries_manifest_is_current():

@@ -100,21 +100,27 @@ def main() -> None:
         )
         # edge recall vs the exact kNN@k_build artifact (param-keyed,
         # built once per rung) — the build-quality witness for the
-        # rho-sampling change
-        exact_knn = knn_edges_published(
-            spark,
-            sf_dir,
-            k=_GRAPH_ANN_BUILD_K,
-            out_path=os.path.join(
-                repo, ".scratch", f"knn_edges{_GRAPH_ANN_BUILD_K}_{rung}"
-            ),
-        ).select("src", "dst")
-        n_exact = exact_knn.count()
-        edge_hits = (
-            edges.select("src", "dst")
-            .join(exact_knn, ["src", "dst"], "left_semi")
-            .count()
-        )
+        # rho-sampling change. The exact build is O(N^2); affordable
+        # through syn10 (20k: ~300 s once), ruinous at syn100 (40B
+        # pairs, ~8 h) — there the end-metric serve recall below is the
+        # witness.
+        edge_recall = None
+        if n <= 50_000:
+            exact_knn = knn_edges_published(
+                spark,
+                sf_dir,
+                k=_GRAPH_ANN_BUILD_K,
+                out_path=os.path.join(
+                    repo, ".scratch", f"knn_edges{_GRAPH_ANN_BUILD_K}_{rung}"
+                ),
+            ).select("src", "dst")
+            n_exact = exact_knn.count()
+            edge_hits = (
+                edges.select("src", "dst")
+                .join(exact_knn, ["src", "dst"], "left_semi")
+                .count()
+            )
+            edge_recall = round(edge_hits / max(n_exact, 1), 3)
 
         knobs = explicit_knobs or sorted({(24, 10), graph_serve_knobs(n)})
         serves = {}
@@ -143,7 +149,7 @@ def main() -> None:
             "n": n,
             "n_edges": n_edges,
             "build_cold_s": round(t_build, 1) if fresh else None,
-            "edge_recall": round(edge_hits / max(n_exact, 1), 3),
+            "edge_recall": edge_recall,
             "scheduled_knobs": list(graph_serve_knobs(n)),
             "serves": serves,
         }

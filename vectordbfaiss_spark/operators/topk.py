@@ -150,10 +150,22 @@ def score_topk_vectorized(
     The query matrix ships to executors as a SparkContext BROADCAST, not a
     task-closure capture: at 100k+ queries the closure would be re-shipped
     with every task (and every retry), while a broadcast is torrent-
-    distributed once per executor and survives stage retries. The batch
-    top-k selection itself is a single stable argsort over the score
-    matrix — no per-query Python loop — with rows pre-sorted by id so
-    stability yields the exact (score DESC, id ASC) tie-break.
+    distributed once per executor and survives stage retries.
+
+    The batch top-k selection is O(B) ``argpartition`` per column, not a
+    full column sort: a full stable argsort over the (B, Q) score matrix
+    is the kernel's wall at self-kNN shapes (measured 315 s for ONE
+    10k x 20k batch — 40+ min per syn10 probe task), while argpartition
+    + sorting only the take-slice is seconds. Exactness is preserved by
+    making each column's keys a STRICT total order before partitioning:
+    scores are already rounded to ``round_to`` (adjacent distinct values
+    differ by >= 10^-round_to), so subtracting row_position/B scaled to
+    a tenth of that quantum breaks score ties by id ASC (rows are
+    pre-sorted by id) without ever reordering distinct scores — the
+    boundary ties that make raw argpartition nondeterministic cannot
+    exist. Emitted scores are the unperturbed rounded values.
+    ``exclude_self`` masks via searchsorted on the id-sorted rows
+    (O(Q log B)) instead of materializing a (B, Q) equality matrix.
     """
     import numpy as np
 
@@ -181,10 +193,29 @@ def score_topk_vectorized(
             vn[vn == 0.0] = 1.0
             S = np.round((V / vn) @ Qn, round_to)  # (B, Q)
             if exclude_self:
-                S = np.where(ids[:, None] == qids_[None, :], -np.inf, S)
+                pos = np.searchsorted(ids, qids_)
+                hit = (pos < len(ids)) & (
+                    ids[np.minimum(pos, len(ids) - 1)] == qids_
+                )
+                S[pos[hit], np.nonzero(hit)[0]] = -np.inf
             take = min(k + (1 if exclude_self else 0), len(ids))
-            # stable argsort on -score + id-sorted rows == (score DESC, id ASC)
-            sel = np.argsort(-S, axis=0, kind="stable")[:take]  # (take, Q)
+            # strict per-column total order: id-position tie-break at a
+            # tenth of the rounding quantum (can never cross distinct
+            # rounded scores), then O(B) select + sort the slice only
+            tie = (
+                np.arange(len(ids), dtype=np.float64)[:, None]
+                * (10.0 ** (-round_to) / (10.0 * len(ids)))
+            )
+            key = tie - S  # ascending == (score DESC, id ASC)
+            if take < len(ids):
+                part = np.argpartition(key, take - 1, axis=0)[:take]
+            else:
+                part = np.broadcast_to(
+                    np.arange(len(ids))[:, None], (len(ids), key.shape[1])
+                )
+            sub = np.take_along_axis(key, part, axis=0)
+            order = np.argsort(sub, axis=0, kind="stable")
+            sel = np.take_along_axis(part, order, axis=0)  # (take, Q)
             out = pd.DataFrame(
                 {
                     query_id: np.repeat(qids_, take),

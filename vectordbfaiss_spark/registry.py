@@ -73,71 +73,70 @@ _loaded = False
 #   round 5 verified 48 more (cumulative 215/230);
 #   round 6 verified the last 15 never-sampled + all 19 additions,
 #   closing cumulative coverage at 255/255;
-#   round 7 (this order): with the ledger closed, the window = the two
-#   sentinels + the round-7 additions (new queries, each needing a
-#   first driver row) + a refresh block of the STALEST evidence: the
-#   14 queries whose only driver sample is round 1, then the oldest
-#   round-2-only block, in natural registration order.
+#   round 7 rotated to: sentinels + round-7 additions + the stalest
+#   round-1/round-2 evidence (cumulative coverage stayed closed);
+#   round 8 (this order): sentinels + every query whose CODE changed
+#   this round (the whole graph-ANN audit family — shared published
+#   traversals + hardened delete/insert witnesses — plus the
+#   re-aggregated quality_prune_tradeoff and the memoized-embedder
+#   checksum), then the stalest evidence: the 18 queries whose latest
+#   driver sample is round 2, then the oldest round-3 block, in their
+#   historical sample order.
 _PRIORITY: tuple[str, ...] = (
     # sentinels: flagship operators re-proven every round
     "topk_search",
     "ingest_index_build",
-    # ---- round-7 additions (new this round; first driver rows) ----
+    # ---- round-8 changed queries (need fresh driver rows) ----
+    "quality_prune_tradeoff",
+    "hash_embedder_checksum",
+    "graph_ann_topk_search",
     "graph_ann_build_bound",
+    "graph_ann_recall_bound",
     "graph_ann_ivf_entries",
     "graph_ann_incremental",
     "graph_ann_delete_serve",
-    # refresh block: oldest driver evidence (sampled only in round 1)
-    "case_when_buckets",
-    "q3_shipping_priority",
-    "star_join_rollup",
-    "anti_join_no_orders",
-    "left_outer_with_condition",
-    "window_first_events_per_user",
-    "window_lag_rolling",
-    "pivot_event_counts",
-    "q5_local_supplier_volume",
-    "cube_lineitem",
-    "range_window_last_hour",
-    "asof_join_click_purchase",
-    "percentiles_order_value",
-    "correlated_subquery_orders",
-    # refresh block: next-oldest evidence (latest sample round 2),
-    # natural registration order
-    "text_normalize_docs",
-    "benchmark_decontamination",
-    "dedup_exact_stats",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "neardup_triangle_count",
-    "dedup_cluster_components",
-    "bm25_doc_ranking",
-    "hybrid_rrf_fusion",
-    "filtered_topk_search",
-    "weighted_sample_docs",
-    "mmr_rerank_topk",
-    "text_pipeline_tokenize",
-    "hash_embedder_checksum",
-    "charcode_mock_embed",
-    "documents_dump",
-    "in_list_lookup",
-    "q1_pricing_summary",
-    "semi_join_big_spenders",
-    "topn_orders",
-    "set_operations",
-    "string_functions_part",
-    "json_extract_events",
-    "tumbling_window_daily",
-    "approx_distinct_sketch",
-    "sliding_window_2h_1h",
-    "text_chunk_documents",
-    "rag_answer_extractive",
-    "binary_roundtrip_vectors",
+    "graph_ann_beam_curve",
+    # refresh block: stalest evidence (latest sample round 2)
     "csv_roundtrip_part",
     "json_roundtrip_events",
     "relevant_tokens_report",
     "udtf_chunk_spans",
+    "text_term_freq_top20",
+    "embedding_near_dup_lsh",
+    "multimodal_decode_meta",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "multimodal_audio_windows",
+    "text_token_stats",
+    "text_quality_score",
+    "text_language_id",
+    "text_fingerprint",
+    "text_bpe_token_count",
+    "tfidf_top_terms",
+    "curation_pipeline",
+    "sql_routed_topk",
+    # refresh block: next-oldest evidence (latest sample round 3)
+    "sequence_packing_bins",
+    "pii_redact_docs",
+    "url_normalize_filter",
+    "crossdoc_span_scrub",
+    "semdedup_prune",
+    "semdedup_witness_bound",
+    "merge_upsert_docs",
+    "zorder_layout_audit",
+    "dsir_importance_weights",
+    "hard_negative_mining",
+    "inverted_index_build",
+    "kmv_overlap_sketch",
+    "binary_hamming_rerank_topk",
+    "webdataset_tar_roundtrip",
+    "matryoshka_truncation_audit",
+    "search_snippet_extraction",
+    "vector_store_crud_search",
+    "ivf_append_search",
+    "ivf_compact_search",
+    "schema_evolution_read",
+    "entity_resolution_golden",
 )
 
 

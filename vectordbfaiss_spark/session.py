@@ -12,6 +12,33 @@ import os
 
 from pyspark.sql import SparkSession
 
+# numpy >= 1.22 madvises MADV_HUGEPAGE for every allocation past ~4 MB.
+# On this container's VM a transparent-huge-page fault costs ~300 ms per
+# 2 MB (measured: a fresh 200 MB numpy buffer takes 35 s to first-touch
+# with the madvise, 0.16 s without — plain 4 KB anon faults are fast),
+# which silently taxed every large-matrix kernel 10-100x and read as
+# unexplained cross-round "host drift" in rounds 6-8. Kill it at the
+# single session chokepoint: env for every process we fork (the JVM
+# inherits it, pyspark daemons/workers inherit it from the JVM) plus the
+# runtime switch for THIS process, whose numpy may already be imported.
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
+
+def _disable_numpy_hugepage_madvise() -> None:
+    try:
+        from numpy._core import multiarray as _ma  # numpy >= 2
+    except ImportError:  # pragma: no cover - numpy 1.x layout
+        try:
+            from numpy.core import multiarray as _ma  # type: ignore
+        except ImportError:
+            return
+    set_madvise = getattr(_ma, "_set_madvise_hugepage", None)
+    if set_madvise is not None:
+        set_madvise(False)
+
+
+_disable_numpy_hugepage_madvise()
+
 
 def get_spark(
     app_name: str = "vectordbfaiss_spark",
