@@ -109,3 +109,24 @@ def test_entry_schema_is_stable():
         ("text", "string"),
     ]
     assert df.count() > 0
+
+
+def test_numpy_hugepage_madvise_disabled():
+    """Importing the session module must neutralize numpy's
+    MADV_HUGEPAGE on large buffers — on this container a THP fault
+    costs ~300 ms per 2 MB, which taxed every large-matrix kernel
+    10-100x and masqueraded as cross-round host drift (round 8). Both
+    layers are pinned: the env var future workers inherit, and the
+    runtime switch for this process."""
+    import os
+
+    import vectordbfaiss_spark.session  # noqa: F401  (side effect)
+
+    assert os.environ.get("NUMPY_MADVISE_HUGEPAGE") == "0"
+    try:
+        from numpy._core import multiarray as ma
+    except ImportError:
+        from numpy.core import multiarray as ma  # type: ignore
+    get = getattr(ma, "_get_madvise_hugepage", None)
+    if get is not None:
+        assert get() is False

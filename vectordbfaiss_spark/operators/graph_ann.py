@@ -93,15 +93,19 @@ def graph_serve_knobs(n: int, base_beam: int = 24, base_rounds: int = 10):
     recall@10 at FIXED beam=24/rounds=10 decaying 0.88 -> 0.63 -> 0.22
     over 2k -> 200k vectors — constants silently rot as the corpus
     grows, exactly like a fixed IVF cell count. The schedule grows the
-    beam as sqrt(N) past the 20k fixture scale (per-query serve cost is
-    ~beam * degree * rounds, so cost grows sublinearly in N) and adds
-    rounds logarithmically (frontier depth, not width). Calibrated on
-    the round-8 syn ladder (see SCALE.md): scheduled knobs hold
-    recall@10 >= 0.5 at every rung while the fixture scales keep the
-    measured (24, 10) defaults, so registry floors are untouched."""
+    beam as (N/20k)^0.85 past the 20k fixture scale and adds rounds
+    logarithmically (frontier depth, not width; diameter of a degree-24
+    graph grows as log N). Calibrated on the round-8 syn100 beam sweep
+    (SCALE.md: recall@10 at 200k random vectors = 0.218 @ beam 24 /
+    0.378 @ 76 / 0.536 @ 160 / 0.658 @ 280, rounds 12): the 0.85
+    exponent lands beam 170 at 200k — above the measured 0.5 crossing —
+    while fixture scales keep the measured (24, 10) defaults, so
+    registry floors are untouched. Per-query serve cost is ~beam *
+    degree * rounds: sublinear in N under this schedule, vs the linear
+    entry-scoring term the IVF-seeded form already eliminated."""
     import math
 
-    beam = max(base_beam, math.ceil(base_beam * math.sqrt(n / 20000.0)))
+    beam = max(base_beam, math.ceil(base_beam * (n / 20000.0) ** 0.85))
     rounds = base_rounds + max(0, math.ceil(2 * math.log10(max(n, 1) / 20000.0)))
     return beam, rounds
 
