@@ -30,6 +30,7 @@ _R8_CHANGED: tuple[str, ...] = (
     "graph_ann_ivf_entries",
     "graph_ann_incremental",
     "graph_ann_delete_serve",
+    "graph_ann_compact_serve",  # new in round 8
     "graph_ann_beam_curve",
 )
 

@@ -1744,25 +1744,7 @@ def q_graph_ann_delete_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_del"))
     )
 
-    def compute_exact() -> DataFrame:
-        return score_topk_vectorized(
-            queries, survivors, k=10, exclude_self=True
-        ).select("query_id", "vec_id", "score")
-
-    from vectordbfaiss_spark.plans.ivf import corpus_fingerprint
-
-    exact = _published_frame(
-        spark,
-        f"graph_exact_top10_del_{pathlib.Path(sf_dir).name}",
-        {
-            "corpus_key": corpus_fingerprint(f"{sf_dir}/embeddings.parquet"),
-            "k": 10,
-            "queries": "vec_id<50 survivors",
-            "delete_mod": _DELETE_MOD,
-            "exclude_self": True,
-        },
-        compute_exact,
-    ).select("query_id", "vec_id")
+    exact = _exact_top10_del_published(spark, sf_dir).select("query_id", "vec_id")
     hits = (
         exact.join(F.broadcast(approx), ["query_id", "vec_id"], "left_semi")
         .groupBy("query_id")
@@ -1776,6 +1758,185 @@ def q_graph_ann_delete_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             (F.coalesce("n_del", F.lit(0)) == 0).alias("no_deleted_hits"),
             (F.coalesce("n_hits", F.lit(0)) >= F.lit(5)).alias("recall_ok"),
+        )
+    )
+
+
+def _exact_top10_del_published(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 over the SURVIVING corpus for the surviving canonical
+    queries — the recall denominator `graph_ann_delete_serve` and
+    `graph_ann_compact_serve` share."""
+    import pathlib
+
+    from vectordbfaiss_spark.plans.ivf import corpus_fingerprint
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    survivors = emb.filter(F.col("vec_id") % _DELETE_MOD != 0)
+    queries = survivors.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    def compute_exact() -> DataFrame:
+        return score_topk_vectorized(
+            queries, survivors, k=10, exclude_self=True
+        ).select("query_id", "vec_id", "score")
+
+    return _published_frame(
+        spark,
+        f"graph_exact_top10_del_{pathlib.Path(sf_dir).name}",
+        {
+            "corpus_key": corpus_fingerprint(f"{sf_dir}/embeddings.parquet"),
+            "k": 10,
+            "queries": "vec_id<50 survivors",
+            "delete_mod": _DELETE_MOD,
+            "exclude_self": True,
+        },
+        compute_exact,
+    )
+
+
+_GRAPH_COMPACT_ORACLE = f"""
+SELECT vec_id AS query_id, TRUE AS no_deleted_hits, TRUE AS recall_ok,
+       TRUE AS degree_ok
+FROM embeddings WHERE vec_id < 50 AND vec_id % {_DELETE_MOD} != 0
+"""
+
+
+@register("graph_ann_compact_serve", _GRAPH_COMPACT_ORACLE)
+def q_graph_ann_compact_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION end of the graph-index lifecycle, end to end — the one
+    maintenance step the family's other rows leave to unit tests. The
+    full insert->segment->tombstone->compact->serve chain runs through
+    the REAL operators: a base graph built WITHOUT vec_id<50
+    (`graph_ann_edges_published(subset_min_id=50)`), the 50 held-out
+    vectors inserted as an immutable delta segment
+    (`graph_index_append`), every {_DELETE_MOD}th id tombstoned, then
+    `compact_graph` folds base + segment - tombstones into a NEW
+    degree-capped artifact (deletes become PHYSICAL; reverse-link
+    out-degree growth from the insert is re-bounded — the two things
+    compaction exists for). Hash-checked per-query bounds over a beam
+    search on the compacted graph (surviving inserted vectors as
+    queries, FULL embedding store, tombstones excluded from entry
+    seeding only): ``no_deleted_hits`` (physically-compacted deletes
+    can never surface), ``recall_ok`` (recall@10 vs the exact scan over
+    the surviving corpus >= 0.5 — compaction must not break
+    navigability; the inserted vectors stay first-class citizens), and
+    ``degree_ok`` (max out-degree of the compacted artifact <= the
+    publish cap — the growth bound compaction re-establishes)."""
+    import pathlib
+
+    from vectordbfaiss_spark.operators.graph_ann import graph_beam_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tombstones = emb.filter(F.col("vec_id") % _DELETE_MOD == 0).select("vec_id")
+    queries = emb.filter(
+        (F.col("vec_id") < 50) & (F.col("vec_id") % _DELETE_MOD != 0)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    name = pathlib.Path(sf_dir).name
+    params = _graph_family_params(
+        sf_dir,
+        variant="compact",
+        entries="hash_excl_tombstones",
+        batch="vec_id<50",
+        insert_k=_GRAPH_ANN_BUILD_K,
+        subset_min_id=50,
+        delete_mod=_DELETE_MOD,
+        store="full",
+    )
+
+    def compute_compacted() -> DataFrame:
+        from vectordbfaiss_spark.operators.graph_ann_incremental import (
+            compact_graph,
+            graph_index_append,
+        )
+        from vectordbfaiss_spark.plans.ivf import _publish_sidecar
+
+        base_out = (
+            f"/root/repo/spark-warehouse/graph_ann_edges_{name}_min50"
+        )
+        graph_ann_edges_published(spark, sf_dir, subset_min_id=50)  # ensures base
+        seg_root = f"/root/repo/spark-warehouse/graph_ann_segments_{name}"
+        batch = emb.filter(F.col("vec_id") < 50).select("vec_id", "embedding")
+        base_emb = emb.filter(F.col("vec_id") >= 50)
+        graph_index_append(
+            batch,
+            spark.read.parquet(base_out).select("src", "dst"),
+            base_emb,
+            f"{seg_root}/delta_00000",  # list_segments' completed-seg prefix
+            k=_GRAPH_ANN_BUILD_K,
+            beam=_GRAPH_ANN_BEAM,
+            rounds=_GRAPH_ANN_ROUNDS,
+        )
+        out = f"/root/repo/spark-warehouse/graph_ann_compacted_{name}"
+        compact_graph(
+            spark,
+            base_out,
+            seg_root,
+            out,
+            degree_cap=_GRAPH_ANN_DEGREE_CAP,
+            tombstones=tombstones,
+        )
+        _publish_sidecar(out, "_frame_meta.json", {"params": params})
+        return spark.read.parquet(out)
+
+    from vectordbfaiss_spark.plans.ivf import _published_meta
+
+    compacted_path = f"/root/repo/spark-warehouse/graph_ann_compacted_{name}"
+    if _published_meta(compacted_path, "_frame_meta.json", params) is None:
+        compute_compacted()
+    compacted = spark.read.parquet(compacted_path)
+
+    def compute_visited() -> DataFrame:
+        return graph_beam_search(
+            queries,
+            compacted.select("src", "dst"),
+            emb,
+            beam=_GRAPH_ANN_BEAM,
+            rounds=_GRAPH_ANN_ROUNDS,
+            exclude_entry_ids=tombstones,
+        )
+
+    visited = _published_frame(
+        spark,
+        f"graph_ann_visited_compact_{name}",
+        params,
+        compute_visited,
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), "vec_id")
+    approx = (
+        visited.filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "vec_id")
+    ).localCheckpoint(eager=True)
+    deleted_hits = (
+        approx.join(F.broadcast(tombstones), "vec_id", "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_del"))
+    )
+    exact = _exact_top10_del_published(spark, sf_dir).select("query_id", "vec_id")
+    hits = (
+        exact.join(F.broadcast(approx), ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    degree_ok = (
+        compacted.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .agg((F.max("deg") <= F.lit(_GRAPH_ANN_DEGREE_CAP)).alias("degree_ok"))
+    )
+    return (
+        queries.select("query_id")
+        .join(F.broadcast(deleted_hits), "query_id", "left")
+        .join(F.broadcast(hits), "query_id", "left")
+        .crossJoin(F.broadcast(degree_ok))
+        .select(
+            "query_id",
+            (F.coalesce("n_del", F.lit(0)) == 0).alias("no_deleted_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= F.lit(5)).alias("recall_ok"),
+            "degree_ok",
         )
     )
 

@@ -95,6 +95,7 @@ _PRIORITY: tuple[str, ...] = (
     "graph_ann_ivf_entries",
     "graph_ann_incremental",
     "graph_ann_delete_serve",
+    "graph_ann_compact_serve",
     "graph_ann_beam_curve",
     # refresh block: stalest evidence (latest sample round 2)
     "csv_roundtrip_part",
