@@ -32,6 +32,7 @@ _R8_CHANGED: tuple[str, ...] = (
     "graph_ann_delete_serve",
     "graph_ann_compact_serve",  # new in round 8
     "graph_ann_beam_curve",
+    "sql_routed_graph_topk",  # new in round 8
 )
 
 

@@ -86,10 +86,35 @@ class IvfPqTable:
     vec_col: str = "embedding"
 
 
+@dataclass
+class GraphTable:
+    """A published graph-ANN edge artifact served through the same SQL
+    grammar — the third member of the ANN taxonomy behind the front
+    door (flat/IVF exact, IVFPQ compressed, graph traversal).
+
+    ``path`` is the RAW vector table (the scoring store — graph serving
+    scores candidates against real vectors, so returned scores are
+    exact cosines even though the top-k SET is approximate, the
+    standard HNSW contract); ``edges_path`` the symmetrized edge
+    artifact; ``n`` the corpus size captured at registration — it sizes
+    the hash entry sample AND derives the serving knobs
+    (``graph_serve_knobs``), so a router over a 100x larger corpus
+    automatically serves at the wider beam the recall ladder requires
+    instead of a silently rotting constant."""
+
+    path: str
+    edges_path: str
+    n: int
+    id_col: str = "vec_id"
+    vec_col: str = "embedding"
+
+
 #: name -> IvfTable; registered by the pipeline that built the index
 IVF_TABLES: dict[str, IvfTable] = {}
 #: name -> IvfPqTable; same catalog idea for PQ-encoded artifacts
 IVFPQ_TABLES: dict[str, IvfPqTable] = {}
+#: name -> GraphTable; graph-ANN artifacts behind the same grammar
+GRAPH_TABLES: dict[str, GraphTable] = {}
 
 
 def register_ivf_table(
@@ -111,6 +136,17 @@ def register_ivfpq_table(
     vec_col: str = "embedding",
 ) -> None:
     IVFPQ_TABLES[name] = IvfPqTable(path, centroids, codebooks, id_col, vec_col)
+
+
+def register_graph_table(
+    name: str,
+    path: str,
+    edges_path: str,
+    n: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    GRAPH_TABLES[name] = GraphTable(path, edges_path, n, id_col, vec_col)
 
 
 def ensure_sql_functions(spark: SparkSession) -> None:
@@ -228,7 +264,10 @@ def route_topk_sql(spark: SparkSession, sql: str, nprobe: int = 4) -> DataFrame:
     name = m.group("tbl")
     tbl = IVF_TABLES.get(name)
     pq_tbl = IVFPQ_TABLES.get(name) if tbl is None else None
-    any_tbl = tbl or pq_tbl
+    g_tbl = (
+        GRAPH_TABLES.get(name) if tbl is None and pq_tbl is None else None
+    )
+    any_tbl = tbl or pq_tbl or g_tbl
     proj = m.group("proj")
     alias = m.group("alias")
     if (
@@ -258,6 +297,10 @@ def route_topk_sql(spark: SparkSession, sql: str, nprobe: int = 4) -> DataFrame:
         # a WHERE outside the conjunctive =/!=/range/IN grammar must run
         # verbatim too — routing may only ever be a transparent speedup
         or filters is None
+        # graph traversal cannot pre-filter (a metadata filter would have
+        # to run POST-traversal, silently shrinking the answer below k) —
+        # any WHERE on a graph table runs verbatim-exact instead
+        or (g_tbl is not None and filters)
     ):
         ensure_sql_functions(spark)
         return spark.sql(sql)
@@ -266,6 +309,41 @@ def route_topk_sql(spark: SparkSession, sql: str, nprobe: int = 4) -> DataFrame:
     queries = spark.createDataFrame(
         [(0, qvec)], "query_id LONG, query_vec ARRAY<FLOAT>"
     )
+    if g_tbl is not None:
+        # graph-ANN route: beam search over the published edge artifact,
+        # knobs derived from the registered corpus size (the schedule the
+        # syn ladder calibrated — see operators/graph_ann.py)
+        from pyspark.sql import Window as W
+
+        from vectordbfaiss_spark.operators.graph_ann import (
+            graph_beam_search,
+            graph_serve_knobs,
+        )
+
+        emb = spark.read.parquet(g_tbl.path).select(
+            F.col(g_tbl.id_col).alias("vec_id"),
+            F.col(g_tbl.vec_col).alias("embedding"),
+        )
+        edges = spark.read.parquet(g_tbl.edges_path).select("src", "dst")
+        beam, rounds = graph_serve_knobs(g_tbl.n)
+        visited = graph_beam_search(
+            queries,
+            edges,
+            emb,
+            beam=beam,
+            rounds=rounds,
+            n_entries=max(16, g_tbl.n // 32),
+        )
+        w = W.partitionBy("query_id").orderBy(F.desc("score"), "vec_id")
+        return (
+            visited.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= k)
+            .orderBy(F.desc("score"), F.asc("vec_id"))
+            .select(
+                F.col("vec_id").alias(g_tbl.id_col),
+                F.col("score").alias(alias or "score"),
+            )
+        )
     index = spark.read.parquet(any_tbl.path)
     for flt in filters:
         # metadata pre-filters (filtered ANN: restrict BEFORE scoring —

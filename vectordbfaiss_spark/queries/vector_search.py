@@ -411,6 +411,73 @@ def q_sql_routed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return route_topk_sql(spark, sql, nprobe=8)
 
 
+_SQL_GRAPH_ORACLE = """
+SELECT TRUE AS k_rows, TRUE AS recall_ok, TRUE AS scores_exact
+"""
+
+
+@register("sql_routed_graph_topk", _SQL_GRAPH_ORACLE)
+def q_sql_routed_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME `ORDER BY cosine_similarity(...) DESC LIMIT k` statement
+    auto-routed onto the published GRAPH-ANN artifact
+    (plans/sql_router.py `GraphTable`) — the front door now covers the
+    full ANN taxonomy: flat/IVF exact, IVFPQ compressed, graph
+    traversal. Serving knobs come from `graph_serve_knobs(n)` at the
+    corpus size captured at registration, so THIS code path is where
+    the syn-ladder-calibrated schedule runs in production (fixture
+    scale resolves to the measured beam 24 / rounds 10). The route is
+    approximate by contract (HNSW-style), so the oracle is the bound
+    form: ``k_rows`` (exactly k results), ``recall_ok`` (>= 5 of the
+    exact in-plan top-10 — the family floor), and ``scores_exact``
+    (every returned score re-derives EXACTLY from raw vectors with the
+    expression cosine: graph serving scores real vectors, unlike PQ's
+    quantized ADC, so approximation lives only in the candidate SET)."""
+    import pathlib
+
+    from vectordbfaiss_spark.functions.vector import cosine_similarity
+    from vectordbfaiss_spark.plans.sql_router import (
+        register_graph_table,
+        route_topk_sql,
+    )
+    from vectordbfaiss_spark.queries.embedding_analysis import (
+        graph_ann_edges_published,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    graph_ann_edges_published(spark, sf_dir)  # build-once publish
+    edges_path = (
+        f"/root/repo/spark-warehouse/graph_ann_edges_{pathlib.Path(sf_dir).name}"
+    )
+    register_graph_table(
+        "emb_graph", f"{sf_dir}/embeddings.parquet", edges_path, n
+    )
+    sql = (
+        "SELECT * FROM emb_graph ORDER BY "
+        f"cosine_similarity(embedding, array({_ROUTED_LITS})) DESC LIMIT 10"
+    )
+    routed = route_topk_sql(spark, sql).localCheckpoint(eager=True)
+    qvec = _routed_query_vec()
+    queries = spark.createDataFrame(
+        [(0, qvec)], "query_id LONG, query_vec ARRAY<FLOAT>"
+    )
+    exact = score_topk_vectorized(queries, emb, k=10).select("vec_id")
+    n_hits = routed.join(exact, "vec_id", "left_semi").count()
+    # identical arithmetic to the routed scoring (expression cosine on
+    # the raw embedding and the float-literal query), so equality at the
+    # stored 6dp is exact, not a tolerance
+    lit_q = F.array(*[F.lit(float(x)) for x in qvec]).cast("array<float>")
+    rescored = routed.join(emb.select("vec_id", "embedding"), "vec_id").select(
+        (F.round(cosine_similarity(F.col("embedding"), lit_q), 6)
+         == F.col("score")).alias("ok")
+    )
+    return (
+        routed.agg((F.count("*") == 10).alias("k_rows"))
+        .crossJoin(spark.createDataFrame([(n_hits >= 5,)], "recall_ok boolean"))
+        .crossJoin(rescored.agg(F.min("ok").alias("scores_exact")))
+    )
+
+
 _SQL_ROUTED_MULTI_ORACLE = f"""
 WITH qr AS (SELECT [{_ROUTED_LITS}]::REAL[]::DOUBLE[] AS q),
 nq AS (

@@ -97,6 +97,7 @@ _PRIORITY: tuple[str, ...] = (
     "graph_ann_delete_serve",
     "graph_ann_compact_serve",
     "graph_ann_beam_curve",
+    "sql_routed_graph_topk",
     # refresh block: stalest evidence (latest sample round 2)
     "csv_roundtrip_part",
     "json_roundtrip_events",
