@@ -147,3 +147,49 @@ def test_beam_search_entry_pairs_override_global_sample(spark):
     got = {(r.query_id, r.vec_id) for r in one_round.collect()}
     # zero rounds: visited IS the seed set, scored — nothing else
     assert got == {(0, 5), (1, 7)}
+
+
+def test_tombstoned_edges_are_what_keeps_deleted_ids_out(spark):
+    """Mutation test for the delete-serve witness contract (round-7
+    advisor): with the FULL embedding store as the scoring side and
+    tombstones excluded only from entry seeding, the thing that keeps a
+    deleted id out of the answer is apply_tombstones on the EDGE set —
+    replace it with a no-op and the deleted id comes back. This pins
+    that `no_deleted_hits` in graph_ann_delete_serve actually depends
+    on the operator it claims to verify."""
+    from vectordbfaiss_spark.operators.graph_ann import graph_beam_search
+    from vectordbfaiss_spark.operators.graph_ann_incremental import (
+        apply_tombstones,
+    )
+
+    emb_df = _toy_corpus(spark, n=30)
+    edges = _knn_edges_df(spark, emb_df, k=6)
+    # tombstone the id that IS query 0's true nearest neighbor
+    from pyspark.sql import functions as F
+
+    pdf = emb_df.toPandas()
+    X = np.stack(pdf.embedding.to_numpy())
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    s0 = Xn @ Xn[0]
+    s0[0] = -2
+    top_dst = int(pdf.vec_id.to_numpy()[np.argmax(s0)])
+    tomb = spark.createDataFrame([(top_dst,)], "vec_id long")
+    queries = emb_df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    def serve(edge_df):
+        v = graph_beam_search(
+            queries,
+            edge_df.select("src", "dst"),
+            emb_df,  # FULL store: deleted vectors still present (logical)
+            beam=8,
+            rounds=4,
+            exclude_entry_ids=tomb,
+        )
+        return {r.vec_id for r in v.orderBy(F.desc("score"), "vec_id").limit(5).collect()}
+
+    # no-op tombstoning (the mutation): the deleted id IS returned
+    assert top_dst in serve(edges)
+    # real tombstoning: it cannot be proposed by any edge, so it is not
+    assert top_dst not in serve(apply_tombstones(edges, tomb))
