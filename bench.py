@@ -150,9 +150,9 @@ def main() -> None:
         os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             "bench_records",
-            # round-8 post-THP-fix clean record: contaminated=false,
-            # 0 retries, covers all 259 queries (r6's covered 234)
-            "r8_postfix_bench_queries.json",
+            # round-8 session-close record: 0 retries, covers all 261
+            # queries including the round's additions (r6's covered 234)
+            "r8_final_bench_queries.json",
         ),
     )
     anchor: dict[str, float] = {}
