@@ -193,3 +193,33 @@ def test_tombstoned_edges_are_what_keeps_deleted_ids_out(spark):
     assert top_dst in serve(edges)
     # real tombstoning: it cannot be proposed by any edge, so it is not
     assert top_dst not in serve(apply_tombstones(edges, tomb))
+
+
+def test_entry_seed_budget_met_from_survivors(spark):
+    """exclude_entry_ids must anti-join the candidate pool BEFORE the
+    hash-sample limit, so the seed budget is met from survivors: with
+    tombstones covering a third of the store and n_entries below the
+    survivor count, exactly n_entries distinct survivors are seeded
+    (round-8 advisor finding — excluding after limit() shrank the seed
+    set by however many tombstones landed in the sample)."""
+    emb_df = _toy_corpus(spark, n=30)
+    tomb = spark.createDataFrame(
+        [(i,) for i in range(0, 30, 3)], "vec_id long"
+    )  # 10 tombstones; 20 survivors
+    queries = emb_df.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    edges = spark.createDataFrame([], "src long, dst long")
+    # rounds=0: visited IS the scored seed set
+    visited = graph_beam_search(
+        queries,
+        edges,
+        emb_df,
+        beam=4,
+        rounds=0,
+        n_entries=15,
+        exclude_entry_ids=tomb,
+    )
+    seeded = {r.vec_id for r in visited.collect()}
+    assert len(seeded) == 15
+    assert all(v % 3 != 0 for v in seeded)

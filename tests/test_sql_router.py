@@ -400,3 +400,24 @@ def test_graph_route_where_falls_back_verbatim(spark, tmp_path):
     # equal to executing the same statement directly
     want = spark.sql(sql).collect()
     assert [r.vec_id for r in got] == [r.vec_id for r in want]
+
+
+def test_score_projection_on_graph_falls_back_verbatim(spark, tmp_path):
+    """An explicitly projected `cosine_similarity(...) AS alias` over a
+    GRAPH table must run verbatim: the graph route serves an approximate
+    candidate set with scores rounded to 6dp, and a projected expression
+    is something the SQL defines exactly (round-8 advisor finding —
+    the alias guard used to reject only PQ tables)."""
+    name, emb_path = _graph(spark, tmp_path, "t_graph_alias_fb")
+    spark.read.parquet(emb_path).createOrReplaceTempView(name)
+    sql = (
+        f"SELECT vec_id, cosine_similarity(embedding, array({_LITS})) AS s "
+        f"FROM {name} ORDER BY "
+        f"cosine_similarity(embedding, array({_LITS})) DESC LIMIT 5"
+    )
+    ensure_sql_functions(spark)
+    got = route_topk_sql(spark, sql).collect()
+    want = spark.sql(sql).collect()
+    # bit-identical scores (verbatim execution) — the routed graph path
+    # would have returned values rounded to 6dp
+    assert [(r.vec_id, r.s) for r in got] == [(r.vec_id, r.s) for r in want]

@@ -53,3 +53,19 @@ def test_grouped_map_topk_equals_window_topk(spark):
     win = topk(scored, 8).select("query_id", "vec_id", "score", "rank")
     gm = topk_grouped_map(scored, 8)
     assert sorted(map(tuple, win.collect())) == sorted(map(tuple, gm.collect()))
+
+
+def test_vectorized_exclude_self_masks_duplicate_ids(spark):
+    """A corpus with repeated vec_ids (e.g. appended segments before
+    compaction) must never return the query itself: the searchsorted
+    mask has to cover the FULL duplicate run, not just its leftmost
+    occurrence (round-8 advisor finding)."""
+    emb = _emb(spark)
+    q = _queries(emb, 10)
+    # duplicate every query row THREE times so each query id forms a
+    # multi-row run in the id-sorted batch
+    dup = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.unionByName(dup).unionByName(dup).coalesce(1)
+    res = score_topk_vectorized(q, corpus, k=3, exclude_self=True).collect()
+    assert all(r["query_id"] != r["vec_id"] for r in res)
+    assert len(res) == 30

@@ -165,21 +165,30 @@ def graph_beam_search(
     """
     if entry_pairs is not None:
         seed_pairs = entry_pairs.select("query_id", "vec_id")
+        if exclude_entry_ids is not None:
+            seed_pairs = seed_pairs.join(
+                F.broadcast(exclude_entry_ids.select("vec_id")),
+                "vec_id",
+                "left_anti",
+            )
     else:
+        pool = emb.select("vec_id")
+        if exclude_entry_ids is not None:
+            # anti-join BEFORE the sample limit so the seed budget is
+            # met from survivors — excluding after limit(n_entries)
+            # would shrink the effective entry count by however many
+            # tombstones land in the sample (round-8 advisor finding)
+            pool = pool.join(
+                F.broadcast(exclude_entry_ids.select("vec_id")),
+                "vec_id",
+                "left_anti",
+            )
         if n_entries is None:
             # only pay the corpus scan when the caller didn't size the
             # entry set explicitly
             n_entries = max(16, emb.count() // 32)
-        entries = (
-            emb.select("vec_id")
-            .orderBy(F.xxhash64("vec_id"), "vec_id")
-            .limit(n_entries)
-        )
+        entries = pool.orderBy(F.xxhash64("vec_id"), "vec_id").limit(n_entries)
         seed_pairs = entries.crossJoin(F.broadcast(queries.select("query_id")))
-    if exclude_entry_ids is not None:
-        seed_pairs = seed_pairs.join(
-            F.broadcast(exclude_entry_ids.select("vec_id")), "vec_id", "left_anti"
-        )
     visited = _score_against_queries(
         seed_pairs, queries, emb
     ).localCheckpoint(eager=True)

@@ -164,8 +164,11 @@ def score_topk_vectorized(
     pre-sorted by id) without ever reordering distinct scores — the
     boundary ties that make raw argpartition nondeterministic cannot
     exist. Emitted scores are the unperturbed rounded values.
-    ``exclude_self`` masks via searchsorted on the id-sorted rows
-    (O(Q log B)) instead of materializing a (B, Q) equality matrix.
+    ``exclude_self`` masks via a left/right searchsorted pair on the
+    id-sorted rows (O(Q log B)) instead of materializing a (B, Q)
+    equality matrix; the pair bounds each matching id's FULL duplicate
+    run, so a corpus with repeated vec_ids (e.g. appended segments not
+    yet compacted) never returns the query itself.
     """
     import numpy as np
 
@@ -192,13 +195,26 @@ def score_topk_vectorized(
             vn = np.linalg.norm(V, axis=1, keepdims=True)
             vn[vn == 0.0] = 1.0
             S = np.round((V / vn) @ Qn, round_to)  # (B, Q)
+            masked_max = 0
             if exclude_self:
-                pos = np.searchsorted(ids, qids_)
-                hit = (pos < len(ids)) & (
-                    ids[np.minimum(pos, len(ids) - 1)] == qids_
-                )
-                S[pos[hit], np.nonzero(hit)[0]] = -np.inf
-            take = min(k + (1 if exclude_self else 0), len(ids))
+                # mask EVERY occurrence of a matching id (ids can repeat
+                # across appended segments): the left/right searchsorted
+                # pair bounds each id's full run in the id-sorted rows
+                pos_l = np.searchsorted(ids, qids_, side="left")
+                pos_r = np.searchsorted(ids, qids_, side="right")
+                runs = pos_r - pos_l
+                hit = runs > 0
+                if hit.any():
+                    rows = np.concatenate(
+                        [
+                            np.arange(lo, hi)
+                            for lo, hi in zip(pos_l[hit], pos_r[hit])
+                        ]
+                    )
+                    cols = np.repeat(np.nonzero(hit)[0], runs[hit])
+                    S[rows, cols] = -np.inf
+                    masked_max = int(runs.max())
+            take = min(k + masked_max, len(ids))
             # strict per-column total order: id-position tie-break at a
             # tenth of the rounding quantum (can never cross distinct
             # rounded scores), then O(B) select + sort the slice only

@@ -289,6 +289,12 @@ def route_topk_sql(spark: SparkSession, sql: str, nprobe: int = 4) -> DataFrame:
             alias is not None
             and (
                 pq_tbl is not None
+                # graph tables serve an approximate candidate set with
+                # scores rounded to 6dp — fine for the bare ranking
+                # grammar, but an explicitly projected score expression
+                # must return exactly what verbatim SQL would, so it
+                # falls back (same reasoning as the WHERE guard below)
+                or g_tbl is not None
                 or proj != any_tbl.id_col
                 or m.group("pcol") != m.group("col")
                 or _vec_key(m.group("pvec")) != _vec_key(m.group("vec"))

@@ -1723,7 +1723,7 @@ def q_graph_ann_delete_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         _graph_family_params(
             sf_dir,
             variant="delete",
-            entries="hash_excl_tombstones",
+            entries="hash_excl_tombstones_presample",
             delete_mod=_DELETE_MOD,
             store="full",
         ),
@@ -1838,7 +1838,7 @@ def q_graph_ann_compact_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     params = _graph_family_params(
         sf_dir,
         variant="compact",
-        entries="hash_excl_tombstones",
+        entries="hash_excl_tombstones_presample",
         batch="vec_id<50",
         insert_k=_GRAPH_ANN_BUILD_K,
         subset_min_id=50,
