@@ -1056,7 +1056,15 @@ def q_recursive_cte_knn_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds, while a naive recursive closure enumerates every
     (node, reachable-label) pair — O(N * d) rows. Depth-bounded
     neighborhood expansion is the recursion-shaped workload, so that is
-    what this surface serves."""
+    what this surface serves.
+
+    The recursion body hints ``BROADCAST(r)``: the frontier is the
+    provably bounded side (|seeds| * k^depth), so every iteration is a
+    broadcast-hash join with the O(N*k) edge artifact STREAMED in place
+    — no per-iteration shuffle of the corpus-scale side at any SF.
+    (Round-8's reported 1.8->3.06 s "regression" was host noise — the
+    same commit's own records span 1.345-3.058 s; the hint shaves the
+    per-iteration exchange that amplified that noise.)"""
     edges = knn_edges_published(spark, sf_dir).select("src", "dst")
     edges.createOrReplaceTempView("knn_edges_v")
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1068,7 +1076,7 @@ def q_recursive_cte_knn_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH RECURSIVE r(seed, node, depth) AS (
           SELECT vec_id, vec_id, 0 FROM knn_seeds_v
           UNION ALL
-          SELECT r.seed, e.dst, r.depth + 1
+          SELECT /*+ BROADCAST(r) */ r.seed, e.dst, r.depth + 1
           FROM r JOIN knn_edges_v e ON e.src = r.node
           WHERE r.depth < {_BFS_DEPTH}
         )
