@@ -223,3 +223,26 @@ def test_entry_seed_budget_met_from_survivors(spark):
     seeded = {r.vec_id for r in visited.collect()}
     assert len(seeded) == 15
     assert all(v % 3 != 0 for v in seeded)
+
+
+def test_interactive_kernel_bit_identical_to_bsp(spark):
+    """The request-path kernel must produce the EXACT visited frame the
+    BSP operator produces (same entries, same expansion order, same
+    JVM-rounded scores) — it is a latency re-plumbing, not a different
+    algorithm."""
+    from vectordbfaiss_spark.operators.graph_ann import (
+        graph_beam_search_interactive,
+    )
+
+    emb_df = _toy_corpus(spark, n=60)
+    edges = _knn_edges_df(spark, emb_df, k=5)
+    queries = emb_df.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    bsp = graph_beam_search(queries, edges, emb_df, beam=6, rounds=5)
+    inter = graph_beam_search_interactive(
+        queries, edges, emb_df, beam=6, rounds=5
+    )
+    a = sorted(map(tuple, bsp.collect()))
+    b = sorted(map(tuple, inter.collect()))
+    assert a == b and len(a) > 0

@@ -88,7 +88,7 @@ def ivf_entry_pairs(
     )
 
 
-def graph_serve_knobs(n: int, base_beam: int = 24, base_rounds: int = 10):
+def graph_serve_knobs(n: int, base_beam: int = 24, base_rounds: int = 6):
     """Corpus-derived serving knobs (beam, rounds): the K-proportional-
     to-N move applied to the search side. Round-7 SCALE.md measured
     recall@10 at FIXED beam=24/rounds=10 decaying 0.88 -> 0.63 -> 0.22
@@ -100,14 +100,22 @@ def graph_serve_knobs(n: int, base_beam: int = 24, base_rounds: int = 10):
     (SCALE.md: recall@10 at 200k random vectors = 0.218 @ beam 24 /
     0.378 @ 76 / 0.536 @ 160 / 0.658 @ 280, rounds 12): the 0.85
     exponent lands beam 170 at 200k — above the measured 0.5 crossing —
-    while fixture scales keep the measured (24, 10) defaults, so
-    registry floors are untouched. Per-query serve cost is ~beam *
-    degree * rounds: sublinear in N under this schedule, vs the linear
-    entry-scoring term the IVF-seeded form already eliminated."""
+    while fixture scales keep the measured beam-24 default, so registry
+    floors are untouched. Per-query serve cost is ~beam * degree *
+    rounds: sublinear in N under this schedule, vs the linear
+    entry-scoring term the IVF-seeded form already eliminated.
+
+    The rounds schedule interpolates between two MEASURED anchors:
+    6 at the 20k fixture (round-9 sweep — top-10 recall identical from
+    rounds=4 on, fixed point at 8; 6 keeps a buffer without paying the
+    saturated tail) and 12 at syn100's 200k (the operating point the
+    round-8 beam sweep calibrated recall 0.55 at), i.e. +6 rounds per
+    corpus decade. Steeper than the old +2/decade guess, but both of
+    its anchors are measured; the syn300+ ladder rungs refine it."""
     import math
 
     beam = max(base_beam, math.ceil(base_beam * (n / 20000.0) ** 0.85))
-    rounds = base_rounds + max(0, math.ceil(2 * math.log10(max(n, 1) / 20000.0)))
+    rounds = base_rounds + max(0, math.ceil(6 * math.log10(max(n, 1) / 20000.0)))
     return beam, rounds
 
 
@@ -189,9 +197,11 @@ def graph_beam_search(
             n_entries = max(16, emb.count() // 32)
         entries = pool.orderBy(F.xxhash64("vec_id"), "vec_id").limit(n_entries)
         seed_pairs = entries.crossJoin(F.broadcast(queries.select("query_id")))
-    visited = _score_against_queries(
-        seed_pairs, queries, emb
-    ).localCheckpoint(eager=True)
+    visited = (
+        _score_against_queries(seed_pairs, queries, emb)
+        .withColumn("expanded", F.lit(False))
+        .localCheckpoint(eager=True)
+    )
 
     rank_w = W.partitionBy("query_id").orderBy(F.desc("score"), "vec_id")
     # `rounds` is an UPPER BOUND: the loop exits at the fixed point. If a
@@ -205,25 +215,198 @@ def graph_beam_search(
     # latency). The per-round count is one job over the just-checkpointed
     # Q-bounded frame — trivial by the same contract that bounds the
     # frame itself.
+    #
+    # The `expanded` flag cuts what each round actually JOINS: a node's
+    # score never changes and `visited` only grows, so a node's rank can
+    # only degrade — beam entrants are always last round's additions,
+    # and a frontier node expanded in an earlier round has all its
+    # neighbors in `visited` already (N(f) ⊆ visited by the round after
+    # f was expanded). Hence N(frontier) \ visited ==
+    # N(frontier \ expanded) \ visited: expanding ONLY the unexpanded
+    # beam slice produces the identical candidate set while the
+    # edges-join input shrinks from beam*Q rows every round to just the
+    # new entrants (round 9 measured the full-frontier form re-joining
+    # the same ~1,200 rows for 8 rounds at sf0.1; the saturated tail
+    # rounds now join near-empty frames).
     prev_n = visited.count()
     for _ in range(rounds):
         # top-`beam` of everything seen so far; filter on the RAW rank so
         # InferWindowGroupLimit bounds the window to beam rows per query
-        frontier = (
-            visited.withColumn("rnk", F.row_number().over(rank_w))
-            .filter(F.col("rnk") <= beam)
-            .select("query_id", "vec_id")
-        )
+        ranked = visited.withColumn("rnk", F.row_number().over(rank_w))
+        frontier_new = ranked.filter(
+            (F.col("rnk") <= beam) & ~F.col("expanded")
+        ).select("query_id", "vec_id")
         cand = (
-            frontier.join(edges.select(F.col("src").alias("vec_id"), "dst"), "vec_id")
+            frontier_new.join(
+                edges.select(F.col("src").alias("vec_id"), "dst"), "vec_id"
+            )
             .select("query_id", F.col("dst").alias("vec_id"))
             .distinct()
-            .join(visited.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti")
+            .join(
+                visited.select("query_id", "vec_id"),
+                ["query_id", "vec_id"],
+                "left_anti",
+            )
         )
-        scored = _score_against_queries(cand, queries, emb)
-        visited = visited.unionByName(scored).localCheckpoint(eager=True)
+        scored = _score_against_queries(cand, queries, emb).withColumn(
+            "expanded", F.lit(False)
+        )
+        visited = (
+            ranked.withColumn(
+                "expanded", F.col("expanded") | (F.col("rnk") <= beam)
+            )
+            .drop("rnk")
+            .unionByName(scored)
+            .localCheckpoint(eager=True)
+        )
         cur_n = visited.count()
         if cur_n == prev_n:
             break
         prev_n = cur_n
-    return visited
+    return visited.select("query_id", "vec_id", "score")
+
+
+def graph_beam_search_interactive(
+    queries: DataFrame,
+    edges: DataFrame,
+    emb: DataFrame,
+    beam: int = 24,
+    rounds: int = 6,
+    n_entries: int | None = None,
+) -> DataFrame:
+    """Request-path twin of :func:`graph_beam_search`: the SAME
+    algorithm (hash-sample entries, top-`beam` best-first expansion,
+    fixed-point exit) producing a BIT-IDENTICAL visited frame (pinned by
+    tests/test_graph_ann.py), but with the per-round bookkeeping on the
+    DRIVER and exactly one Spark job per round.
+
+    Why two forms exist: the BSP operator keeps ALL state distributed —
+    right for audit/batch workloads where Q can be huge — but each round
+    costs a window + distinct + anti-join + checkpoint, ~5-7 exchanges
+    of scheduler latency that dwarf the actual work at request-path
+    batch sizes (the reference's ``/search`` is Q=1, server.js:217-230).
+    Here the frontier/visited/expanded sets live in plain dicts, and a
+    round is ONE action: broadcast the (Q*beam)-bounded frontier into an
+    equi-join against the edge artifact, lookup-join candidate
+    embeddings, score JVM-side with the SAME rounded-cosine expression
+    the BSP path uses (bit-identical doubles — no numpy re-derivation),
+    and collect the candidate rows back. Everything collected is
+    visited-set bounded (~Q * beam * degree rows per round); the
+    corpus-sized tables are only ever streamed scan sides.
+
+    Scale contract: driver state is O(Q * visited-per-query) — the
+    request-path assumption is Q small (interactive k-NN serving), NOT
+    the corpus. For corpus-sized query sets (recall audits, self-join
+    analytics) use :func:`graph_beam_search`, whose state stays in
+    executors. Corpus size only enters through the streamed join sides,
+    so the per-round job shape is the 100-TB shape already.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = queries.sparkSession
+    if n_entries is None:
+        n_entries = max(16, emb.count() // 32)
+    entry_ids = [
+        r[0]
+        for r in emb.select("vec_id")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(n_entries)
+        .collect()
+    ]
+    # materialize the Q-bounded query block ONCE as a local relation —
+    # broadcasting the original `queries` subtree would re-run its scan
+    # (typically a filtered corpus read) every round
+    q_rows = queries.select("query_id", "query_vec").collect()
+    qids = [r[0] for r in q_rows]
+    q_local = spark.createDataFrame(
+        [(r[0], list(r[1])) for r in q_rows],
+        queries.select("query_id", "query_vec").schema,
+    )
+
+    def _score(pairs_pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pairs = spark.createDataFrame(pairs_pdf)
+        return (
+            F.broadcast(pairs)
+            .join(emb.select("vec_id", "embedding"), "vec_id")
+            .join(F.broadcast(q_local), "query_id")
+            .select(
+                "query_id",
+                "vec_id",
+                F.round(
+                    cosine_similarity("embedding", "query_vec"), 6
+                ).alias("score"),
+            )
+        ).toPandas()
+
+    seed = pd.DataFrame(
+        {
+            "query_id": np.repeat(
+                np.array(qids, dtype=np.int64), len(entry_ids)
+            ),
+            "vec_id": np.tile(np.array(entry_ids, dtype=np.int64), len(qids)),
+        }
+    )
+    visited: dict[int, dict[int, float]] = {q: {} for q in qids}
+    for q, v, s in _score(seed).itertuples(index=False):
+        visited[q][v] = s
+    expanded: dict[int, set] = {q: set() for q in qids}
+
+    for _ in range(rounds):
+        fr_q: list[int] = []
+        fr_v: list[int] = []
+        for q in qids:
+            # same total order as the BSP window: score DESC, vec_id ASC
+            top = sorted(visited[q].items(), key=lambda kv: (-kv[1], kv[0]))[
+                :beam
+            ]
+            for v, _s in top:
+                if v not in expanded[q]:
+                    fr_q.append(q)
+                    fr_v.append(v)
+                    expanded[q].add(v)
+        if not fr_q:
+            break
+        frontier = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "query_id": np.array(fr_q, dtype=np.int64),
+                    "vec_id": np.array(fr_v, dtype=np.int64),
+                }
+            )
+        )
+        # one fused job: frontier -> out-edges -> embedding lookup ->
+        # JVM-scored candidates collected back (duplicate (q, dst) pairs
+        # are scored redundantly rather than paying a distinct shuffle —
+        # dedup is a dict insert on the driver)
+        cand = (
+            F.broadcast(frontier)
+            .join(edges.select(F.col("src").alias("vec_id"), "dst"), "vec_id")
+            .select("query_id", F.col("dst").alias("vec_id"))
+        )
+        scored = (
+            F.broadcast(cand)
+            .join(emb.select("vec_id", "embedding"), "vec_id")
+            .join(F.broadcast(q_local), "query_id")
+            .select(
+                "query_id",
+                "vec_id",
+                F.round(
+                    cosine_similarity("embedding", "query_vec"), 6
+                ).alias("score"),
+            )
+        ).toPandas()
+        added = 0
+        for q, v, s in scored.itertuples(index=False):
+            if v not in visited[q]:
+                visited[q][v] = s
+                added += 1
+        if added == 0:
+            break
+    out = pd.DataFrame(
+        [(q, v, s) for q in qids for v, s in visited[q].items()],
+        columns=["query_id", "vec_id", "score"],
+    )
+    return spark.createDataFrame(
+        out, "query_id long, vec_id long, score double"
+    )

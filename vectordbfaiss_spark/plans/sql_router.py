@@ -322,7 +322,7 @@ def route_topk_sql(spark: SparkSession, sql: str, nprobe: int = 4) -> DataFrame:
         from pyspark.sql import Window as W
 
         from vectordbfaiss_spark.operators.graph_ann import (
-            graph_beam_search,
+            graph_beam_search_interactive,
             graph_serve_knobs,
         )
 
@@ -332,7 +332,10 @@ def route_topk_sql(spark: SparkSession, sql: str, nprobe: int = 4) -> DataFrame:
         )
         edges = spark.read.parquet(g_tbl.edges_path).select("src", "dst")
         beam, rounds = graph_serve_knobs(g_tbl.n)
-        visited = graph_beam_search(
+        # the request-path kernel (one job per round, driver bookkeeping,
+        # bit-identical to the BSP operator): a routed SQL statement is a
+        # single interactive request, exactly its contract
+        visited = graph_beam_search_interactive(
             queries,
             edges,
             emb,

@@ -1104,7 +1104,16 @@ _GRAPH_ANN_SAMPLE_CAP = 2 * _GRAPH_ANN_BUILD_K
 # surface — beam-search floors were re-measured at this grain.
 _GRAPH_INIT_CELL_TARGET = 250
 _GRAPH_ANN_BEAM = 24
-_GRAPH_ANN_ROUNDS = 10
+# Serve-loop upper bound at fixture scale. Round-9 rounds sweep at sf0.1
+# (beam 24, 50 queries vs the exact scan): top-10 recall is IDENTICAL
+# from rounds=4 on (mean 0.868, per-query min 0.50, self-found 50/50 at
+# rounds 4/5/6/10 alike — the loop's fixed point is round 8, but rounds
+# 5-8 add only 33 of 41k visited nodes, none reaching any top-10), so 6
+# keeps a 2-round buffer over measured convergence while dropping the
+# saturated tail the bench was paying ~1 s/round of pure stage latency
+# for. Larger corpora need MORE rounds, not fewer — that is
+# graph_serve_knobs' schedule, anchored at the syn100 point.
+_GRAPH_ANN_ROUNDS = 6
 
 
 def graph_ann_edges_published(
@@ -1320,8 +1329,24 @@ def q_graph_ann_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the build side of an equi-join. This is the family's one COLD-PATH
     query: it always runs the traversal live (never the published
     visited artifact the audit queries share), so serving latency stays
-    a measured number every bench round."""
-    visited = _graph_ann_visited(spark, sf_dir)
+    a measured number every bench round. It serves through the
+    REQUEST-PATH kernel (`graph_beam_search_interactive` — one Spark job
+    per round, driver-side bookkeeping, bit-identical to the BSP
+    operator by test), because serving latency is exactly what that
+    kernel exists for; the audit family's published frames keep the
+    all-state-distributed BSP form."""
+    from vectordbfaiss_spark.operators.graph_ann import (
+        graph_beam_search_interactive,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    edges = _graph_ann_edges(spark, sf_dir).select("src", "dst")
+    visited = graph_beam_search_interactive(
+        queries, edges, emb, beam=_GRAPH_ANN_BEAM, rounds=_GRAPH_ANN_ROUNDS
+    )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), "vec_id")
     return (
         visited.filter(F.col("query_id") != F.col("vec_id"))
