@@ -421,3 +421,134 @@ def test_score_projection_on_graph_falls_back_verbatim(spark, tmp_path):
     # bit-identical scores (verbatim execution) — the routed graph path
     # would have returned values rounded to 6dp
     assert [(r.vec_id, r.s) for r in got] == [(r.vec_id, r.s) for r in want]
+
+
+def _docs_view(spark, name="t_docs"):
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    docs.createOrReplaceTempView(name)
+    return name
+
+
+def test_embed_scalar_routes_like_array_literal(spark, tmp_path):
+    """embed('<text>') in the base grammar routes onto the layout and
+    returns exactly what the same statement returns with the embedding
+    written out as array literals (the router resolves embed with the
+    scalar reference, bit-identical to the registered UDF)."""
+    from vectordbfaiss_spark.functions.text import _hash_embed_text
+
+    name = _ivf(spark, tmp_path, "t_router_embed")
+    qt = "spark join filter order"
+    lits = ", ".join(repr(float(x)) for x in _hash_embed_text(qt, 64))
+    routed = route_topk_sql(
+        spark,
+        f"SELECT * FROM {name} ORDER BY "
+        f"cosine_similarity(embedding, embed('{qt}')) DESC LIMIT 7",
+        nprobe=4,
+    ).collect()
+    lit_routed = route_topk_sql(
+        spark,
+        f"SELECT * FROM {name} ORDER BY "
+        f"cosine_similarity(embedding, array({lits})) DESC LIMIT 7",
+        nprobe=4,
+    ).collect()
+    assert [tuple(r) for r in routed] == [tuple(r) for r in lit_routed]
+
+
+def test_hydration_routed_matches_verbatim(spark, tmp_path):
+    """The full /search statement (embed + hydration join) served by the
+    router must equal verbatim spark.sql execution row-for-row at full
+    probe — including bit-equal scores."""
+    name = _ivf(spark, tmp_path, "t_router_hyd")
+    docs = _docs_view(spark, "t_docs_hyd")
+    qt = "window order group"
+    sql = (
+        f"SELECT vec_id, text, cosine_similarity(embedding, embed('{qt}')) AS s "
+        f"FROM {name} JOIN {docs} ON {name}.vec_id = {docs}.doc_id "
+        f"ORDER BY cosine_similarity(embedding, embed('{qt}')) DESC LIMIT 5"
+    )
+    routed = route_topk_sql(spark, sql, nprobe=4)
+    assert routed.columns == ["vec_id", "text", "s"]
+    got = routed.collect()
+    ensure_sql_functions(spark)
+    spark.read.parquet(IVF_TABLES[name].path).createOrReplaceTempView(name)
+    want = spark.sql(sql).collect()
+    assert [(r.vec_id, r.text, r.s) for r in got] == [
+        (r.vec_id, r.text, r.s) for r in want
+    ]
+    # the hydration side must enter as a broadcast of the k-row winner
+    # frame, never a shuffle of the doc table
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hydration_with_where_falls_back_verbatim(spark, tmp_path):
+    """WHERE is outside the hydration grammar — the statement must run
+    verbatim (correct answer, no routing)."""
+    name = _ivf(spark, tmp_path, "t_router_hyd_w")
+    docs = _docs_view(spark, "t_docs_hyd_w")
+    spark.read.parquet(IVF_TABLES[name].path).createOrReplaceTempView(name)
+    ensure_sql_functions(spark)
+    sql = (
+        f"SELECT vec_id, text FROM {name} JOIN {docs} "
+        f"ON {name}.vec_id = {docs}.doc_id WHERE vec_id >= 10 "
+        f"ORDER BY cosine_similarity(embedding, array({_LITS})) DESC LIMIT 5"
+    )
+    got = route_topk_sql(spark, sql)
+    want = spark.sql(sql)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    assert all(r.vec_id >= 10 for r in got.collect())
+
+
+def test_hydration_unknown_doc_column_falls_back(spark, tmp_path):
+    """A projected column that is neither the index id nor a doc column
+    leaves the grammar -> verbatim (here it raises the genuine analysis
+    error a plain spark.sql would raise)."""
+    import pytest
+
+    name = _ivf(spark, tmp_path, "t_router_hyd_u")
+    docs = _docs_view(spark, "t_docs_hyd_u")
+    spark.read.parquet(IVF_TABLES[name].path).createOrReplaceTempView(name)
+    ensure_sql_functions(spark)
+    sql = (
+        f"SELECT vec_id, nonexistent_col FROM {name} JOIN {docs} "
+        f"ON {name}.vec_id = {docs}.doc_id "
+        f"ORDER BY cosine_similarity(embedding, array({_LITS})) DESC LIMIT 5"
+    )
+    with pytest.raises(Exception):
+        route_topk_sql(spark, sql).collect()
+
+
+def test_hydration_uncovered_winner_falls_back_verbatim(spark, tmp_path):
+    """When a top-k winner has no doc row, routed top-k-then-join would
+    return fewer/different rows than SQL's join-then-rank — the route
+    must detect it and run verbatim."""
+    name = _ivf(spark, tmp_path, "t_router_hyd_m")
+    # doc table covering only half the ids: some winner will be uncovered
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    docs.filter(F.col("doc_id") % 2 == 0).createOrReplaceTempView("t_docs_half")
+    spark.read.parquet(IVF_TABLES[name].path).createOrReplaceTempView(name)
+    ensure_sql_functions(spark)
+    sql = (
+        f"SELECT vec_id, text FROM {name} JOIN t_docs_half "
+        f"ON {name}.vec_id = t_docs_half.doc_id "
+        f"ORDER BY cosine_similarity(embedding, array({_LITS})) DESC LIMIT 5"
+    )
+    got = route_topk_sql(spark, sql).collect()
+    want = spark.sql(sql).collect()
+    assert len(got) == 5 and all(r.vec_id % 2 == 0 for r in got)
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_hydration_on_graph_table_serves_traversal_topk(spark, tmp_path):
+    """Hydration over a GraphTable routes through the beam traversal
+    (approximate set, exact scores) and returns hydrated k rows."""
+    name, emb_path = _graph(spark, tmp_path, "t_graph_hyd")
+    docs = _docs_view(spark, "t_docs_ghyd")
+    sql = (
+        f"SELECT vec_id, text FROM {name} JOIN {docs} "
+        f"ON {name}.vec_id = {docs}.doc_id "
+        f"ORDER BY cosine_similarity(embedding, array({_LITS})) DESC LIMIT 5"
+    )
+    got = route_topk_sql(spark, sql).collect()
+    assert len(got) == 5
+    assert all(r.text is not None for r in got)

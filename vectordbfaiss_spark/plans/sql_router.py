@@ -6,12 +6,34 @@ PySpark cannot inject a Catalyst strategy, so the router works at the SQL
 string level with a deliberately tight, documented grammar:
 
     SELECT * | <id_col>
-         [, cosine_similarity(<vec_col>, array(<floats>)) AS <alias>]
+         [, cosine_similarity(<vec_col>, <qvec>) AS <alias>]
     FROM <table>
     [WHERE <pred> [AND <pred>]*]          -- pred: <col> {=,!=,<>,<,<=,>,>=} <literal>
                                           --     | <col> IN (<literal>, ...)
-    ORDER BY cosine_similarity(<vec_col>, array(<float literals>)) DESC
+    ORDER BY cosine_similarity(<vec_col>, <qvec>) DESC
     LIMIT <k>
+
+    <qvec> ::= array(<float literals>) | embed('<query text>')
+
+plus the HYDRATION form — the reference's full /search composition
+(embed the query, top-k the index, hydrate document context;
+server.js:217-265) as ONE statement:
+
+    SELECT <item> [, <item>]*             -- item: <column name>
+                                          --     | cosine_similarity(...) AS <alias>
+    FROM <index_table> JOIN <doc_table>
+      ON <index_table>.<id_col> = <doc_table>.<key>
+    ORDER BY cosine_similarity(<vec_col>, <qvec>) DESC
+    LIMIT <k>
+
+``embed`` is the hermetic hash embedder (the U1 pluggable-embedder
+seam); the router resolves it DRIVER-side into the literal query vector
+(bit-identical to the registered ``embed`` pandas_udf the verbatim path
+calls), so routed plans never run a UDF. The hydration route serves
+top-k from the index family first and broadcasts the K-ROW winner frame
+into the doc-table scan; it only answers when every winner hydrated
+(else verbatim — plain SQL joins before ranking, and a context-less
+winner would otherwise displace the row verbatim SQL returns).
 
 The optional score projection is routable only when the projected
 expression is LITERALLY the ranking expression (same column, same vector
@@ -149,13 +171,25 @@ def register_graph_table(
     GRAPH_TABLES[name] = GraphTable(path, edges_path, n, id_col, vec_col)
 
 
+#: dimensionality of the `embed('...')` SQL scalar — the hermetic hash
+#: embedder's default, matching the fixture embedding width (U1 seam:
+#: a real model embedder slots in with the same signature and dim)
+EMBED_DIM = 64
+
+
 def ensure_sql_functions(spark: SparkSession) -> None:
-    """Register ``cosine_similarity(a, b)`` for plain-SQL execution
-    (idempotent). Arrow-batched pandas_udf — the exact-fallback path only;
-    the routed plan never calls it."""
+    """Register ``cosine_similarity(a, b)`` and ``embed(text)`` for
+    plain-SQL execution (idempotent). Arrow-batched pandas_udfs — the
+    exact-fallback path only; the routed plan never calls them (the
+    router resolves ``embed`` driver-side via the bit-identical scalar
+    reference ``_hash_embed_text``)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
+
+    from vectordbfaiss_spark.functions.text import hash_embed_udf
+
+    spark.udf.register("embed", hash_embed_udf(EMBED_DIM))
 
     def _cos(a, b):
         out = np.empty(len(a))
@@ -170,23 +204,112 @@ def ensure_sql_functions(spark: SparkSession) -> None:
     spark.udf.register("cosine_similarity", pandas_udf(_cos, "double"))
 
 
+#: the literal query-vector argument: an inline float array, or the
+#: `embed('<text>')` scalar (resolved driver-side at route time)
+_VEC_ARG = (
+    r"(?:array\((?P<{v}>[-+0-9eE.,\s]*)\)"
+    r"|embed\(\s*'(?P<{t}>[^']*)'\s*\))"
+)
+
 _PATTERN = re.compile(
     r"""^\s*SELECT\s+(?P<proj>\*|[A-Za-z_]\w*)
-        (?:\s*,\s*cosine_similarity\(\s*(?P<pcol>[A-Za-z_]\w*)\s*,\s*
-            array\((?P<pvec>[-+0-9eE.,\s]*)\)\s*\)\s+AS\s+(?P<alias>[A-Za-z_]\w*))?\s+
+        (?:\s*,\s*cosine_similarity\(\s*(?P<pcol>[A-Za-z_]\w*)\s*,\s*"""
+    + _VEC_ARG.format(v="pvec", t="pqt")
+    + r"""\s*\)\s+AS\s+(?P<alias>[A-Za-z_]\w*))?\s+
         FROM\s+(?P<tbl>[A-Za-z_]\w*)\s+
         (?:WHERE\s+(?P<where>.+?)\s+)?
-        ORDER\s+BY\s+cosine_similarity\(\s*(?P<col>[A-Za-z_]\w*)\s*,\s*
-            array\((?P<vec>[-+0-9eE.,\s]*)\)\s*\)\s+DESC\s+
+        ORDER\s+BY\s+cosine_similarity\(\s*(?P<col>[A-Za-z_]\w*)\s*,\s*"""
+    + _VEC_ARG.format(v="vec", t="qt")
+    + r"""\s*\)\s+DESC\s+
         LIMIT\s+(?P<k>\d+)\s*;?\s*$""",
     re.IGNORECASE | re.VERBOSE | re.DOTALL,
 )
+
+
+#: the hydration form — the reference's full /search composition
+#: (server.js:217-265: embed query -> top-k -> hydrate doc text) in one
+#: statement: top-k over a registered index table, inner-joined to a
+#: plain Spark table/view for context columns
+_HYDRATE_PATTERN = re.compile(
+    r"""^\s*SELECT\s+(?P<items>.+?)\s+
+        FROM\s+(?P<tbl>[A-Za-z_]\w*)\s+JOIN\s+(?P<doc>[A-Za-z_]\w*)\s+
+        ON\s+(?P<lq>[A-Za-z_]\w*)\.(?P<lc>[A-Za-z_]\w*)\s*=\s*
+             (?P<rq>[A-Za-z_]\w*)\.(?P<rc>[A-Za-z_]\w*)\s+
+        ORDER\s+BY\s+cosine_similarity\(\s*(?P<col>[A-Za-z_]\w*)\s*,\s*"""
+    + _VEC_ARG.format(v="vec", t="qt")
+    + r"""\s*\)\s+DESC\s+
+        LIMIT\s+(?P<k>\d+)\s*;?\s*$""",
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
+
+_ITEM_SCORE = re.compile(
+    r"cosine_similarity\(\s*(?P<pcol>[A-Za-z_]\w*)\s*,\s*"
+    + _VEC_ARG.format(v="pvec", t="pqt")
+    + r"\s*\)\s+AS\s+(?P<alias>[A-Za-z_]\w*)",
+    re.IGNORECASE,
+)
+_ITEM_COL = re.compile(r"[A-Za-z_]\w*")
+_ITEM_SEP = re.compile(r"\s*,\s*")
+
+
+def _parse_items(items: str) -> list | None:
+    """The hydration SELECT list: plain column names plus at most one
+    `cosine_similarity(...) AS alias` expression. Returns a list of
+    ("score", match) / ("col", name) entries in statement order, or
+    None when anything falls outside the grammar."""
+    out: list = []
+    pos, n = 0, len(items)
+    while pos < n:
+        if m := _ITEM_SCORE.match(items, pos):
+            if any(kind == "score" for kind, _ in out):
+                return None
+            out.append(("score", m))
+        elif m := _ITEM_COL.match(items, pos):
+            out.append(("col", m.group(0)))
+        else:
+            return None
+        pos = m.end()
+        if pos >= n:
+            break
+        sep = _ITEM_SEP.match(items, pos)
+        if not sep:
+            return None
+        pos = sep.end()
+    return out or None
 
 
 def _vec_key(lits: str) -> str:
     """Whitespace-insensitive identity of an array literal list, so the
     projected expression can be compared against the ORDER BY one."""
     return ",".join(tok.strip() for tok in lits.split(",") if tok.strip())
+
+
+def _resolve_qvec(vec_lits: str | None, qtext: str | None) -> list[float]:
+    """The query vector of a matched statement: inline float literals,
+    or the hermetic embedding of an `embed('<text>')` argument —
+    computed driver-side with the scalar reference `_hash_embed_text`,
+    bit-identical to the registered `embed` pandas_udf the verbatim
+    path would call (functions/text.py pins the equivalence)."""
+    if vec_lits is not None:
+        return [float(x) for x in vec_lits.split(",") if x.strip()]
+    from vectordbfaiss_spark.functions.text import _hash_embed_text
+
+    return [float(x) for x in _hash_embed_text(qtext or "", EMBED_DIM)]
+
+
+def _rank_expr_identity(
+    pvec: str | None, pqt: str | None, vec: str | None, qt: str | None
+) -> bool:
+    """True when the projected cosine argument is LITERALLY the ORDER BY
+    argument (array-vs-array by whitespace-insensitive literal identity,
+    embed-vs-embed by exact text; mixed forms never match — even if they
+    denote the same vector, the router only routes what it can prove
+    syntactically)."""
+    if pvec is not None and vec is not None:
+        return _vec_key(pvec) == _vec_key(vec)
+    if pqt is not None and qt is not None:
+        return pqt == qt
+    return False
 
 _LITERAL = r"'[^']*'|[-+]?\d+(?:\.\d+)?"
 _PRED_IN = re.compile(
@@ -245,6 +368,101 @@ def _parse_where(clause: str) -> list | None:
     return filters or None
 
 
+def _route_hydrated(spark: SparkSession, m, nprobe: int) -> DataFrame | None:
+    """Serve a matched hydration statement from the registered index +
+    a broadcast join of the k winners into the doc table, or return
+    None when anything requires verbatim execution.
+
+    Exactness: the winners come from the family route (exact for IVF at
+    full probe, approximate-set for graph/PQ by their documented
+    contracts). The routed plan computes top-k FIRST and hydrates
+    after; plain SQL joins first and ranks after — those agree exactly
+    when every winner hydrates, so the route verifies that all k
+    winner ids found a doc row and otherwise returns None (verbatim
+    rescue: a winner without context could otherwise silently displace
+    the row plain SQL would have returned). Duplicate doc keys are
+    handled by re-ranking the hydrated rows under the same
+    (score DESC, id ASC) pin and re-applying LIMIT k — plain SQL's
+    top-k rows are exactly that prefix.
+
+    The hydration join broadcasts the K-ROW winner frame into the
+    corpus-grain doc scan — never doc text the other way (the
+    rag_answer_extractive 100-TB contract)."""
+    name = m.group("tbl")
+    tbl = IVF_TABLES.get(name)
+    pq_tbl = IVFPQ_TABLES.get(name) if tbl is None else None
+    g_tbl = GRAPH_TABLES.get(name) if tbl is None and pq_tbl is None else None
+    any_tbl = tbl or pq_tbl or g_tbl
+    if any_tbl is None or m.group("col") != any_tbl.vec_col:
+        return None
+    try:
+        doc_df = spark.table(m.group("doc"))
+    except Exception:
+        return None
+    # join condition: one side must be the index table's id column, the
+    # other any column of the doc table (qualifiers must name the tables)
+    sides = {
+        m.group("lq"): m.group("lc"),
+        m.group("rq"): m.group("rc"),
+    }
+    if set(sides) != {name, m.group("doc")}:
+        return None
+    if sides[name] != any_tbl.id_col or sides[m.group("doc")] not in doc_df.columns:
+        return None
+    key = sides[m.group("doc")]
+    items = _parse_items(m.group("items"))
+    if items is None:
+        return None
+    for kind, it in items:
+        if kind == "score":
+            # same exactness rule as the single-table grammar: an
+            # explicitly projected score expression routes only when it
+            # IS the ranking expression and the family serves exact
+            # scores (IVF only — PQ serves ADC approximations, graph
+            # rounds to 6dp over an approximate candidate set)
+            if (
+                tbl is None
+                or it.group("pcol") != m.group("col")
+                or not _rank_expr_identity(
+                    it.group("pvec"),
+                    it.group("pqt"),
+                    m.group("vec"),
+                    m.group("qt"),
+                )
+            ):
+                return None
+        elif it != any_tbl.id_col and it not in doc_df.columns:
+            return None
+    qvec = _resolve_qvec(m.group("vec"), m.group("qt"))
+    k = int(m.group("k"))
+    lits = m.group("vec") or ", ".join(repr(x) for x in qvec)
+    base = (
+        f"SELECT * FROM {name} ORDER BY "
+        f"cosine_similarity({any_tbl.vec_col}, array({lits})) DESC LIMIT {k}"
+    )
+    winners = route_topk_sql(spark, base, nprobe=nprobe).localCheckpoint(
+        eager=True
+    )
+    hydrated = doc_df.join(
+        F.broadcast(winners), doc_df[key] == winners[any_tbl.id_col], "inner"
+    )
+    if hydrated.select(winners[any_tbl.id_col]).distinct().count() < k:
+        return None
+    cols = []
+    for kind, it in items:
+        if kind == "score":
+            cols.append(F.col("score").alias(it.group("alias")))
+        elif it == any_tbl.id_col:
+            cols.append(winners[any_tbl.id_col])
+        else:
+            cols.append(doc_df[it])
+    return (
+        hydrated.orderBy(F.desc("score"), F.asc(winners[any_tbl.id_col]))
+        .limit(k)
+        .select(*cols)
+    )
+
+
 def route_topk_sql(spark: SparkSession, sql: str, nprobe: int = 4) -> DataFrame:
     """Execute ``sql``; if it matches the supported top-k grammar over a
     registered IVF table, serve it from the partition-pruned layout,
@@ -255,6 +473,13 @@ def route_topk_sql(spark: SparkSession, sql: str, nprobe: int = 4) -> DataFrame:
     retrieval without the score is useless downstream (the exact-fallback
     SQL can add the same expression to its projection).
     """
+    hm = _HYDRATE_PATTERN.match(sql)
+    if hm:
+        routed = _route_hydrated(spark, hm, nprobe)
+        if routed is not None:
+            return routed
+        ensure_sql_functions(spark)
+        return spark.sql(sql)
     m = _PATTERN.match(sql)
     if not m:
         ensure_sql_functions(spark)
@@ -297,7 +522,12 @@ def route_topk_sql(spark: SparkSession, sql: str, nprobe: int = 4) -> DataFrame:
                 or g_tbl is not None
                 or proj != any_tbl.id_col
                 or m.group("pcol") != m.group("col")
-                or _vec_key(m.group("pvec")) != _vec_key(m.group("vec"))
+                or not _rank_expr_identity(
+                    m.group("pvec"),
+                    m.group("pqt"),
+                    m.group("vec"),
+                    m.group("qt"),
+                )
             )
         )
         # a WHERE outside the conjunctive =/!=/range/IN grammar must run
@@ -310,7 +540,7 @@ def route_topk_sql(spark: SparkSession, sql: str, nprobe: int = 4) -> DataFrame:
     ):
         ensure_sql_functions(spark)
         return spark.sql(sql)
-    qvec = [float(x) for x in m.group("vec").split(",") if x.strip()]
+    qvec = _resolve_qvec(m.group("vec"), m.group("qt"))
     k = int(m.group("k"))
     queries = spark.createDataFrame(
         [(0, qvec)], "query_id LONG, query_vec ARRAY<FLOAT>"

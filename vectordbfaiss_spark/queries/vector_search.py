@@ -425,7 +425,8 @@ def q_sql_routed_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     traversal. Serving knobs come from `graph_serve_knobs(n)` at the
     corpus size captured at registration, so THIS code path is where
     the syn-ladder-calibrated schedule runs in production (fixture
-    scale resolves to the measured beam 24 / rounds 10). The route is
+    scale resolves to the measured beam 24 / rounds 6; it serves through
+    the request-path kernel, one Spark job per round). The route is
     approximate by contract (HNSW-style), so the oracle is the bound
     form: ``k_rows`` (exactly k results), ``recall_ok`` (>= 5 of the
     exact in-plan top-10 — the family floor), and ``scores_exact``
@@ -524,6 +525,83 @@ def q_sql_routed_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT * FROM emb_ivf WHERE label IN (2, 4, 7) AND vec_id >= 50 "
         "ORDER BY "
         f"cosine_similarity(embedding, array({_ROUTED_LITS})) DESC LIMIT 10"
+    )
+    return route_topk_sql(spark, sql, nprobe=8)
+
+
+# ---------------------------------------------------------------------------
+# Full /search parity in ONE statement: embed('query text') + hydration join
+# ---------------------------------------------------------------------------
+
+_SEARCH_QTEXT = "spark filter join window order"
+
+
+def _search_query_lits() -> str:
+    """The hermetic embedding of the /search query text, as float
+    literals — computed ONCE at import with the scalar reference
+    embedder (`functions/text._hash_embed_text`, bit-identical to the
+    `embed` SQL udf), and embedded in BOTH the oracle SQL and any
+    verbatim replay, so DuckDB never needs to reproduce md5 hashing."""
+    from vectordbfaiss_spark.functions.text import _hash_embed_text
+
+    return ", ".join(repr(float(x)) for x in _hash_embed_text(_SEARCH_QTEXT, 64))
+
+
+_SQL_HYDRATED_ORACLE = f"""
+WITH qr AS (SELECT [{_search_query_lits()}]::REAL[]::DOUBLE[] AS q),
+nq AS (
+  SELECT list_transform(q, x -> CAST(x / sqrt(list_dot_product(q, q)) AS REAL))::DOUBLE[] AS qv
+  FROM qr
+),
+nv AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+            x -> CAST(x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS REAL))::DOUBLE[] AS v
+  FROM embeddings
+),
+s AS (SELECT vec_id, round(list_dot_product(nq.qv, nv.v), 6) AS score FROM nv, nq),
+t AS (SELECT vec_id, score FROM s ORDER BY score DESC, vec_id LIMIT 5)
+SELECT t.vec_id, d.text, t.score FROM t JOIN documents d ON t.vec_id = d.doc_id
+"""
+
+
+@register("sql_routed_search_hydrated", _SQL_HYDRATED_ORACLE)
+def q_sql_routed_search_hydrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE /search read path as one SQL statement
+    (server.js:217-265: embed the query text, cosine top-k, hydrate the
+    matching documents): `SELECT vec_id, text, cosine_similarity(...,
+    embed('...')) AS score FROM emb_ivf JOIN documents ON ... ORDER BY
+    cosine_similarity(embedding, embed('...')) DESC LIMIT 5`, auto-routed
+    by plans/sql_router.py — `embed` resolves driver-side to the hermetic
+    hash embedding (U1 seam), top-5 serves from the IVF layout at full
+    probe (EXACT, so the whole composition hash-checks against DuckDB),
+    and the k-row winner frame broadcasts into the documents scan for
+    hydration. The same statement runs verbatim via spark.sql on
+    unregistered tables (`embed` and `cosine_similarity` are registered
+    SQL functions) — routing stays a transparent speedup; equality is
+    pinned in tests/test_sql_router.py."""
+    import pathlib
+
+    from vectordbfaiss_spark.plans.ivf import build_ivf_index, corpus_fingerprint
+    from vectordbfaiss_spark.plans.sql_router import (
+        register_ivf_table,
+        route_topk_sql,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = f"/root/repo/spark-warehouse/ivf_index_{pathlib.Path(sf_dir).name}"
+    centroids = build_ivf_index(
+        emb, out, n_clusters=8, seed=42,
+        corpus_key=corpus_fingerprint(f"{sf_dir}/embeddings.parquet"),
+    )
+    register_ivf_table("emb_ivf", out, centroids)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    sql = (
+        "SELECT vec_id, text, "
+        f"cosine_similarity(embedding, embed('{_SEARCH_QTEXT}')) AS score "
+        "FROM emb_ivf JOIN documents ON emb_ivf.vec_id = documents.doc_id "
+        "ORDER BY "
+        f"cosine_similarity(embedding, embed('{_SEARCH_QTEXT}')) DESC LIMIT 5"
     )
     return route_topk_sql(spark, sql, nprobe=8)
 
