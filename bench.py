@@ -31,6 +31,24 @@ def main() -> None:
     # after the warmup (as rounds 3-7 did) counts the bench's own
     # JVM/page-cache warmup in the 1-min average and false-flagged the
     # round-8 anchor (launched at 0.21, read 1.18 post-warmup).
+    #
+    # SETTLE gate (round-8 verdict item 5): the r8 driver bench launched
+    # onto a load-8 host (3 stall retries, 2.7x outliers). If the 1-min
+    # average says another workload JUST ran, waiting a bounded minute
+    # or two for it to drain is far cheaper than a contaminated record —
+    # capped so a genuinely shared host can't stall the driver forever.
+    _load_presettle = list(os.getloadavg())
+    _settle_s = 0.0
+    _settle_cap = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE_S", "90"))
+    while os.getloadavg()[0] > 1.0 and _settle_s < _settle_cap:
+        time.sleep(10)
+        _settle_s += 10
+    if _settle_s:
+        print(
+            f"NOTE: settled {_settle_s:.0f}s for host load "
+            f"{_load_presettle[0]:.2f} -> {os.getloadavg()[0]:.2f}",
+            file=sys.stderr,
+        )
     _load_start = list(os.getloadavg())
 
     from vectordbfaiss_spark import registry
@@ -199,6 +217,31 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Clean-anchor ratio distribution (round-8 verdict item 5): make
+    # host-state contamination SELF-documenting. With identical plans
+    # this box drifts 1.4-2x across sessions (SCALE.md adjudications),
+    # so the ratio-vs-anchor quartiles over UNCHANGED queries are the
+    # signal a judge needs: a uniform shift is host state, a lone
+    # outlier is code. Sub-0.05 s anchors are excluded (pure scheduling
+    # jitter dominates their ratio).
+    ratios = sorted(
+        t / anchor[n]
+        for n, t in timings.items()
+        if anchor.get(n, 0.0) > 0.05
+    )
+    anchor_ratio = {}
+    if ratios:
+        import statistics as _st
+
+        qs_ = _st.quantiles(ratios, n=4) if len(ratios) >= 4 else ratios
+        anchor_ratio = {
+            "anchor_file": os.path.basename(anchor_path),
+            "n_compared": len(ratios),
+            "median": round(_st.median(ratios), 3),
+            "quartiles": [round(q, 3) for q in qs_[:3]],
+            "n_over_1_5x": sum(r > 1.5 for r in ratios),
+        }
+
     total = round(sum(timings.values()), 3)
     # Per-query timings go to a sidecar file, NOT stdout: the driver parses
     # the (single, small) stdout JSON line, and a ~4 KB line with 140+ query
@@ -223,6 +266,11 @@ def main() -> None:
                 # stall-suspect queries re-measured once: [first, second]
                 # samples; the official timing above is the min
                 "retried": retried,
+                # per-run ratio-vs-anchor distribution (see above): the
+                # drift-adjudication summary, inline in every record
+                "anchor_ratio": anchor_ratio,
+                "settle_s": _settle_s,
+                "load_presettle": _load_presettle,
                 # [official-first, immediate-warm] samples when
                 # SPARK_GRAFT_BENCH_PASSES=2 (empty otherwise)
                 "pairs": pairs,
@@ -253,6 +301,7 @@ def main() -> None:
                 # total grows with registry coverage; median is the
                 # coverage-independent number to track across rounds
                 "median_sec": median,
+                "anchor_ratio_median": anchor_ratio.get("median"),
                 "queries_file": qf,
                 "slowest5": slowest,
             }
