@@ -18,11 +18,14 @@ pattern as the sessionizer.
 
 ENVIRONMENT GATE: transformWithState's Python state client speaks
 protobuf to the JVM (pyspark/sql/streaming/proto/StateMessage_pb2), and
-this container has no ``protobuf`` package — so the end-to-end test
-(tests/test_user_profile_stream.py) importorskips on google.protobuf
-and the production stateful path remains streaming/sessionize.py
-(applyInPandasWithState, fully tested here). On a cluster with protobuf
-installed this module is live: it also needs
+this container has no ``protobuf`` package — so the e2e contract (final
+emitted state == the batch twin) is proven UNCONDITIONALLY through
+:func:`user_profile_stream_apws` (same semantics on
+applyInPandasWithState, the surface this container executes), and
+tests/test_user_profile_stream.py re-runs the same assertions through
+the transformWithState form wherever protobuf is importable — a runtime
+branch, not a skipped test. On a cluster with protobuf installed this
+module is live: it also needs
 ``spark.sql.streaming.stateStore.providerClass =
 org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider``,
 which transformWithState requires.
@@ -111,4 +114,54 @@ def user_profile_batch(events: DataFrame) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum("value").alias("sum_value"),
         (F.unix_micros(F.max("ts"))).alias("last_seen_us"),
+    )
+
+
+def user_profile_stream_apws(events: DataFrame) -> DataFrame:
+    """``applyInPandasWithState`` twin of :func:`user_profile_stream` —
+    IDENTICAL semantics (running per-user count/sum/max-ts, one updated
+    row per microbatch the user appears in) on the stateful surface this
+    container can actually execute end-to-end.
+
+    Why both exist: transformWithStateInPandas is the forward API (typed
+    ValueState, timers), but its Python state client speaks protobuf to
+    the JVM and this environment ships no ``protobuf`` package — so the
+    e2e contract (final emitted state == the batch twin) is proven
+    through THIS form unconditionally, and the transformWithState form
+    re-runs the same assertions wherever protobuf exists (see
+    tests/test_user_profile_stream.py). State here is the same bounded
+    (n, total, last_us) row per key, tuple-typed per the
+    applyInPandasWithState contract."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _update(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += int(len(pdf))
+            total += float(pdf["value"].sum())
+            last_us = max(last_us, int(pdf["ts"].max().value // 1_000))
+        state.update((n, total, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_events": [n],
+                "sum_value": [total],
+                "last_seen_us": [last_us],
+            }
+        )
+
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            PROFILE_SCHEMA,
+            "n long, total double, last_us long",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
     )
