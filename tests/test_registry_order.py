@@ -18,32 +18,36 @@ def test_priority_is_the_registry_prefix():
     assert tuple(order[: len(registry._PRIORITY)]) == registry._PRIORITY
 
 
-# queries whose CODE changed in round 8 (shared published traversals +
-# hardened witnesses; re-aggregated prune tradeoff; memoized embedder) —
-# each needs a fresh driver row against the changed implementation
-_R8_CHANGED: tuple[str, ...] = (
-    "quality_prune_tradeoff",
-    "hash_embedder_checksum",
+# queries whose CODE or published artifacts changed in round 9 (advisor
+# fixes to seeding/self-exclusion/router guard; interactive serving
+# kernel; serve rounds 10->6; SQL front-door grammar extension; syn300
+# ladder families re-proven) — each needs a fresh driver row
+_R9_CHANGED: tuple[str, ...] = (
+    "sql_routed_search_hydrated",  # new in round 9
+    "recursive_cte_knn_bfs",
     "graph_ann_topk_search",
-    "graph_ann_build_bound",
+    "sql_routed_graph_topk",
+    "sql_routed_topk",
+    "sql_routed_topk_multi",
     "graph_ann_recall_bound",
+    "graph_ann_build_bound",
     "graph_ann_ivf_entries",
     "graph_ann_incremental",
     "graph_ann_delete_serve",
-    "graph_ann_compact_serve",  # new in round 8
+    "graph_ann_compact_serve",
     "graph_ann_beam_curve",
-    "sql_routed_graph_topk",  # new in round 8
+    "dedup_minhash_capped",
+    "dedup_simhash_capped",
+    "knn_graph_blocked",
 )
 
 
-def test_first_window_is_round8_rotation():
-    """Round-8 rotation contract: cumulative driver coverage closed at
-    259/259 in round 7, so the sampled prefix holds the sentinels, then
-    every query whose code CHANGED this round (fresh rows against the
-    changed implementation), then a refresh block of the stalest
-    evidence. Driver-SAMPLED means the query has any row in a
-    CORRECTNESS_r* file — rows-only entries record `no_oracle` rows and
-    count as sampled once the driver has executed them."""
+def test_first_window_is_round9_rotation():
+    """Round-9 rotation contract: cumulative driver coverage closed at
+    261/261 in round 8, so the sampled prefix holds the sentinels, then
+    every query whose code or serving artifacts CHANGED this round
+    (fresh rows against the changed implementation), then a refresh
+    block of the stalest evidence (r3/r4-era latest samples)."""
     import json
     import os
 
@@ -53,27 +57,26 @@ def test_first_window_is_round8_rotation():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sampled: set[str] = set()
-    for n in range(1, 8):
+    for n in range(1, 9):
         with open(os.path.join(repo, f"CORRECTNESS_r0{n}.json")) as fh:
             sampled.update(json.load(fh))
 
-    # nothing is never-sampled anymore; the priority rules are (a) every
-    # changed query sits in the window right after the sentinels, and
-    # (b) refresh entries that follow are genuinely stale (no round-7
-    # sample), so the window extends the freshness frontier
-    head = window[2 : 2 + len(_R8_CHANGED)]
-    assert set(head) == set(_R8_CHANGED), head
-    with open(os.path.join(repo, "CORRECTNESS_r07.json")) as fh:
-        r7 = set(json.load(fh))
+    head = window[2 : 2 + len(_R9_CHANGED)]
+    assert set(head) == set(_R9_CHANGED), head
+    # refresh entries must be genuinely stale: nothing round-8-fresh may
+    # burn a refresh slot
+    with open(os.path.join(repo, "CORRECTNESS_r08.json")) as fh:
+        r8 = set(json.load(fh))
     fresh_refreshers = [
         n
-        for n in window[2 + len(_R8_CHANGED) :]
-        if n in r7 and n not in _R8_CHANGED
+        for n in window[2 + len(_R9_CHANGED) :]
+        if n in r8 and n not in _R9_CHANGED
     ]
     assert not fresh_refreshers, (
-        f"round-7-fresh queries burn refresh slots: {fresh_refreshers}"
+        f"round-8-fresh queries burn refresh slots: {fresh_refreshers}"
     )
-    # and every never-sampled query (none expected) would have to be here
+    # every never-sampled query (only round-9 additions can be) must be
+    # inside the window
     never = [n for n in registry.queries() if n not in sampled]
     missing = [n for n in never if n not in window]
     assert not missing, f"never-sampled queries outside the window: {missing}"

@@ -86,59 +86,58 @@ _PRIORITY: tuple[str, ...] = (
     # sentinels: flagship operators re-proven every round
     "topk_search",
     "ingest_index_build",
-    # ---- round-8 changed queries (need fresh driver rows) ----
-    "quality_prune_tradeoff",
-    "hash_embedder_checksum",
-    "graph_ann_topk_search",
-    "graph_ann_build_bound",
-    "graph_ann_recall_bound",
+    # ---- round-9 changed queries (need fresh driver rows) ----
+    "sql_routed_search_hydrated",  # NEW: embed() + hydration front door
+    "recursive_cte_knn_bfs",       # frontier broadcast hint
+    "graph_ann_topk_search",       # interactive kernel, rounds 6
+    "sql_routed_graph_topk",       # interactive kernel via router
+    "sql_routed_topk",             # router code touched (grammar ext)
+    "sql_routed_topk_multi",
+    "graph_ann_recall_bound",      # artifacts rebuilt: rounds 10->6,
+    "graph_ann_build_bound",       # seed anti-join order
     "graph_ann_ivf_entries",
     "graph_ann_incremental",
     "graph_ann_delete_serve",
     "graph_ann_compact_serve",
     "graph_ann_beam_curve",
-    "sql_routed_graph_topk",
-    # refresh block: stalest evidence (latest sample round 2)
-    "csv_roundtrip_part",
-    "json_roundtrip_events",
-    "relevant_tokens_report",
-    "udtf_chunk_spans",
-    "text_term_freq_top20",
-    "embedding_near_dup_lsh",
-    "multimodal_decode_meta",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "multimodal_audio_windows",
-    "text_token_stats",
-    "text_quality_score",
-    "text_language_id",
-    "text_fingerprint",
-    "text_bpe_token_count",
-    "tfidf_top_terms",
-    "curation_pipeline",
-    "sql_routed_topk",
-    # refresh block: next-oldest evidence (latest sample round 3)
-    "sequence_packing_bins",
-    "pii_redact_docs",
-    "url_normalize_filter",
-    "crossdoc_span_scrub",
-    "semdedup_prune",
-    "semdedup_witness_bound",
-    "merge_upsert_docs",
-    "zorder_layout_audit",
-    "dsir_importance_weights",
-    "hard_negative_mining",
-    "inverted_index_build",
-    "kmv_overlap_sketch",
-    "binary_hamming_rerank_topk",
-    "webdataset_tar_roundtrip",
-    "matryoshka_truncation_audit",
-    "search_snippet_extraction",
-    "vector_store_crud_search",
-    "ivf_append_search",
-    "ivf_compact_search",
+    "dedup_minhash_capped",        # syn300 ladder families re-proven
+    "dedup_simhash_capped",
+    "knn_graph_blocked",
+    # refresh block: stalest evidence (latest sample round 3)
     "schema_evolution_read",
     "entity_resolution_golden",
+    "entity_resolution_incremental",
+    "join_size_estimate",
+    "ivf_nprobe_curve",
+    "maxsim_late_interaction",
+    "snapshot_vacuum_audit",
+    "corpus_health_report",
+    "mixture_sampling_plan",
+    "dedup_minhash_incremental",
+    "dedup_survivors",
+    "leakage_safe_split_assign",
+    "q13_customer_distribution",
+    "q16_supplier_relationship",
+    "q6_forecast_revenue",
+    "q12_shipping_priority_split",
+    "q4_order_priority_checking",
+    "q10_returned_item_revenue",
+    "q14_promo_revenue_pct",
+    "q18_large_volume_orders",
+    "range_join_orders_events",
+    "approx_percentiles_order_value",
+    "sessionize_events_batch",
+    "interval_join_click_purchase",
+    "session_window_builtin",
+    "skew_salted_event_totals",
+    "window_nth_value_events",
+    # refresh block: next-oldest (latest sample round 4)
+    "ivf_tombstone_search",
+    "pq_recall_bound",
+    "ivfpq_recall_bound",
+    "bpe_fertility_by_lang",
+    "dp_noised_event_counts",
+    "scd2_event_intervals",
 )
 
 
