@@ -393,7 +393,13 @@ def _route_hydrated(spark: SparkSession, m, nprobe: int) -> DataFrame | None:
     pq_tbl = IVFPQ_TABLES.get(name) if tbl is None else None
     g_tbl = GRAPH_TABLES.get(name) if tbl is None and pq_tbl is None else None
     any_tbl = tbl or pq_tbl or g_tbl
-    if any_tbl is None or m.group("col") != any_tbl.vec_col:
+    if (
+        any_tbl is None
+        or m.group("col") != any_tbl.vec_col
+        # a self-join (doc side == index side) is outside the hydration
+        # contract — run verbatim
+        or m.group("doc") == name
+    ):
         return None
     try:
         doc_df = spark.table(m.group("doc"))
