@@ -84,6 +84,34 @@ def test_random_graphs_match_union_find(spark):
         assert got == expect, (seed, sorted(edges))
 
 
+def test_star_forest_convergence_check(spark):
+    """The round-9 convergence test exits when the edge set is a canonical
+    min-rooted star forest (the star-contraction fixpoint) instead of
+    waiting for the set to repeat. Pin the two structural hazards:
+
+    - an input that is ALREADY a star forest must converge immediately
+      (one round, identical edge set) with correct labels;
+    - a two-level graph where a center is itself a member elsewhere
+      (u/v overlap: 3-2, 2-1) must NOT be read as converged — it needs
+      contraction and must still produce min labels.
+    """
+    from vectordbfaiss_spark.operators.graph import _star_rounds, _canon
+
+    # already a min-rooted star forest: {1<-2,1<-3}, {7<-9}
+    star = spark.createDataFrame([(2, 1), (3, 1), (9, 7)], ["a", "b"])
+    E = _canon(star).localCheckpoint(eager=True)
+    out, converged, _ = _star_rounds(
+        spark, E, max_iter=1, rebase_every=8, rebase_paths=[]
+    )
+    assert converged, "star forest must be recognized as the fixpoint in round 1"
+    got = {(r["u"], r["v"]) for r in out.collect()}
+    assert got == {(2, 1), (3, 1), (9, 7)}
+
+    # center-with-a-parent chain: must contract, then yield min labels
+    got = _cc_map(spark, [(3, 2), (2, 1)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
 def test_leakage_safe_split_keeps_groups_together(spark):
     """Every pair of documents sharing a blocking key (the INDEPENDENT
     ground truth for 'near-duplicate', derived without the closure code

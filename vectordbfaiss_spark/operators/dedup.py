@@ -299,6 +299,7 @@ def minhash_band_candidates(
     num_hashes: int = 16,
     rows_per_band: int = 2,
     max_bucket: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Distinct banded candidate pairs (id_a < id_b) — the LSH pair
     generator shared by :func:`minhash_lsh_pairs` and the recall audit
@@ -316,7 +317,12 @@ def minhash_band_candidates(
     J-driven), so the lost candidates are low-signal by construction, and
     every pair is still verified by exact Jaccard downstream. AQE
     skew-join splits a big bucket's PARTITIONS but cannot reduce its
-    quadratic OUTPUT — only the cap does."""
+    quadratic OUTPUT — only the cap does.
+
+    ``materialize=False`` returns the pair frame LAZY (no eager
+    checkpoint) for callers that overlap the materialization with an
+    independent pipeline (session.materialize_concurrently); such
+    callers take over the multiple-consumer checkpoint obligation."""
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
     if max_bucket is not None:
         # the bucket guard consumes `banded` twice (count + probe); without
@@ -365,6 +371,8 @@ def minhash_band_candidates(
         .select("id_a", "id_b")
         .distinct()
     )
+    if not materialize:
+        return candidates
     return candidates.localCheckpoint(eager=True)
 
 

@@ -559,19 +559,28 @@ def q_minhash_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from vectordbfaiss_spark.operators.setsim import prefix_filter_jaccard_pairs
 
+    from vectordbfaiss_spark.session import materialize_concurrently
+
     docs = load_table(spark, sf_dir, "documents")
     # candidate-pair-sized frame with two consumers (the detection semi-
     # join and the n_candidates count): materialize once or the whole
-    # shingle->minhash->band pipeline runs twice
-    cand = minhash_band_candidates(
-        docs, "doc_id", "text", n=3, num_hashes=_NUM_HASHES, rows_per_band=_ROWS_PER_BAND
-    ).localCheckpoint(eager=True)
-    exact = (
+    # shingle->minhash->band pipeline runs twice. The banded-candidate
+    # and exact-prefix-join pipelines are INDEPENDENT, so their
+    # materializations overlap (guide-§2.6 back-fill) — wall = max of the
+    # two pipelines instead of their sum.
+    cand, exact = materialize_concurrently(
+        minhash_band_candidates(
+            docs,
+            "doc_id",
+            "text",
+            n=3,
+            num_hashes=_NUM_HASHES,
+            rows_per_band=_ROWS_PER_BAND,
+            materialize=False,
+        ),
         prefix_filter_jaccard_pairs(
             exploded_shingles(docs, "doc_id", "text", n=3), "doc_id", "shingle"
-        )
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
+        ).select("id_a", "id_b"),
     )
     # explicit hints: both sides are checkpointed RDDs (no stats), so the
     # static planner would sort-merge-join them. SHUFFLE_HASH, not a

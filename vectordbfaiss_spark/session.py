@@ -75,6 +75,16 @@ def get_spark(
         # type — read as long and convert in load_table (DuckDB-compatible
         # truncation to microseconds).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Always use the single-file-per-map-task shuffle writers, never
+        # the bypass-merge writer: bypass creates one FILE per (map task,
+        # reduce partition) pair — M x R creates/opens/closes per shuffle
+        # (guide §2.2's block-growth overhead, measured here as ~0.5 s of
+        # wall per small shuffle at R=32, halving to ~0.22 s with the
+        # sort/serialized writer). At scale R > 200 disables bypass
+        # anyway, so this makes small-R shuffles take the exact code path
+        # big shuffles already take; the bypass writer's only advantage
+        # (skipping the partition-id sort) is irrelevant at both ends.
+        .config("spark.shuffle.sort.bypassMergeThreshold", "0")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Dio.netty.tryReflectionSetAccessible=true")
     )
@@ -138,6 +148,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
             # restores TIMESTAMP semantics (unix_micros etc. reject NTZ)
             df = df.withColumn("ts", df["ts"].cast("timestamp"))
     return df
+
+
+def materialize_concurrently(*dfs):
+    """Eagerly localCheckpoint several INDEPENDENT frames, overlapped.
+
+    Sequential ``localCheckpoint(eager=True)`` calls serialize their jobs,
+    so a query that pins two independent subtrees pays sum-of-walls while
+    most of the cluster idles in each job's tail. Submitting the
+    materializing actions from a small thread pool lets the scheduler
+    back-fill (Spark runs concurrent jobs FIFO, the later job using slots
+    the earlier one leaves free), so the wall cost is ~max instead of sum.
+    Returns the checkpointed frames in input order. The frames MUST be
+    independent (no shared uncheckpointed lineage with a common expensive
+    subtree — that work would run once per frame concurrently).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.util import inheritable_thread_target
+
+    ckpts = [df.localCheckpoint(eager=False) for df in dfs]
+
+    def _mat(df):
+        # full-scan action: computes (and thereby persists) every
+        # partition of the lazily-checkpointed RDD
+        df.count()
+        return df
+
+    if len(ckpts) == 1:
+        return [_mat(ckpts[0])]
+    with ThreadPoolExecutor(max_workers=len(ckpts)) as pool:
+        return list(pool.map(inheritable_thread_target(_mat), ckpts))
 
 
 def fan_out(df):
