@@ -84,10 +84,17 @@ def train_bpe_merges(docs: DataFrame, n_merges: int, text_col: str = "text") -> 
         # materialize, and un-checkpointed the chained fold/agg/limit plans
         # re-execute every prior round per action
         state = state.localCheckpoint(eager=True)
+        # materialize the 1-row argmax: it has THREE consumers (the merge
+        # table row, the broadcast rewrite below, and — for encode-side
+        # callers — a driver collect of the merge table), and left lazy
+        # each consumer re-runs this round's full pair-count aggregate +
+        # TakeOrdered over the dict (measured as 2-3x the round's agg
+        # work per bench pass). One row, trivially cheap to pin.
         best = (
             _pair_counts(state)
             .orderBy(F.desc("cnt"), "pa", "pb")
             .limit(1)
+            .localCheckpoint(eager=True)
         )
         row = best.select(
             F.lit(it).cast("long").alias("iteration"), "pa", "pb", "cnt"

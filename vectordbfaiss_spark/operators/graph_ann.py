@@ -305,6 +305,15 @@ def graph_beam_search_interactive(
     import pandas as pd
 
     spark = queries.sparkSession
+    # pin the two stream sides ONCE per request: every round's job joins
+    # the frontier against edges and the candidates against emb, and
+    # without the checkpoint each of the ~`rounds` jobs re-scans and
+    # re-decodes both parquet relations (measured as the round job's
+    # dominant input cost at fixture scale). One narrow materialization
+    # each turns those into executor block reads; both frames are the
+    # columns the traversal needs, nothing more (guide §4.1 projection).
+    emb = emb.select("vec_id", "embedding").localCheckpoint(eager=True)
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     if n_entries is None:
         n_entries = max(16, emb.count() // 32)
     entry_ids = [

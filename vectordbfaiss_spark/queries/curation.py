@@ -672,16 +672,32 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = grams.select(
         "doc_id", "lang", (_hash_bucket(F.col("g")) % _DSIR_B).alias("bucket")
     )
-    per_doc = feats.groupBy("doc_id", "bucket").agg(F.count("*").alias("n"))
-    raw_d = feats.groupBy("bucket").agg(F.count("*").alias("r"))
-    tgt_d = (
-        feats.filter(F.col("lang") == "en")
-        .groupBy("bucket")
-        .agg(F.count("*").alias("t"))
+    # ONE pass over the exploded grams: aggregate to per-(doc, bucket)
+    # counts first (lang rides along — it is functionally determined by
+    # doc_id, so the groups are identical), then derive the raw/target
+    # bucket distributions and totals by ROLLING UP the narrow counts
+    # instead of re-reading `feats`. Left as four consumers of `feats`,
+    # the scan + explode + md5 subtree executed once per branch (4x the
+    # corpus work in one action, measured via the job profile); per_doc
+    # is docs x distinct-buckets rows — corpus-linear and narrow — so one
+    # checkpoint bounds every downstream aggregate to it (guide §2.3:
+    # aggregate before you shuffle, reuse the aggregated frame).
+    per_doc = (
+        feats.groupBy("doc_id", "lang", "bucket")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
     )
-    tot = feats.agg(
-        F.count("*").alias("r_total"),
-        F.count(F.when(F.col("lang") == "en", 1)).alias("t_total"),
+    raw_d = per_doc.groupBy("bucket").agg(F.sum("n").alias("r"))
+    tgt_d = (
+        per_doc.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("t"))
+    )
+    tot = per_doc.agg(
+        F.sum("n").alias("r_total"),
+        F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0)).alias(
+            "t_total"
+        ),
     )
     probs = (
         raw_d.join(tgt_d, "bucket", "left")

@@ -692,6 +692,14 @@ def q_kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     nodes = emb.select("vec_id", "embedding")
     seed = nodes.orderBy("vec_id").limit(1).localCheckpoint(eager=True)
+    # LAZY checkpoint: each round's argmax below is a TakeOrdered over
+    # the anti-joined state — it computes EVERY state partition (a global
+    # max cannot skip any), so that one job materializes the checkpoint;
+    # an eager checkpoint here and per round was a second scheduled
+    # action per round for the same scan (round 9: 2 actions/round -> 1).
+    # The argmax is the state frame's ONLY lazy consumer (chosen/picked
+    # read `best`, the next round reads the materialized blocks), so the
+    # update subtree runs exactly once.
     state = (
         nodes.crossJoin(
             F.broadcast(seed.select(F.col("embedding").alias("c_vec")))
@@ -701,7 +709,7 @@ def q_kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
             F.round(1 - cosine_similarity("embedding", "c_vec"), 6).alias("md"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     chosen = seed.select(
         F.lit(1).cast("long").alias("selection_order"),
@@ -741,7 +749,9 @@ def q_kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round(1 - cosine_similarity("embedding", "c_vec"), 6),
                     ).alias("md"),
                 )
-                .localCheckpoint(eager=True)
+                # lazy for the same reason as the seed state above: the
+                # next round's TakeOrdered materializes it in one pass
+                .localCheckpoint(eager=False)
             )
     return chosen
 
