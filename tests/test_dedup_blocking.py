@@ -211,13 +211,18 @@ def test_simhash_bucket_cap_is_noop_below_cap(spark):
     assert a == b and len(a) > 0
 
 
-def test_simhash_capped_plan_is_aggregate_semi_join_not_window(spark):
-    """The bucket guard must stay an aggregate + semi-join: a window
-    count over (blk, val) funnels each degenerate bucket into ONE
+def test_simhash_capped_plan_is_aggregate_anti_join_not_window(spark):
+    """The bucket guard must stay an aggregate + join, never a window: a
+    window count over (blk, val) funnels each degenerate bucket into ONE
     unsplittable task (WindowExec buffers the partition; the MinHash
-    twin of this shape OOM'd at the 500k-doc saturated fixture)."""
+    twin of this shape OOM'd at the 500k-doc saturated fixture). Round 9
+    inverted the join direction — ANTI against the over-cap keys, whose
+    row count is bounded by rows/cap, instead of SEMI against the
+    below-cap keys, which are ~the whole corpus at healthy densities and
+    OOM'd the forced hash build at the syn300 rung."""
     docs = load_table(spark, SF_SMOKE, "documents").limit(300)
     df = D.simhash_pairs(docs, "doc_id", "text", max_hamming=1, max_bucket=64)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan[:2000]
-    assert "LeftSemi" in plan, plan[:2000]
+    assert "LeftAnti" in plan, plan[:2000]
+    assert "LeftSemi" not in plan, plan[:2000]

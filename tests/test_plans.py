@@ -447,7 +447,9 @@ def test_open_vocabulary_tables_never_broadcast(spark):
         "inverted_index_build": (0, 1),
         "phrase_search_postings": (0, 1),
         "search_snippet_extraction": (0, 2),
-        "benchmark_decontamination": (1, 1),  # bench-shingle broadcast stays
+        # bench-shingle broadcast stays; the corpus-grain totals-hits SHJ
+        # was eliminated in round 9 (one aggregate computes both counts)
+        "benchmark_decontamination": (1, 0),
         "bm25_doc_ranking": (1, 1),           # query-term df broadcast stays
         "retention_cohorts_weekly": (0, 1),   # user-grain cohort table
         "text_repetition_filter": (0, 1),     # doc-grain stats tables

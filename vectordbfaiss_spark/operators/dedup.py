@@ -33,18 +33,47 @@ from pyspark.sql import DataFrame, functions as F
 from vectordbfaiss_spark.session import fan_out
 
 
-def gram_array(text_col, n: int = 3):
+def gram_array(text_col, n: int = 3, words=None):
     """ALL n-word grams (with repeats) of a whitespace-tokenized text
     column, in order. Texts shorter than n words yield their full text as
     the only gram (the sequence length clamps to 1 — a negative-length
-    sequence would crash slice with start=0)."""
-    text_col = F.col(text_col) if isinstance(text_col, str) else text_col
-    words = F.split(F.rtrim(text_col), r"\s+")
-    n_sh = F.greatest(F.lit(1), F.size(words) - F.lit(n - 1))
-    return F.transform(
-        F.sequence(F.lit(0), n_sh - 1),
-        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
-    )
+    sequence would crash slice with start=0).
+
+    Built with ``zip_with`` over n SHIFTED SLICES of the words array, NOT
+    a transform whose lambda slices the array per output index. The
+    distinction is load-bearing: higher-order-function lambda BODIES are
+    evaluated interpreted, per element, with no common-subexpression
+    elimination — so the previous form re-ran every expression the body
+    referenced (including, for text-fed callers, the regex ``split``
+    itself) once per output gram: O(words^2) interpreted regex per
+    document. That quadratic was invisible at fixture doc lengths and
+    surfaced as multi-minute straggler tasks on the syn300 honest-density
+    rung (1.5M docs). HOF ARGUMENTS, by contrast, evaluate once per row,
+    so the zip_with form touches ``words`` O(n) times per row and its
+    lambda bodies only concatenate the two element strings.
+
+    ``words``: optionally a PRE-PROJECTED words-array column (text_col is
+    then ignored) — still worth passing on hot paths to avoid even the
+    O(n) per-row re-splits."""
+    if words is None:
+        text_col = F.col(text_col) if isinstance(text_col, str) else text_col
+        words = F.split(F.rtrim(text_col), r"\s+")
+    if n == 1:
+        return words
+    n_sh = F.size(words) - F.lit(n - 1)  # only evaluated when size >= n
+    grams = F.slice(words, 1, n_sh)
+    for k in range(2, n + 1):
+        grams = F.zip_with(
+            grams,
+            F.slice(words, k, n_sh),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    # shorter-than-n texts: the full text as the only gram (the old
+    # sequence-length clamp); CaseWhen evaluates one branch per row, so
+    # the negative-length slices above are never touched for these rows
+    return F.when(
+        F.size(words) < F.lit(n), F.array(F.array_join(words, " "))
+    ).otherwise(grams)
 
 
 def word_shingles(text_col, n: int = 3):
@@ -63,9 +92,17 @@ def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> 
     within a document (array_distinct), so NO extra ``distinct()`` shuffle
     is needed here. The input is fanned out across cores first — the
     explode multiplies rows ~100x and must not run single-task (see
-    session.fan_out)."""
-    return fan_out(df).select(
-        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
+    session.fan_out). The words array is projected as a REAL column
+    before the gram transform (see :func:`gram_array` — a split inside
+    the lambda re-runs per gram, quadratic per doc)."""
+    base = fan_out(df).select(
+        F.col(id_col), F.split(F.rtrim(F.col(text_col)), r"\s+").alias("_words")
+    )
+    return base.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(gram_array(None, n, words=F.col("_words")))
+        ).alias("shingle"),
     )
 
 
@@ -233,22 +270,53 @@ def pair_jaccard(
       threshold filter removes the row. LSH callers never produce such
       pairs (signatures require text); pass pre-filtered ids otherwise.
     """
+    # no forced join strategy anywhere in this kernel (round 9): the
+    # shingle-array frames below are candidate-bounded but ARRAY-WIDE
+    # (~KBs per row), and a forced SHUFFLE_HASH build of them OOM'd at
+    # the syn300 rung under 32-way task concurrency ("Can't acquire ...
+    # bytes to build hash relation"). Unhinted, the static planner keeps
+    # the spill-safe sort-merge (checkpointed inputs carry no stats, so
+    # it never gambles on a broadcast it can't afford) and AQE converts
+    # to broadcast/hash at runtime from OBSERVED sizes when the
+    # candidate set really is small — adaptive at both ends.
     need = pairs.select(F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
+    # join sides carry xxhash64 LONG arrays, not the shingle strings: the
+    # intersect only needs set identity, and an 8-byte long array is
+    # ~2.5x lighter than the text shingles through the two joins (the
+    # string form exhausted the 8g local heap at the syn300 rung under
+    # 32-way concurrency). Collisions at 2^-64 are the same accepted
+    # class as ngram_jaccard_pairs' hashed intersection join; the
+    # per-doc set size is taken from the string array BEFORE hashing.
     sh = (
-        df.join(need.hint("SHUFFLE_HASH"), id_col, "left_semi")
-        .select(F.col(id_col), word_shingles(text_col, n).alias("sh"))
+        df.join(need, id_col, "left_semi")
+        .select(
+            F.col(id_col), F.split(F.rtrim(F.col(text_col)), r"\s+").alias("_words")
+        )
+        .select(
+            F.col(id_col),
+            F.array_distinct(gram_array(None, n, words=F.col("_words"))).alias("sh"),
+        )
+        .select(
+            F.col(id_col),
+            F.transform("sh", lambda s: F.xxhash64(s)).alias("hs"),
+            F.size("sh").alias("n_sh"),
+        )
     )
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    a = sh.select(
+        F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"), F.col("n_sh").alias("n_a")
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"), F.col("n_sh").alias("n_b")
+    )
     sized = (
-        pairs.join(a.hint("SHUFFLE_HASH"), "id_a")
-        .join(b.hint("SHUFFLE_HASH"), "id_b")
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
-            F.size("sh_a").alias("n_a"),
-            F.size("sh_b").alias("n_b"),
+            F.size(F.array_intersect("hs_a", "hs_b")).alias("n_inter"),
+            "n_a",
+            "n_b",
         )
     )
     return sized.select(
@@ -270,25 +338,57 @@ def minhash_signatures(
     min-hashes from H/4 md5 evaluations (md5 is the only hash both Spark
     and the DuckDB oracle implement identically; computing one digest per
     GROUP instead of per hash makes the signature aggregate ~4x cheaper).
-    The digests are projected BEFORE the aggregate so each is computed once
-    per shingle row. One explode + ONE hash aggregate computes all
-    ``num_hashes`` minima (columns mh0..mh{H-1}) — a single shuffle
-    regardless of signature width; hex-string minima are totally ordered.
+    PURE MAP form (round 9): the signature is computed per document row
+    with array expressions — digest arrays over the distinct-shingle
+    array, then ``array_min`` of each 8-hex-char chunk — so there is NO
+    shingle explode and NO exchange anywhere in signature computation.
+    The previous explode + groupBy(min) form shuffled one row PER
+    (doc, shingle, 4 digests) — corpus x ~shingles-per-doc wide rows —
+    which is pure overhead when the minima are per-document reductions;
+    at the syn300 rung that stage was the failing straggler. Values are
+    identical: min over exploded rows == array_min over the same array
+    (hex-string minima are totally ordered; lexicographic either way).
+
+    Preconditions (matching the explode form's observable behavior):
+    rows with NULL ``text_col`` produce no signature (the explode
+    dropped them; here they are filtered). ``id_col`` must be unique per
+    row — the old aggregate merged duplicate ids' shingle sets into one
+    signature, the map form emits one signature per ROW. Every caller
+    (documents PK, parity splits, exact-deduped ingest batches) is
+    unique by construction.
     """
-    sh = exploded_shingles(df, id_col, text_col, n)
     n_groups = (num_hashes + 3) // 4
-    digests = sh.select(
+
+    # closure FACTORIES, not default-arg lambdas: pyspark dispatches HOF
+    # lambdas on their arity, so `lambda x, g=g` would be read as the
+    # binary (element, index) form and the second parameter would shadow
+    # the captured constant with the array-index column
+    def _digest(g: int):
+        prefix = f"{g}:"
+        return lambda x: F.md5(F.concat(F.lit(prefix), x))
+
+    def _chunk(s: int):
+        pos = (s % 4) * 8 + 1
+        return lambda d: F.substring(d, pos, 8)
+
+    base = fan_out(df.filter(F.col(text_col).isNotNull())).select(
+        F.col(id_col), F.split(F.rtrim(F.col(text_col)), r"\s+").alias("_words")
+    )
+    shingled = base.select(
+        F.col(id_col),
+        F.array_distinct(gram_array(None, n, words=F.col("_words"))).alias("_sh"),
+    )
+    digests = shingled.select(
+        F.col(id_col),
+        *[F.transform("_sh", _digest(g)).alias(f"_d{g}") for g in range(n_groups)],
+    )
+    return digests.select(
         F.col(id_col),
         *[
-            F.md5(F.concat(F.lit(f"{g}:"), F.col("shingle"))).alias(f"d{g}")
-            for g in range(n_groups)
+            F.array_min(F.transform(F.col(f"_d{s // 4}"), _chunk(s))).alias(f"mh{s}")
+            for s in range(num_hashes)
         ],
     )
-    aggs = [
-        F.min(F.substring(F.col(f"d{s // 4}"), (s % 4) * 8 + 1, 8)).alias(f"mh{s}")
-        for s in range(num_hashes)
-    ]
-    return digests.groupBy(id_col).agg(*aggs)
 
 
 def minhash_band_candidates(
@@ -354,15 +454,22 @@ def minhash_band_candidates(
         # skew-split; it OOM'd at the 500k-doc saturated-vocabulary
         # fixture), while the aggregate combines map-side and AQE can
         # split the semi-join's skewed probe partitions.
-        ok = (
+        # guard INVERTED (round 9): anti-join against the OVER-cap keys
+        # instead of semi-join against the below-cap ones. The below-cap
+        # key set is ~the whole corpus at healthy densities (the syn300
+        # rung measured its forced-hash build exhausting executor memory
+        # — "Can't acquire ... bytes to build hash relation" at 1.5M
+        # docs), while the over-cap set is structurally bounded by
+        # rows/cap (each offending bucket holds > max_bucket members),
+        # so the anti build side stays hash-join-sized in EVERY regime.
+        # Same surviving rows: ok and bad partition the key space.
+        bad = (
             banded.groupBy("band", "key")
             .agg(F.count("*").alias("bsz"))
-            .filter(F.col("bsz") <= max_bucket)
+            .filter(F.col("bsz") > max_bucket)
             .select("band", "key")
         )
-        # bucket-key table is open-vocabulary (grows with the corpus):
-        # never a broadcast build (the round-4 static-planner rule)
-        banded = banded.join(ok.hint("SHUFFLE_HASH"), ["band", "key"], "left_semi")
+        banded = banded.join(bad.hint("SHUFFLE_HASH"), ["band", "key"], "left_anti")
     la = banded.select(F.col(id_col).alias("id_a"), "band", "key")
     lb = banded.select(F.col(id_col).alias("id_b"), "band", "key")
     candidates = (
@@ -529,11 +636,20 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     For each bit p: sum over tokens of (2*bit_p(md5(token)) - 1); the
     signature sets bit p iff the sum is positive. One explode + one
     aggregate (32 sums) + one projection.
+
+    Per-document token dedup happens INSIDE the row (array_distinct
+    before the explode), not as a cross-row ``distinct()``: the old form
+    shuffled corpus x tokens-per-doc rows through a full exchange just
+    to dedup within documents — measured as the superlinear term at the
+    syn300 rung (6.5x wall at 3x docs). Precondition (was implicit in
+    the old form's cross-row dedup): ``id_col`` unique per row, which
+    every caller satisfies (documents PK).
     """
-    toks = (
-        fan_out(df)
-        .select(F.col(id_col), F.explode(F.split(F.rtrim(F.col(text_col)), r"\s+")).alias("tok"))
-        .distinct()
+    toks = fan_out(df).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(F.rtrim(F.col(text_col)), r"\s+"))
+        ).alias("tok"),
     )
     # project the digest ONCE per row; 32 per-bit extractions read the
     # column instead of re-hashing (Catalyst does not CSE agg children)
@@ -619,20 +735,22 @@ def simhash_pairs(
     )
     blocked = s.select(F.col(id_col), F.col("simhash"), F.explode(blocks).alias("b"))
     if max_bucket is not None:
-        # aggregate + semi-join, NOT a window over (blk, val): degenerate
-        # buckets are single-task partitions under a window (un-splittable,
-        # OOM class), while the aggregate combines map-side and AQE can
-        # split the probe's skew (the MinHash guard's lesson, SCALE.md)
-        okb = (
+        # aggregate + ANTI-join against the OVER-cap blocks, NOT a window
+        # over (blk, val): degenerate buckets are single-task partitions
+        # under a window (un-splittable, OOM class). Anti-vs-oversized
+        # rather than semi-vs-ok for the same reason as the MinHash guard
+        # (round 9): the ok set is ~every block at healthy densities,
+        # the bad set is bounded by rows/cap — always a safe build side.
+        badb = (
             blocked.groupBy(F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
             .agg(F.count("*").alias("bsz"))
-            .filter(F.col("bsz") <= max_bucket)
+            .filter(F.col("bsz") > max_bucket)
             .select("blk", "val")
         )
         blocked = blocked.join(
-            okb.hint("SHUFFLE_HASH"),
+            badb.hint("SHUFFLE_HASH"),
             (F.col("b.blk") == F.col("blk")) & (F.col("b.val") == F.col("val")),
-            "left_semi",
+            "left_anti",
         )
     a = blocked.select(
         F.col(id_col).alias("id_a"),

@@ -308,34 +308,44 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordbfaiss_spark.session import fan_out
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = fan_out(docs).select(
-        "doc_id", F.split(F.rtrim("text"), r"\s+").alias("l")
-    )
     n = _DECON_N
-    sh = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("l") - n),
-                lambda i: F.concat_ws(" ", F.slice("l", i + 1, n)),
-            )
-        ).alias("shingle"),
+
+    def _shingled(frame):
+        toks = frame.select("doc_id", F.split(F.rtrim("text"), r"\s+").alias("l"))
+        return toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("l") - n),
+                    lambda i: F.concat_ws(" ", F.slice("l", i + 1, n)),
+                )
+            ).alias("shingle"),
+        )
+
+    # benchmark side from its OWN pushed-filter subtree (10 docs), not a
+    # filter over the corpus explode: deriving both sides from one `sh`
+    # frame made the corpus-sized explode execute once per consumer
+    # (bench + hits + totals = 3x inside the final action, round 9).
+    bench = (
+        _shingled(docs.filter(F.col("doc_id") < 10)).select("shingle").distinct()
     )
-    bench = sh.filter(F.col("doc_id") < 10).select("shingle").distinct()
-    corpus = sh.filter(F.col("doc_id") >= 10)
-    hits = (
-        corpus.join(F.broadcast(bench), "shingle")
-        .groupBy("doc_id")
-        .agg(F.countDistinct("shingle").alias("n_hits"))
-    )
-    totals = corpus.groupBy("doc_id").agg(
-        F.countDistinct("shingle").alias("n_shingles")
+    corpus = _shingled(fan_out(docs.filter(F.col("doc_id") >= 10)))
+    # one corpus pass, one aggregate: mark each shingle row against the
+    # broadcast benchmark set, then count total and contaminated distinct
+    # shingles in the SAME groupBy (two filtered count-distincts — the
+    # x2 Expand is cheaper than re-running the explode per aggregate and
+    # the totals-hits join it fed)
+    marked = corpus.join(
+        F.broadcast(bench.withColumn("_hit", F.lit(1))), "shingle", "left"
     )
     return (
-        # totals is corpus-grain; hits is bounded only by how much of the
-        # corpus is contaminated (not provably small) — shuffle-hash on
-        # the shared doc_id key, never a broadcast build of either
-        totals.join(hits.hint("SHUFFLE_HASH"), "doc_id")
+        marked.groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shingles"),
+            F.countDistinct(
+                F.when(F.col("_hit") == 1, F.col("shingle"))
+            ).alias("n_hits"),
+        )
         .filter(F.col("n_hits") > 0)
         .select(
             "doc_id",

@@ -439,13 +439,19 @@ def q_ivf_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F2.col("vec_id") < 50).select(
         F2.col("vec_id").alias("query_id"), F2.col("embedding").alias("query_vec")
     )
-    exact = score_topk_vectorized(queries, emb, k=10).select("query_id", "vec_id")
     assigned, centroids = assign_clusters(
         emb, n_clusters=8, seed=42,
         corpus_key=corpus_fingerprint(f"{sf_dir}/embeddings.parquet"),
     )
-    approx = ivf_search(assigned, queries, centroids, k=10, nprobe=4).select(
-        "query_id", "vec_id"
+    # same shape as pq_recall_bound: independent exact/approx legs,
+    # approx consumed twice below — materialize both once, overlapped
+    from vectordbfaiss_spark.session import materialize_concurrently
+
+    exact, approx = materialize_concurrently(
+        score_topk_vectorized(queries, emb, k=10).select("query_id", "vec_id"),
+        ivf_search(assigned, queries, centroids, k=10, nprobe=4).select(
+            "query_id", "vec_id"
+        ),
     )
     # every join side below is Q-bounded (top-k outputs / per-query rows):
     # broadcast explicitly — post-window frames carry no stats, and an
@@ -626,10 +632,18 @@ def q_pq_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F2.col("vec_id") < 50).select(
         F2.col("vec_id").alias("query_id"), F2.col("embedding").alias("query_vec")
     )
-    exact = score_topk_vectorized(queries, emb, k=10).select("query_id", "vec_id")
-    approx = pq_search_rerank(
-        pq_encode(emb, books), queries, books, k=10, refine=8
-    ).select("query_id", "vec_id")
+    # exact (BLAS scan) and approx (ADC + rerank) are independent heavy
+    # legs, and approx has TWO consumers below (hits + self_found) — left
+    # lazy its whole encode/ADC pipeline executed once per consumer in
+    # the final action. Materialize both once, overlapped (guide §2.6).
+    from vectordbfaiss_spark.session import materialize_concurrently
+
+    exact, approx = materialize_concurrently(
+        score_topk_vectorized(queries, emb, k=10).select("query_id", "vec_id"),
+        pq_search_rerank(
+            pq_encode(emb, books), queries, books, k=10, refine=8
+        ).select("query_id", "vec_id"),
+    )
     # every join side below is Q-bounded (top-k outputs / per-query rows):
     # broadcast explicitly — post-window frames carry no stats, and an
     # unhinted plan degrades to sort-merge joins over bounded data
@@ -688,10 +702,16 @@ def q_ivfpq_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F2.col("vec_id") < 50).select(
         F2.col("vec_id").alias("query_id"), F2.col("embedding").alias("query_vec")
     )
-    exact = score_topk_vectorized(queries, emb, k=10).select("query_id", "vec_id")
-    approx = ivfpq_search(
-        pq_encode(assigned, books), queries, centroids, books, k=10, nprobe=4
-    ).select("query_id", "vec_id")
+    # same shape as pq_recall_bound: independent exact/approx legs,
+    # approx consumed twice below — materialize both once, overlapped
+    from vectordbfaiss_spark.session import materialize_concurrently
+
+    exact, approx = materialize_concurrently(
+        score_topk_vectorized(queries, emb, k=10).select("query_id", "vec_id"),
+        ivfpq_search(
+            pq_encode(assigned, books), queries, centroids, books, k=10, nprobe=4
+        ).select("query_id", "vec_id"),
+    )
     # every join side below is Q-bounded (top-k outputs / per-query rows):
     # broadcast explicitly — post-window frames carry no stats, and an
     # unhinted plan degrades to sort-merge joins over bounded data

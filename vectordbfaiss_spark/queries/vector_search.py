@@ -676,6 +676,8 @@ def q_sql_routed_pq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         route_topk_sql,
     )
 
+    from vectordbfaiss_spark.session import materialize_concurrently
+
     out, centroids, books = _ivfpq_artifact(spark, sf_dir)
     register_ivfpq_table("emb_ivfpq", out, centroids, books)
     sql = (
@@ -684,9 +686,23 @@ def q_sql_routed_pq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"cosine_similarity(embedding, array({_ROUTED_LITS})) DESC "
         f"LIMIT {_ROUTED_PQ_K}"
     )
-    hits = route_topk_sql(spark, sql, nprobe=8).localCheckpoint(eager=True)
-
     emb = load_table(spark, sf_dir, "embeddings")
+    # exact filtered baseline from RAW embeddings, same query vector
+    qdf = spark.createDataFrame(
+        [(0, _routed_query_vec())], "query_id LONG, query_vec ARRAY<FLOAT>"
+    )
+    # the routed ADC pipeline and the exact-rerank witness baseline are
+    # INDEPENDENT heavy legs — overlap their materializations (guide
+    # §2.6) instead of running them back to back
+    hits, exact = materialize_concurrently(
+        route_topk_sql(spark, sql, nprobe=8),
+        score_topk_vectorized(
+            qdf,
+            emb.filter(F.col("label").isin(1, 3, 5) & (F.col("vec_id") >= 20)),
+            k=_ROUTED_PQ_K,
+        ).select("vec_id"),
+    )
+
     meta = emb.select("vec_id", "label")
     checked = hits.join(F.broadcast(meta), "vec_id", "left").select(
         (F.col("label").isin(1, 3, 5) & (F.col("vec_id") >= 20)).alias("flt_ok")
@@ -699,15 +715,6 @@ def q_sql_routed_pq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         (a.score, -a.vec_id) >= (b.score, -b.vec_id)
         for a, b in zip(served, served[1:])
     )
-    # exact filtered baseline from RAW embeddings, same query vector
-    qdf = spark.createDataFrame(
-        [(0, _routed_query_vec())], "query_id LONG, query_vec ARRAY<FLOAT>"
-    )
-    exact = score_topk_vectorized(
-        qdf,
-        emb.filter(F.col("label").isin(1, 3, 5) & (F.col("vec_id") >= 20)),
-        k=_ROUTED_PQ_K,
-    ).select("vec_id")
     n_match = hits.join(exact, "vec_id", "left_semi").count()
     return (
         hits.agg(F.count("*").alias("n_hits"))
