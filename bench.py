@@ -194,9 +194,10 @@ def main() -> None:
         os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             "bench_records",
-            # round-8 session-close record: 0 retries, covers all 261
-            # queries including the round's additions (r6's covered 234)
-            "r8_final_bench_queries.json",
+            # round-9 session-close record: 0 retries, clean
+            # (contaminated=false), covers all 262 queries after the
+            # round-9 optimization pass
+            "r9_close_bench_queries.json",
         ),
     )
     anchor: dict[str, float] = {}
