@@ -291,8 +291,15 @@ def main() -> None:
     # the (single, small) stdout JSON line, and a ~4 KB line with 140+ query
     # timings overflowed its capture in round 1 (BENCH_r01.json parsed:null).
     here = os.path.dirname(os.path.abspath(__file__))
+    # key the sidecar filename by core count (round-9 verdict item 2): the
+    # driver benches the SAME tree at 32 and 8 cores, and a fixed filename
+    # meant the second run clobbered the first — PERF's per_query and
+    # scaling blocks came up empty because the 32-core sidecar was gone.
+    # One file per cpus keeps both; the stdout JSON names its own file.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "all")
     side_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT", os.path.join(here, "bench_queries.json")
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(here, f"bench_queries_{cpus}c.json"),
     )
     # host 1/5/15-min load BEFORE+AFTER the run, recorded for adjudication:
     # this box is co-tenant; runs with load >> SPARK_GRAFT_CPUS-utilization
@@ -302,6 +309,7 @@ def main() -> None:
         json.dump(
             {
                 "sf": sf,
+                "cpus": cpus,
                 "n_queries": len(timings),
                 "contaminated": contaminated,
                 "recently_busy": recently_busy,

@@ -188,6 +188,30 @@ def test_pair_jaccard_equals_shingle_join_formulation(spark):
     )
 
 
+def test_null_text_semantics(spark):
+    """NULL-text docs are DROPPED by the signature/shingle pipelines
+    (round-9 advisor): minhash_signatures emits no row (the old
+    explode form emitted an all-NULL signature row, which downstream
+    even made NULL-text docs mutual J=1 pairs), exploded_shingles emits
+    no shingle rows, and ngram_jaccard_pairs emits no pairs involving
+    them."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, None), (4, None)],
+        "doc_id LONG, text STRING",
+    )
+    sig = D.minhash_signatures(docs, "doc_id", "text", n=3)
+    assert {r.doc_id for r in sig.collect()} == {1, 2}
+    ex = D.exploded_shingles(docs, "doc_id", "text", n=3)
+    assert {r.doc_id for r in ex.collect()} == {1, 2}
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.0
+        ).collect()
+    }
+    assert pairs == {(1, 2)}
+
+
 def test_simhash_bucket_cap_drops_degenerate_buckets(spark):
     """Identical texts share a signature, so every doc lands in the same
     two block buckets: uncapped blocking emits all C(n,2) pairs; a cap

@@ -225,6 +225,48 @@ def test_entry_seed_budget_met_from_survivors(spark):
     assert all(v % 3 != 0 for v in seeded)
 
 
+def test_xxhash64_long_parity(spark):
+    """The in-kernel entry-sample hash must equal Spark's xxhash64(BIGINT)
+    bit for bit — entry selection order depends on it."""
+    import numpy as np
+
+    from vectordbfaiss_spark.operators.graph_ann import _xxhash64_longs
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate(
+        [
+            np.arange(-5, 2000, dtype=np.int64),
+            rng.integers(-(2**63), 2**63 - 1, size=500, dtype=np.int64),
+            np.array([0, 1, -1, 2**63 - 1, -(2**63)], dtype=np.int64),
+        ]
+    )
+    df = spark.createDataFrame([(int(v),) for v in vals], "v long")
+    want = [r[0] for r in df.select(F.xxhash64("v")).collect()]
+    got = _xxhash64_longs(vals).tolist()
+    assert got == want
+
+
+def test_round_half_up6_matches_spark(spark):
+    """The in-kernel 6dp rounding must match Spark's round(double, 6) on
+    representative score values, including .5-boundary cases."""
+    import numpy as np
+
+    from vectordbfaiss_spark.operators.graph_ann import _round_half_up6
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate(
+        [
+            rng.uniform(-1, 1, size=2000),
+            np.array([0.1234565, -0.1234565, 0.9999995, -0.9999995, 1.0, -1.0]),
+            np.array([2.5e-7, -2.5e-7, 0.5e-6, 1.5e-6]),
+        ]
+    )
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    want = [r[0] for r in df.select(F.round("v", 6)).collect()]
+    got = _round_half_up6(vals).tolist()
+    assert got == want
+
+
 def test_interactive_kernel_bit_identical_to_bsp(spark):
     """The request-path kernel must produce the EXACT visited frame the
     BSP operator produces (same entries, same expansion order, same
@@ -246,3 +288,52 @@ def test_interactive_kernel_bit_identical_to_bsp(spark):
     a = sorted(map(tuple, bsp.collect()))
     b = sorted(map(tuple, inter.collect()))
     assert a == b and len(a) > 0
+
+
+def test_interactive_kernel_path_mode_matches_df_mode(spark, tmp_path):
+    """The single-job Arrow kernel (published-artifact paths) must return
+    the same frame as df-mode and hence as the BSP operator."""
+    from vectordbfaiss_spark.operators.graph_ann import (
+        graph_beam_search_interactive,
+    )
+
+    emb_df = _toy_corpus(spark, n=60)
+    edges = _knn_edges_df(spark, emb_df, k=5)
+    emb_path = str(tmp_path / "emb.parquet")
+    edges_path = str(tmp_path / "edges.parquet")
+    emb_df.write.parquet(emb_path)
+    edges.write.parquet(edges_path)
+    queries = emb_df.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    df_mode = graph_beam_search_interactive(
+        queries, edges, emb_df, beam=6, rounds=5
+    )
+    path_mode = graph_beam_search_interactive(
+        queries,
+        edges,
+        emb_df,
+        beam=6,
+        rounds=5,
+        emb_path=emb_path,
+        edges_path=edges_path,
+    )
+    a = sorted(map(tuple, df_mode.collect()))
+    b = sorted(map(tuple, path_mode.collect()))
+    assert a == b and len(a) > 0
+    # scan-backed query block: the collected request rows round-trip
+    # through a real parquet scan instead of a local relation
+    q_path = str(tmp_path / "queries.parquet")
+    queries.write.parquet(q_path)
+    q_scan = spark.read.parquet(q_path)
+    scan_fed = graph_beam_search_interactive(
+        q_scan,
+        edges,
+        emb_df,
+        beam=6,
+        rounds=5,
+        emb_path=emb_path,
+        edges_path=edges_path,
+    )
+    c = sorted(map(tuple, scan_fed.collect()))
+    assert c == a

@@ -86,7 +86,33 @@ def word_shingles(text_col, n: int = 3):
     return F.array_distinct(gram_array(text_col, n))
 
 
-def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, _sh ARRAY<STRING>) — each document's DISTINCT n-word shingle
+    array, the shared upstream of both the signature pipelines
+    (:func:`minhash_signatures`) and the exploded form
+    (:func:`exploded_shingles`). Queries that run BOTH an approximate and
+    an exact leg over the same corpus (the recall audit) checkpoint this
+    frame once and feed it to both, so the regex split + gram build +
+    array_distinct — the expensive per-doc work — runs a single time.
+    NULL-text rows are dropped (they have no shingles; both consumers
+    already behaved that way — explode drops the NULL array, the
+    signature path filtered them explicitly)."""
+    base = fan_out(df.filter(F.col(text_col).isNotNull())).select(
+        F.col(id_col), F.split(F.rtrim(F.col(text_col)), r"\s+").alias("_words")
+    )
+    return base.select(
+        F.col(id_col),
+        F.array_distinct(gram_array(None, n, words=F.col("_words"))).alias("_sh"),
+    )
+
+
+def exploded_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    shingled: DataFrame | None = None,
+) -> DataFrame:
     """(id, shingle) rows, distinct per doc — the normalized form every
     dedup pipeline starts from. ``word_shingles`` already deduplicates
     within a document (array_distinct), so NO extra ``distinct()`` shuffle
@@ -94,7 +120,13 @@ def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> 
     explode multiplies rows ~100x and must not run single-task (see
     session.fan_out). The words array is projected as a REAL column
     before the gram transform (see :func:`gram_array` — a split inside
-    the lambda re-runs per gram, quadratic per doc)."""
+    the lambda re-runs per gram, quadratic per doc).
+
+    ``shingled``: optionally a PRE-COMPUTED :func:`shingle_arrays` frame
+    (``df``/``text_col`` are then ignored) — pass the same checkpointed
+    frame to several consumers to share the shingle computation."""
+    if shingled is not None:
+        return shingled.select(F.col(id_col), F.explode("_sh").alias("shingle"))
     base = fan_out(df).select(
         F.col(id_col), F.split(F.rtrim(F.col(text_col)), r"\s+").alias("_words")
     )
@@ -260,6 +292,19 @@ def pair_jaccard(
     construction. Values are identical to the join formulation: same
     distinct-shingle sets, same 6dp rounding.
 
+    Round-10 audit note: a bucket-grouped Arrow verify kernel (pairs
+    hash-bucketed, docs' arrays shipped per bucket, numpy intersections
+    in an applyInPandas cogroup) was built and MEASURED against this
+    join form at the syn300 rung (1.5M docs, 11.4M candidate pairs):
+    the join form verified in ~18 s warm while the kernel took 83-93 s
+    at its best bucketing (and GC-stormed at coarse bucketing — an
+    applyInPandas group arrives as ONE Arrow batch, so array-heavy
+    buckets allocate tens of MB per task). After round 9's
+    xxhash64-long-array payload fix, JVM codegen'd array_intersect
+    simply wins; the syn300 MinHash wall lives in CANDIDATE GENERATION
+    (signature hashing), not verification. The kernel was removed —
+    this join form IS the deliberate strategy choice (guide §3.1).
+
     Preconditions (NOT enforced here, so a caller that violates them gets
     no error):
     - ``pairs`` must be DISTINCT — a duplicated (id_a, id_b) row emits a
@@ -329,7 +374,12 @@ def pair_jaccard(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 16
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document.
 
@@ -349,45 +399,79 @@ def minhash_signatures(
     identical: min over exploded rows == array_min over the same array
     (hex-string minima are totally ordered; lexicographic either way).
 
-    Preconditions (matching the explode form's observable behavior):
-    rows with NULL ``text_col`` produce no signature (the explode
-    dropped them; here they are filtered). ``id_col`` must be unique per
-    row — the old aggregate merged duplicate ids' shingle sets into one
-    signature, the map form emits one signature per ROW. Every caller
-    (documents PK, parity splits, exact-deduped ingest batches) is
-    unique by construction.
+    Preconditions / NULL semantics: rows with NULL ``text_col`` produce
+    NO signature row — a deliberate (round-9 advisor) behavior change vs
+    the old explode+groupBy form, which emitted an all-NULL signature
+    row per NULL-text doc (gram_array on NULL text yields [NULL], so the
+    exploded aggregate grouped over a null-shingle row; downstream,
+    xxhash64(NULL)'s constant even made all NULL-text docs mutual J=1
+    pairs in ngram_jaccard_pairs). Dropping the row is the fix; pinned
+    by test_null_text_semantics. ``id_col`` must be unique per row — the
+    old aggregate merged duplicate ids' shingle sets into one signature,
+    the map form emits one signature per ROW. Every caller (documents
+    PK, parity splits, exact-deduped ingest batches) is unique by
+    construction.
+
+    ``shingled``: optionally a PRE-COMPUTED :func:`shingle_arrays` frame
+    (``df``/``text_col``/``n`` are then ignored) for callers sharing the
+    shingle computation across pipelines.
     """
     n_groups = (num_hashes + 3) // 4
 
-    # closure FACTORIES, not default-arg lambdas: pyspark dispatches HOF
-    # lambdas on their arity, so `lambda x, g=g` would be read as the
-    # binary (element, index) form and the second parameter would shadow
-    # the captured constant with the array-index column
-    def _digest(g: int):
-        prefix = f"{g}:"
-        return lambda x: F.md5(F.concat(F.lit(prefix), x))
+    if shingled is None:
+        shingled = shingle_arrays(df, id_col, text_col, n)
 
-    def _chunk(s: int):
-        pos = (s % 4) * 8 + 1
-        return lambda d: F.substring(d, pos, 8)
+    # Arrow kernel (round 10, guide §4.2): the per-row signature is
+    # ~4 md5 + 16 slice/min operations PER SHINGLE, and the expression
+    # forms all evaluate it INTERPRETED (HOF lambda bodies have no
+    # codegen) with heavy intermediate allocation. Measured at the
+    # syn300 rung (1.5M docs, 79.4M shingles): transform+array_min
+    # form 359 s, struct-aggregate form 423 s, explode+codegen-md5+
+    # groupBy(min) 812 s (the partial agg buffers ~corpus-many groups
+    # per task and spills) — while this kernel runs the same math
+    # through hashlib's C md5 in one streamed pass over Arrow batches.
+    # Output values are bit-identical: md5 hex lowercase == Spark/DuckDB
+    # md5; python str comparison on ASCII hex == UTF8String ordering.
+    _nh, _ng, _id = num_hashes, n_groups, id_col
 
-    base = fan_out(df.filter(F.col(text_col).isNotNull())).select(
-        F.col(id_col), F.split(F.rtrim(F.col(text_col)), r"\s+").alias("_words")
+    def _sig(batches):
+        import pyarrow as pa
+        from hashlib import md5
+
+        prefixes = [f"{g}:".encode() for g in range(_ng)]
+        nch = [min(4, _nh - g * 4) for g in range(_ng)]
+        names = [_id] + [f"mh{s}" for s in range(_nh)]
+        for b in batches:
+            t = pa.Table.from_batches([b])
+            ids = t.column(0).to_pylist()
+            shl = t.column(1).to_pylist()
+            cols: list = [[] for _ in range(_nh + 1)]
+            for rid, sh_ in zip(ids, shl):
+                mins = [None] * _nh
+                for s_ in sh_:
+                    sb = s_.encode()
+                    for g in range(_ng):
+                        h = md5(prefixes[g] + sb).hexdigest()
+                        base = g * 4
+                        for j in range(nch[g]):
+                            c = h[j * 8 : j * 8 + 8]
+                            k = base + j
+                            if mins[k] is None or c < mins[k]:
+                                mins[k] = c
+                cols[0].append(rid)
+                for k in range(_nh):
+                    cols[k + 1].append(mins[k])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[0], pa.int64())]
+                + [pa.array(cols[k + 1], pa.string()) for k in range(_nh)],
+                names,
+            )
+
+    out_schema = ", ".join(
+        [f"{id_col} long"] + [f"mh{s} string" for s in range(num_hashes)]
     )
-    shingled = base.select(
-        F.col(id_col),
-        F.array_distinct(gram_array(None, n, words=F.col("_words"))).alias("_sh"),
-    )
-    digests = shingled.select(
-        F.col(id_col),
-        *[F.transform("_sh", _digest(g)).alias(f"_d{g}") for g in range(n_groups)],
-    )
-    return digests.select(
-        F.col(id_col),
-        *[
-            F.array_min(F.transform(F.col(f"_d{s // 4}"), _chunk(s))).alias(f"mh{s}")
-            for s in range(num_hashes)
-        ],
+    return shingled.select(F.col(id_col), F.col("_sh")).mapInArrow(
+        _sig, out_schema
     )
 
 
@@ -400,12 +484,14 @@ def minhash_band_candidates(
     rows_per_band: int = 2,
     max_bucket: int | None = None,
     materialize: bool = True,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct banded candidate pairs (id_a < id_b) — the LSH pair
     generator shared by :func:`minhash_lsh_pairs` and the recall audit
-    (queries/dedup.py::minhash_quality_audit). Materialized eagerly: the
-    candidate set always feeds multiple consumers, and it is tiny by
-    design (banding exists to keep it so).
+    (queries/dedup.py::minhash_quality_audit). Materialized eagerly BY
+    DEFAULT (see ``materialize=False`` below for callers that manage the
+    checkpoint themselves): the candidate set always feeds multiple
+    consumers, and it is tiny by design (banding exists to keep it so).
 
     ``max_bucket`` is the production DEGENERACY GUARD: a band bucket of B
     members emits B^2/2 pairs, so one boilerplate-dominated bucket (empty
@@ -422,8 +508,10 @@ def minhash_band_candidates(
     ``materialize=False`` returns the pair frame LAZY (no eager
     checkpoint) for callers that overlap the materialization with an
     independent pipeline (session.materialize_concurrently); such
-    callers take over the multiple-consumer checkpoint obligation."""
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    callers take over the multiple-consumer checkpoint obligation.
+    ``shingled``: a pre-computed :func:`shingle_arrays` frame shared
+    with other pipelines (see :func:`minhash_signatures`)."""
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, shingled=shingled)
     if max_bucket is not None:
         # the bucket guard consumes `banded` twice (count + probe); without
         # this the whole shingle->md5->min-agg pipeline runs once per

@@ -266,6 +266,169 @@ def graph_beam_search(
     return visited.select("query_id", "vec_id", "score")
 
 
+# --- exact-arithmetic twins of the JVM scoring expressions -----------------
+#
+# The request-path kernel below replays the WHOLE traversal in one Python
+# task, so every arithmetic decision (score comparisons, 6dp rounding,
+# the hash-spread entry sample) must be bit-identical to what the JVM
+# expressions produce — these helpers replicate them operation for
+# operation, and tests/test_graph_ann.py pins the parity end to end.
+
+_XX_P1 = 0x9E3779B185EBCA87
+_XX_P2 = 0xC2B2AE3D27D4EB4F
+_XX_P3 = 0x165667B19E3779F9
+_XX_P4 = 0x85EBCA77C2B2AE63
+_XX_P5 = 0x27D4EB2F165667C5
+
+
+def _xxhash64_longs(vals):
+    """Spark's ``xxhash64(BIGINT)`` (XXH64 of the 8-byte LE long, seed
+    42), vectorized over an int64 array — the entry-sample ordering key,
+    computed in-kernel so the sample costs no separate Spark job.
+    Parity with the JVM is pinned by test_xxhash64_long_parity."""
+    import numpy as np
+
+    u = np.uint64
+    v = np.asarray(vals).astype(np.int64).view(np.uint64)
+    p1, p2, p3, p4, p5 = (u(_XX_P1), u(_XX_P2), u(_XX_P3), u(_XX_P4), u(_XX_P5))
+    k1 = v * p2
+    k1 = (k1 << u(31)) | (k1 >> u(33))
+    k1 = k1 * p1
+    h = (u(42) + p5 + u(8)) ^ k1
+    h = ((h << u(27)) | (h >> u(37))) * p1 + p4
+    h ^= h >> u(33)
+    h *= p2
+    h ^= h >> u(29)
+    h *= p3
+    h ^= h >> u(32)
+    return h.view(np.int64)
+
+
+def _seq_sum_cols(a):
+    """Left-to-right float64 column accumulation — the op sequence of
+    functions.vector.dot's ``aggregate`` lambda (0.0, then +term per
+    array index), so the result is the bit-identical double."""
+    import numpy as np
+
+    acc = np.zeros(a.shape[0])
+    for i in range(a.shape[1]):
+        acc = acc + a[:, i]
+    return acc
+
+
+def _round_half_up6(raw):
+    """Spark ``round(double, 6)``: HALF_UP on the decimal string
+    representation (BigDecimal(Double.toString(d))), replicated with
+    ``decimal`` over ``repr``. Parity pinned by
+    test_round_half_up6_matches_spark."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal("0.000001")
+    return np.array(
+        [
+            float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+            for x in raw
+        ],
+        dtype=np.float64,
+    )
+
+
+def _list_col_to_mat(col):
+    """Arrow list<float|double> column -> contiguous float64 matrix
+    (fixed dim; exact upcast)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, len(flat) // n) if n else flat.reshape(0, 0)
+
+
+def _beam_search_visited_pairs(
+    ids, mat, src, dst, q_ids, q_mat, beam, rounds, n_entries
+):
+    """The full hash-entry beam traversal over in-memory arrays:
+    returns the visited (query_id, vec_id) pairs as two int64 arrays.
+
+    Exact replay of the BSP operator's selection semantics: seed =
+    first ``n_entries`` ids by (xxhash64(id), id); each round expands
+    the not-yet-expanded slice of the top-``beam`` by (score DESC, id
+    ASC), scores the unvisited neighbors, and exits at the fixed point.
+    Scores used for the comparisons are bit-identical to the JVM
+    expression cosine: float64 products in array index order,
+    left-to-right accumulation, IEEE sqrt/divide, HALF_UP 6dp rounding
+    (see the helpers above) — membership of the visited set is
+    therefore the same set the per-round JVM jobs produced."""
+    import numpy as np
+
+    ids = np.asarray(ids, dtype=np.int64)
+    m64 = np.ascontiguousarray(np.asarray(mat, dtype=np.float64))
+    n = len(ids)
+    idx_of = {int(v): i for i, v in enumerate(ids)}
+    norms = np.sqrt(_seq_sum_cols(m64 * m64))
+
+    # adjacency CSR over row indices; edges whose endpoint is not in the
+    # embedding store are dropped (the BSP candidate join is inner)
+    s_rows = np.fromiter(
+        (idx_of.get(int(x), -1) for x in src), np.int64, count=len(src)
+    )
+    d_rows = np.fromiter(
+        (idx_of.get(int(x), -1) for x in dst), np.int64, count=len(dst)
+    )
+    keep = (s_rows >= 0) & (d_rows >= 0)
+    s_rows, d_rows = s_rows[keep], d_rows[keep]
+    perm = np.argsort(s_rows, kind="stable")
+    s_sorted, d_sorted = s_rows[perm], d_rows[perm]
+    indptr = np.searchsorted(s_sorted, np.arange(n + 1))
+
+    entry_rows = np.lexsort((ids, _xxhash64_longs(ids)))[:n_entries]
+
+    def _score_rows(rows, qv, qnorm):
+        c = m64[rows]
+        dots = _seq_sum_cols(c * qv[None, :])
+        return _round_half_up6(dots / (norms[rows] * qnorm))
+
+    out_q: list = []
+    out_v: list = []
+    for qi in range(len(q_ids)):
+        qid = int(q_ids[qi])
+        qv = np.ascontiguousarray(q_mat[qi])
+        qnorm = float(np.sqrt(_seq_sum_cols((qv * qv)[None, :])[0]))
+        visited: dict[int, float] = {}
+        expanded: set[int] = set()
+        for r, sc in zip(entry_rows, _score_rows(entry_rows, qv, qnorm)):
+            visited[int(ids[r])] = float(sc)
+        for _ in range(rounds):
+            top = sorted(visited.items(), key=lambda kv: (-kv[1], kv[0]))[:beam]
+            frontier = [v for v, _ in top if v not in expanded]
+            if not frontier:
+                break
+            expanded.update(frontier)
+            new_rows: list[int] = []
+            seen: set[int] = set()
+            for v in frontier:
+                r0 = idx_of[v]
+                for r in d_sorted[indptr[r0] : indptr[r0 + 1]]:
+                    vid = int(ids[r])
+                    if vid not in visited and vid not in seen:
+                        seen.add(vid)
+                        new_rows.append(r)
+            if not new_rows:
+                break
+            nr = np.asarray(new_rows, dtype=np.int64)
+            for r, sc in zip(nr, _score_rows(nr, qv, qnorm)):
+                visited[int(ids[r])] = float(sc)
+        out_q.extend([qid] * len(visited))
+        out_v.extend(visited.keys())
+    return (
+        np.asarray(out_q, dtype=np.int64),
+        np.asarray(out_v, dtype=np.int64),
+    )
+
+
 def graph_beam_search_interactive(
     queries: DataFrame,
     edges: DataFrame,
@@ -273,149 +436,125 @@ def graph_beam_search_interactive(
     beam: int = 24,
     rounds: int = 6,
     n_entries: int | None = None,
+    emb_path: str | None = None,
+    edges_path: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Request-path twin of :func:`graph_beam_search`: the SAME
     algorithm (hash-sample entries, top-`beam` best-first expansion,
     fixed-point exit) producing a BIT-IDENTICAL visited frame (pinned by
-    tests/test_graph_ann.py), but with the per-round bookkeeping on the
-    DRIVER and exactly one Spark job per round.
+    tests/test_graph_ann.py), with the ENTIRE traversal in ONE Spark
+    job — a per-request Arrow kernel (round 10; the round-9 form still
+    paid one job per round plus artifact pinning, ~12 scheduled actions
+    of mostly scheduler latency per request).
 
-    Why two forms exist: the BSP operator keeps ALL state distributed —
-    right for audit/batch workloads where Q can be huge — but each round
-    costs a window + distinct + anti-join + checkpoint, ~5-7 exchanges
-    of scheduler latency that dwarf the actual work at request-path
-    batch sizes (the reference's ``/search`` is Q=1, server.js:217-230).
-    Here the frontier/visited/expanded sets live in plain dicts, and a
-    round is ONE action: broadcast the (Q*beam)-bounded frontier into an
-    equi-join against the edge artifact, lookup-join candidate
-    embeddings, score JVM-side with the SAME rounded-cosine expression
-    the BSP path uses (bit-identical doubles — no numpy re-derivation),
-    and collect the candidate rows back. Everything collected is
-    visited-set bounded (~Q * beam * degree rows per round); the
-    corpus-sized tables are only ever streamed scan sides.
+    Serving shape: ANN graph serving is RAM-resident by design (the
+    HNSW operating assumption) — a serving node loads the index once
+    and answers from memory. Here that is one ``mapInArrow`` task over
+    the Q-bounded query block that reads the published edge artifact
+    and the vector store (``edges_path`` / ``emb_path``, the traversal
+    columns only) straight from storage, replays all rounds in-kernel,
+    and emits the visited (query_id, vec_id) pairs. Scores in-kernel
+    are bit-identical doubles to the JVM expression cosine (see
+    ``_beam_search_visited_pairs``), and the RETURNED scores are then
+    computed by the same ``_score_against_queries`` join the BSP path
+    uses — output values are JVM-derived by construction, the kernel
+    only decides set membership. At 100 TB the index shard must fit the
+    serving node, which is the standard graph-ANN serving contract; for
+    corpus-sized query sets use :func:`graph_beam_search`, whose state
+    stays distributed.
 
-    Scale contract: driver state is O(Q * visited-per-query) — the
-    request-path assumption is Q small (interactive k-NN serving), NOT
-    the corpus. For corpus-sized query sets (recall audits, self-join
-    analytics) use :func:`graph_beam_search`, whose state stays in
-    executors. Corpus size only enters through the streamed join sides,
-    so the per-round job shape is the 100-TB shape already.
-    """
-    import numpy as np
-    import pandas as pd
-
+    Without paths (tests, ad-hoc frames) the same kernel runs
+    driver-side on the collected frames — small-corpus mode only; every
+    registry caller passes the published artifact paths."""
     spark = queries.sparkSession
-    # pin the two stream sides ONCE per request: every round's job joins
-    # the frontier against edges and the candidates against emb, and
-    # without the checkpoint each of the ~`rounds` jobs re-scans and
-    # re-decodes both parquet relations (measured as the round job's
-    # dominant input cost at fixture scale). One narrow materialization
-    # each turns those into executor block reads; both frames are the
-    # columns the traversal needs, nothing more (guide §4.1 projection).
-    emb = emb.select("vec_id", "embedding").localCheckpoint(eager=True)
-    edges = edges.select("src", "dst").localCheckpoint(eager=True)
-    if n_entries is None:
-        n_entries = max(16, emb.count() // 32)
-    entry_ids = [
-        r[0]
-        for r in emb.select("vec_id")
-        .orderBy(F.xxhash64("vec_id"), "vec_id")
-        .limit(n_entries)
-        .collect()
-    ]
-    # materialize the Q-bounded query block ONCE as a local relation —
-    # broadcasting the original `queries` subtree would re-run its scan
-    # (typically a filtered corpus read) every round
-    q_rows = queries.select("query_id", "query_vec").collect()
-    qids = [r[0] for r in q_rows]
-    q_local = spark.createDataFrame(
-        [(r[0], list(r[1])) for r in q_rows],
-        queries.select("query_id", "query_vec").schema,
-    )
+    if emb_path is not None and edges_path is not None:
+        import numpy as np
 
-    def _score(pairs_pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pairs = spark.createDataFrame(pairs_pdf)
-        return (
-            F.broadcast(pairs)
-            .join(emb.select("vec_id", "embedding"), "vec_id")
-            .join(F.broadcast(q_local), "query_id")
-            .select(
-                "query_id",
-                "vec_id",
-                F.round(
-                    cosine_similarity("embedding", "query_vec"), 6
-                ).alias("score"),
-            )
-        ).toPandas()
-
-    seed = pd.DataFrame(
-        {
-            "query_id": np.repeat(
-                np.array(qids, dtype=np.int64), len(entry_ids)
-            ),
-            "vec_id": np.tile(np.array(entry_ids, dtype=np.int64), len(qids)),
-        }
-    )
-    visited: dict[int, dict[int, float]] = {q: {} for q in qids}
-    for q, v, s in _score(seed).itertuples(index=False):
-        visited[q][v] = s
-    expanded: dict[int, set] = {q: set() for q in qids}
-
-    for _ in range(rounds):
-        fr_q: list[int] = []
-        fr_v: list[int] = []
-        for q in qids:
-            # same total order as the BSP window: score DESC, vec_id ASC
-            top = sorted(visited[q].items(), key=lambda kv: (-kv[1], kv[0]))[
-                :beam
-            ]
-            for v, _s in top:
-                if v not in expanded[q]:
-                    fr_q.append(q)
-                    fr_v.append(v)
-                    expanded[q].add(v)
-        if not fr_q:
-            break
-        frontier = spark.createDataFrame(
-            pd.DataFrame(
-                {
-                    "query_id": np.array(fr_q, dtype=np.int64),
-                    "vec_id": np.array(fr_v, dtype=np.int64),
-                }
-            )
+        _id, _vec, _beam, _rounds, _ne = id_col, vec_col, beam, rounds, n_entries
+        _emb_path, _edges_path = emb_path, edges_path
+        # collect the Q-bounded request block (the request-path contract)
+        # and ship it in the kernel closure over a 1-row range. Feeding
+        # the kernel through mapInArrow's own input was measured
+        # pathological whenever the query block is driver-local (a routed
+        # SQL literal, a hand-built request): the LocalTableScan /
+        # parallelized-RDD -> Python runner path cost ~5 s PER EXECUTION
+        # at Q=1, vs ~0.5 s for the range-fed form.
+        q_rows = queries.select("query_id", "query_vec").collect()
+        q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+        q_mat = (
+            np.array([[float(x) for x in r[1]] for r in q_rows])
+            if q_rows
+            else np.zeros((0, 0))
         )
-        # one fused job: frontier -> out-edges -> embedding lookup ->
-        # JVM-scored candidates collected back (duplicate (q, dst) pairs
-        # are scored redundantly rather than paying a distinct shuffle —
-        # dedup is a dict insert on the driver)
-        cand = (
-            F.broadcast(frontier)
-            .join(edges.select(F.col("src").alias("vec_id"), "dst"), "vec_id")
-            .select("query_id", F.col("dst").alias("vec_id"))
-        )
-        scored = (
-            F.broadcast(cand)
-            .join(emb.select("vec_id", "embedding"), "vec_id")
-            .join(F.broadcast(q_local), "query_id")
-            .select(
-                "query_id",
-                "vec_id",
-                F.round(
-                    cosine_similarity("embedding", "query_vec"), 6
-                ).alias("score"),
+
+        def _run(batches):
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            for _ in batches:
+                pass
+            if not len(q_ids):
+                return
+            et = pq.read_table(_emb_path, columns=[_id, _vec])
+            ids = et.column(_id).to_numpy(zero_copy_only=False).astype(np.int64)
+            mat = _list_col_to_mat(et.column(_vec))
+            gt = pq.read_table(_edges_path, columns=["src", "dst"])
+            src = gt.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+            dst = gt.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+            ne = _ne if _ne is not None else max(16, len(ids) // 32)
+            qarr, varr = _beam_search_visited_pairs(
+                ids, mat, src, dst, q_ids, q_mat, _beam, _rounds, ne
             )
-        ).toPandas()
-        added = 0
-        for q, v, s in scored.itertuples(index=False):
-            if v not in visited[q]:
-                visited[q][v] = s
-                added += 1
-        if added == 0:
-            break
-    out = pd.DataFrame(
-        [(q, v, s) for q in qids for v, s in visited[q].items()],
-        columns=["query_id", "vec_id", "score"],
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(qarr, pa.int64()), pa.array(varr, pa.int64())],
+                ["query_id", "vec_id"],
+            )
+
+        # single-partition 1-row driver: exactly ONE kernel task (a
+        # multi-partition input would run the closure once per task)
+        pairs = spark.range(0, 1, 1, 1).mapInArrow(
+            _run, "query_id long, vec_id long"
+        )
+        # re-score from the already-collected block — broadcasting the
+        # original `queries` subtree would re-run its scan a second time
+        queries = spark.createDataFrame(
+            q_rows, queries.select("query_id", "query_vec").schema
+        )
+    else:
+        import numpy as np
+
+        epdf = (
+            emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+            .toPandas()
+        )
+        gpdf = edges.select("src", "dst").toPandas()
+        qpdf = queries.select("query_id", "query_vec").toPandas()
+        ids = epdf["vec_id"].to_numpy(np.int64)
+        mat = np.stack([np.asarray(v, np.float64) for v in epdf["embedding"]])
+        ne = n_entries if n_entries is not None else max(16, len(ids) // 32)
+        qarr, varr = _beam_search_visited_pairs(
+            ids,
+            mat,
+            gpdf["src"].to_numpy(np.int64),
+            gpdf["dst"].to_numpy(np.int64),
+            qpdf["query_id"].to_numpy(np.int64),
+            np.stack([np.asarray(v, np.float64) for v in qpdf["query_vec"]])
+            if len(qpdf)
+            else np.zeros((0, 0)),
+            beam,
+            rounds,
+            ne,
+        )
+        import pandas as pd
+
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"query_id": qarr, "vec_id": varr}),
+            "query_id long, vec_id long",
+        )
+    emb_named = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
-    return spark.createDataFrame(
-        out, "query_id long, vec_id long, score double"
-    )
+    return _score_against_queries(F.broadcast(pairs), queries, emb_named)

@@ -43,7 +43,13 @@ def prefix_filter_jaccard_pairs(
     3. prefix candidate join on tok: buckets are df-ordered prefixes, so
        common boilerplate tokens rarely reach a prefix; AQE splits any
        residual skewed bucket. Length pruning (cross-multiplied
-       3*sz_a <= 5*sz_b etc.) cuts candidates before the distinct.
+       3*sz_a <= 5*sz_b etc.) and PPJoin's POSITIONAL filter (the
+       matching token's rank bounds the best-possible overlap:
+       c <= 1 + min(sz_a - rn_a, sz_b - rn_b) at the pair's first shared
+       prefix token, so pairs whose bound cannot reach the threshold are
+       dropped losslessly — if the true overlap qualifies, the FIRST
+       shared prefix token, where min(remaining) is largest, always
+       passes) cut candidates before the distinct.
     4. verification restricted to candidates: candidate pairs are joined
        to A's tokens then equi-joined to B's (id, tok) — candidate-
        bounded, never the quadratic token self-join the oracle runs.
@@ -65,18 +71,41 @@ def prefix_filter_jaccard_pairs(
         F.row_number().over(wdoc.orderBy("tok_df", "tok")).alias("rn"),
         F.count("*").over(wdoc).alias("sz"),
     )
-    # prefix length: sz - ceil(t*sz) + 1, integer-exact for t = 3/5
-    prefix = ranked.filter(
-        F.col("rn")
-        <= F.col("sz") - F.expr(f"({_T_NUM} * sz + {_T_DEN - 1}) div {_T_DEN}") + 1
-    ).select(F.col(id_col), F.col("tok"), F.col("sz"))
+    # prefix length: sz - ceil(t*sz) + 1, integer-exact for t = 3/5.
+    # Checkpointed eagerly: the self-join consumes it twice, and without
+    # the pin each side re-runs the dfreq join + per-doc window over the
+    # full token set (round 10 — the plan showed the whole subtree
+    # duplicated); the prefix frame itself is the SMALL projection
+    # (prefix tokens only, ~2/5 of tokens at t=3/5).
+    prefix = (
+        ranked.filter(
+            F.col("rn")
+            <= F.col("sz")
+            - F.expr(f"({_T_NUM} * sz + {_T_DEN - 1}) div {_T_DEN}")
+            + 1
+        )
+        .select(F.col(id_col), F.col("tok"), F.col("sz"), F.col("rn"))
+        .localCheckpoint(eager=True)
+    )
 
     a = prefix.select(
-        F.col(id_col).alias("id_a"), F.col("tok"), F.col("sz").alias("sz_a")
+        F.col(id_col).alias("id_a"),
+        F.col("tok"),
+        F.col("sz").alias("sz_a"),
+        F.col("rn").alias("rn_a"),
     )
     b = prefix.select(
-        F.col(id_col).alias("id_b"), F.col("tok"), F.col("sz").alias("sz_b")
+        F.col(id_col).alias("id_b"),
+        F.col("tok"),
+        F.col("sz").alias("sz_b"),
+        F.col("rn").alias("rn_b"),
     )
+    # positional upper bound: c >= ceil(t/(1+t) * (sz_a + sz_b)) is the
+    # qualifying overlap (integer-exact: (den+num)*c >= num*(sa+sb)), and
+    # 1 + min(remaining tokens after the match) bounds the reachable c
+    pos_ok = (_T_DEN + _T_NUM) * (
+        F.lit(1) + F.least(F.col("sz_a") - F.col("rn_a"), F.col("sz_b") - F.col("rn_b"))
+    ) >= _T_NUM * (F.col("sz_a") + F.col("sz_b"))
     cand = (
         a.join(b, "tok")
         .filter(
@@ -84,6 +113,7 @@ def prefix_filter_jaccard_pairs(
             # Jaccard >= t forces t*|A| <= |B| and t*|B| <= |A|
             & (_T_NUM * F.col("sz_a") <= _T_DEN * F.col("sz_b"))
             & (_T_NUM * F.col("sz_b") <= _T_DEN * F.col("sz_a"))
+            & pos_ok
         )
         .select("id_a", "id_b", "sz_a", "sz_b")
         .distinct()

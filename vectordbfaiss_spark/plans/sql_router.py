@@ -562,15 +562,13 @@ def route_topk_sql(spark: SparkSession, sql: str, nprobe: int = 4) -> DataFrame:
             graph_serve_knobs,
         )
 
-        emb = spark.read.parquet(g_tbl.path).select(
-            F.col(g_tbl.id_col).alias("vec_id"),
-            F.col(g_tbl.vec_col).alias("embedding"),
-        )
+        emb = spark.read.parquet(g_tbl.path)
         edges = spark.read.parquet(g_tbl.edges_path).select("src", "dst")
         beam, rounds = graph_serve_knobs(g_tbl.n)
-        # the request-path kernel (one job per round, driver bookkeeping,
-        # bit-identical to the BSP operator): a routed SQL statement is a
-        # single interactive request, exactly its contract
+        # the request-path kernel (ONE Spark job for the whole traversal
+        # — an Arrow task that loads the published index, the RAM-resident
+        # serving shape; bit-identical to the BSP operator): a routed SQL
+        # statement is a single interactive request, exactly its contract
         visited = graph_beam_search_interactive(
             queries,
             edges,
@@ -578,6 +576,10 @@ def route_topk_sql(spark: SparkSession, sql: str, nprobe: int = 4) -> DataFrame:
             beam=beam,
             rounds=rounds,
             n_entries=max(16, g_tbl.n // 32),
+            emb_path=g_tbl.path,
+            edges_path=g_tbl.edges_path,
+            id_col=g_tbl.id_col,
+            vec_col=g_tbl.vec_col,
         )
         w = W.partitionBy("query_id").orderBy(F.desc("score"), "vec_id")
         return (

@@ -146,37 +146,74 @@ def q_frequent_pairs_market_basket(spark: SparkSession, sf_dir: str) -> DataFram
 
     The scale discipline is apriori pruning: an item in fewer than
     ``_PAIR_MIN_SUPPORT`` baskets cannot appear in a qualifying pair, so
-    the per-item support filter runs BEFORE the basket self-join and the
-    pair generation is bounded by the frequent-item basket sizes (at
+    the per-item support filter runs BEFORE pair generation and the
+    pair explosion is bounded by the frequent-item basket sizes (at
     100 TB you additionally cap basket cardinality, like the LSH bucket
-    guards). The self-join shuffles once on the basket key; the item
-    support table is dimension-sized, so AQE broadcasts it; the 1-row
-    basket count rides the whitelisted scalar crossJoin idiom; the final
-    top-k is a TakeOrderedAndProject with a full tie-break (count desc,
-    lift desc, p1, p2), never a global sort of all pairs."""
+    guards). Round-10 shape: ONE shuffle on the basket key builds the
+    per-basket distinct item ARRAY (the old form planned the
+    scan+distinct subtree four times — once per self-join side and once
+    per support leg — plus a corpus-wide a x b equi-join); support and
+    the basket count roll up from that checkpointed frame, the in-basket
+    pair explosion replaces the self-join (same rows: sorted distinct
+    items, i < j), and the dimension-sized support table joins AFTER the
+    pair aggregation as a broadcast, so the pair shuffle carries only
+    (p1, p2) — not two support columns per row (guide §2.3). A pair in
+    >= {3} baskets forces both members into >= {3} baskets, so the
+    post-agg support join drops nothing the HAVING filter kept. The
+    1-row basket count rides the whitelisted scalar crossJoin idiom; the
+    final top-k is a TakeOrderedAndProject with a full tie-break (count
+    desc, lift desc, p1, p2), never a global sort of all pairs."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    nb = items.agg(F.countDistinct("ok").alias("n_baskets"))
+    # one checkpointed basket frame: consumers are the basket count, the
+    # item-support rollup, and the pair explosion
+    per = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .groupBy("ok")
+        .agg(F.array_sort(F.collect_set("pk")).alias("pks"))
+        .localCheckpoint(eager=True)
+    )
+    nb = per.agg(F.count("*").alias("n_baskets"))
     supp = (
-        items.groupBy("pk")
+        per.select(F.explode("pks").alias("pk"))
+        .groupBy("pk")
         .agg(F.count("*").alias("supp"))
         .filter(F.col("supp") >= _PAIR_MIN_SUPPORT)
+        .localCheckpoint(eager=True)  # three consumers: semi-join + 2 joins
     )
-    fitems = items.join(supp, "pk")
-    a = fitems.select(F.col("ok"), F.col("pk").alias("p1"), F.col("supp").alias("supp1"))
-    b = fitems.select(F.col("ok"), F.col("pk").alias("p2"), F.col("supp").alias("supp2"))
-    pairs = (
-        a.join(b, "ok")
-        .filter(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
-        .agg(
-            F.first("supp1").alias("supp1"),
-            F.first("supp2").alias("supp2"),
-            F.count("*").alias("pair_count"),
+    # apriori prune inside the basket: keep frequent items, re-collect the
+    # (ok-partitioned, exchange-free: the checkpoint preserves the groupBy
+    # partitioning and explode/broadcast-join are narrow) basket arrays
+    freq = (
+        per.select("ok", F.explode("pks").alias("pk"))
+        .join(F.broadcast(supp.select("pk")), "pk", "left_semi")
+        .groupBy("ok")
+        .agg(F.array_sort(F.collect_set("pk")).alias("pks"))
+    )
+    # in-basket pair explosion: sorted distinct items, all i < j pairs —
+    # row-for-row what the old ok-equi-self-join produced
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("pks"),
+            lambda x, i: F.transform(
+                F.slice(F.col("pks"), i + F.lit(2), F.size(F.col("pks"))),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
         )
+    )
+    pairs = (
+        freq.select(F.explode(pair_structs).alias("pr"))
+        .select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("pair_count"))
         .filter(F.col("pair_count") >= _PAIR_MIN_SUPPORT)
+        .join(
+            F.broadcast(supp.select(F.col("pk").alias("p1"), F.col("supp").alias("supp1"))),
+            "p1",
+        )
+        .join(
+            F.broadcast(supp.select(F.col("pk").alias("p2"), F.col("supp").alias("supp2"))),
+            "p2",
+        )
     )
     return (
         pairs.crossJoin(F.broadcast(nb))

@@ -1340,14 +1340,16 @@ def q_graph_ann_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     query: it always runs the traversal live (never the published
     visited artifact the audit queries share), so serving latency stays
     a measured number every bench round. It serves through the
-    REQUEST-PATH kernel (`graph_beam_search_interactive` — one Spark job
-    per round, driver-side bookkeeping, bit-identical to the BSP
-    operator by test), because serving latency is exactly what that
-    kernel exists for; the audit family's published frames keep the
-    all-state-distributed BSP form."""
+    REQUEST-PATH kernel (`graph_beam_search_interactive` — the WHOLE
+    traversal in one Arrow task over the published artifacts,
+    bit-identical to the BSP operator by test), because serving latency
+    is exactly what that kernel exists for; the audit family's published
+    frames keep the all-state-distributed BSP form."""
     from vectordbfaiss_spark.operators.graph_ann import (
         graph_beam_search_interactive,
     )
+
+    import pathlib
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 50).select(
@@ -1355,7 +1357,16 @@ def q_graph_ann_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = _graph_ann_edges(spark, sf_dir).select("src", "dst")
     visited = graph_beam_search_interactive(
-        queries, edges, emb, beam=_GRAPH_ANN_BEAM, rounds=_GRAPH_ANN_ROUNDS
+        queries,
+        edges,
+        emb,
+        beam=_GRAPH_ANN_BEAM,
+        rounds=_GRAPH_ANN_ROUNDS,
+        emb_path=f"{sf_dir}/embeddings.parquet",
+        edges_path=(
+            "/root/repo/spark-warehouse/"
+            f"graph_ann_edges_{pathlib.Path(sf_dir).name}"
+        ),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), "vec_id")
     return (

@@ -426,7 +426,8 @@ def q_sql_routed_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size captured at registration, so THIS code path is where
     the syn-ladder-calibrated schedule runs in production (fixture
     scale resolves to the measured beam 24 / rounds 6; it serves through
-    the request-path kernel, one Spark job per round). The route is
+    the request-path kernel — the whole traversal in one Arrow task
+    over the published artifacts). The route is
     approximate by contract (HNSW-style), so the oracle is the bound
     form: ``k_rows`` (exactly k results), ``recall_ok`` (>= 5 of the
     exact in-plan top-10 — the family floor), and ``scores_exact``
